@@ -1,0 +1,42 @@
+"""Shared fixtures: one SparkSession per test session, DuckDB oracle."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreducewordcounting_spark.catalog import TABLES
+from mapreducewordcounting_spark.session import get_spark
+
+# Fast internal gate at sf0.001; the driver runs sf0.01.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="mrwc-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the fixture tables registered as views,
+    mirroring the driver's oracle setup (FIXTURES.md)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
