@@ -1,1 +1,496 @@
-"""Placeholder - queries land in a later milestone commit."""
+"""Core relational operators (SURVEY.md §2.2 — M1).
+
+The reference has projection (sendFileByFile.cpp:94-97), filter (:92),
+and hash aggregation (:150-200, :353-374) but **no joins, no set ops,
+no limit/top-k, one agg fn (sum)**. This module generalizes that to
+the full relational surface over the star-schema fixtures, expressed
+declaratively so Catalyst supplies pushdown/pruning/reordering
+(SURVEY.md §4.1) and AQE handles skew/coalescing at 100 TB.
+
+Scale notes per query are in each docstring; shared rules:
+- dimension tables (region/nation/supplier/part/customer) are
+  explicitly ``F.broadcast()`` so the fact-side join is shuffle-free;
+- fact-fact joins (lineitem ⋈ orders) shuffle on the join key — the
+  plan a 1000-executor sort-merge join wants;
+- money aggregates use exact DECIMAL arithmetic cast to double
+  (functions/numeric.py) so results are order-independent and the
+  driver's value-hash is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.functions.numeric import (
+    davg,
+    dsum,
+    money,
+    net_price,
+)
+from mapreducewordcounting_spark.registry import register
+
+_SQL_NET = ("(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))")
+
+
+# --------------------------------------------------------------------------
+# Projection + filter (reference O6/O7 generalized)
+# --------------------------------------------------------------------------
+
+@register(
+    "filter_project",
+    oracle=f"""
+        SELECT l_orderkey,
+               l_linenumber,
+               CAST({_SQL_NET} AS DOUBLE) AS net_price,
+               l_returnflag
+        FROM lineitem
+        WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
+              AND l_returnflag <> 'N'
+    """,
+    tags=("relational", "filter", "projection"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """σ + π with a computed column. The predicates reach the parquet
+    scan as PushedFilters; only 6 of 11 lineitem columns are read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") > 30)
+            & F.col("l_discount").between(0.02, 0.08)
+            & (F.col("l_returnflag") != "N")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            net_price().cast("double").alias("net_price"),
+            "l_returnflag",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins — every kind (absent in reference; SURVEY.md §2.2 "Joins")
+# --------------------------------------------------------------------------
+
+@register(
+    "join_broadcast_dim",
+    oracle=f"""
+        SELECT p.p_brand,
+               CAST(sum({_SQL_NET}) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+    tags=("relational", "join", "broadcast"),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim with an explicit broadcast: zero shuffle on the
+    lineitem side (the dim ships to every executor once). At 100 TB the
+    fact table never moves — this is the plan that survives scale-up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(net_price()).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_fact_fact",
+    oracle="""
+        SELECT o.o_orderpriority,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               sum(l.l_quantity) AS total_qty
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("relational", "join", "sort-merge"),
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact: both sides shuffle on the key → sort-merge join.
+    The o_orderstatus filter pushes below the join (Catalyst), cutting
+    the shuffled volume before the exchange. (l_quantity is
+    integer-valued, so a double sum is exact — no decimal cast.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_mktsegment,
+               count(*) AS n_customers,
+               count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("relational", "join", "outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (the NULL
+    side is counted by count(col) vs count(*))."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_active
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+        GROUP BY c_mktsegment
+    """,
+    tags=("relational", "join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): emits each customer at most once; the
+    probe side never materializes order columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "leftsemi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_inactive
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+        GROUP BY c_mktsegment
+    """,
+    tags=("relational", "join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no high-value order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+@register(
+    "join_star_schema",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               r.r_name AS region,
+               CAST(sum({_SQL_NET}) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus <> 'P'
+        GROUP BY n.n_name, r.r_name
+    """,
+    tags=("relational", "join", "star"),
+)
+def join_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way star join: one shuffle join on the two
+    facts, then broadcast hops up the dimension chain. At 100 TB only
+    lineitem⋈orders exchanges data; customer/nation/region ship whole."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(dsum(net_price()).alias("revenue"))
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+        SELECT n.n_name, count(*) AS n_bigger_regions
+        FROM nation n JOIN region r ON n.n_regionkey < r.r_regionkey
+        GROUP BY n.n_name
+    """,
+    tags=("relational", "join", "theta"),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join — becomes BroadcastNestedLoopJoin. Only
+    sane when one side broadcasts; both sides here are dims."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey < r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_bigger_regions"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (reference O8+O11 generalized from sum-only)
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_suite",
+    oracle=f"""
+        SELECT l_returnflag,
+               l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(sum({_SQL_NET}) AS DOUBLE) AS sum_disc_price,
+               sum(l_quantity) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS avg_price,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg"),
+)
+def agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: sum/avg/min/max/count in one
+    partial+final HashAggregate pass (the reference's two map<string,int>
+    phases, sendFileByFile.cpp:150/:353, generalized to 8 aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(money("l_extendedprice")).alias("sum_base_price"),
+            dsum(net_price()).alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            davg(money("l_extendedprice")).alias("avg_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("relational", "agg", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation — expands to a two-phase plan
+    (distinct keys first, then count). For 100 TB cardinality work use
+    agg_approx_distinct instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketch values are engine-specific; the internal
+    # test bounds relative error against the exact count instead.
+    tags=("relational", "agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the constant-memory
+    cardinality path required at 100 TB (SURVEY.md §2.2 sketches)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total) in one
+    Expand + HashAggregate — no second scan of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping sets in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dsum(money("o_totalprice")).alias("sum_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limit / top-k (reference O12 + the limit it lacks)
+# --------------------------------------------------------------------------
+
+@register(
+    "topk_global",
+    oracle="""
+        SELECT o_orderkey, o_totalprice AS total_price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("relational", "sort", "topk"),
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    each partition keeps only k rows, the driver merges k·P rows. No
+    global sort ever materializes (safe at any scale). o_orderkey
+    tie-break keeps the result set deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").alias("total_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (absent in reference)
+# --------------------------------------------------------------------------
+
+@register(
+    "setop_union",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("relational", "setop"),
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): union + dedup in one hash aggregate."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("relational", "setop"),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+    """,
+    tags=("relational", "setop"),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no high-balance supplier."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = (load_table(spark, sf_dir, "supplier")
+         .filter(F.col("s_acctbal") > 8000)
+         .select(F.col("s_nationkey").alias("nationkey")))
+    return c.subtract(s)  # EXCEPT (distinct); exceptAll = multiset variant
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+        SELECT p_brand, count(*) AS n_above_avg
+        FROM part p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_brand = p.p_brand)
+        GROUP BY p_brand
+    """,
+    tags=("relational", "subquery"),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (RewriteCorrelatedScalarSubquery, SURVEY.md §4.1),
+    so it runs as one pass, not row-at-a-time."""
+    part = load_table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_v")
+    return spark.sql("""
+        SELECT p_brand, count(*) AS n_above_avg
+        FROM part_v p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part_v p2
+                               WHERE p2.p_brand = p.p_brand)
+        GROUP BY p_brand
+    """)
