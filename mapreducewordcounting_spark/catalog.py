@@ -22,10 +22,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table. ``name`` must be in :data:`TABLES`."""
+    """Load one fixture table. ``name`` must be in :data:`TABLES`.
+
+    ``events.ts`` is ns-precision parquet (TIMESTAMP(NANOS)), which
+    Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).
+    The supported path is ``spark.sql.legacy.parquet.nanosAsLong``:
+    read the raw int64 nanos, then integer-divide to µs and rebuild a
+    TimestampType column — so every consumer sees a normal timestamp
+    (truncated ns→µs; oracle-checked queries stay ≥second granularity,
+    SURVEY.md §7.3 item 3).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # `ts div 1000` (integer division) — a double division would
+        # lose precision above 2^53 ns (~104 days of epoch-nanos).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -1,1 +1,204 @@
-"""Placeholder - queries land in a later milestone commit."""
+"""Window functions (SURVEY.md §2.2 — M3; absent in the reference).
+
+Ranking, analytic (lag/lead), and frame-based (rows/range) windows.
+Scale posture: a window = one shuffle on partitionBy keys + a sort
+within partitions. Keys here (brand, custkey, suppkey) have bounded
+per-key row counts, so no single partition explodes at 100 TB; there
+is no global sort anywhere. Running money sums stay in exact DECIMAL
+until the final cast (functions/numeric.py) so cumulative values are
+order-independent and oracle-stable.
+
+Determinism: every ORDER BY carries a unique tie-break column so
+row_number/ntile/lag pick the same rows in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.functions.numeric import money
+from mapreducewordcounting_spark.registry import register
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice, rn
+        FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part
+        )
+        WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand — the distributed top-k-per-group idiom
+    (row_number over a partitioned window, then filter). Each group
+    sorts independently; nothing global."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_spend
+        FROM orders
+        WHERE o_custkey < 200
+    """,
+    tags=("window", "analytic"),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend — cumulative DECIMAL sum (exact at
+    every prefix, so the cast-to-double stream hashes identically)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) -
+                    lag(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+                   AS delta_prev,
+               lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)
+                   AS next_orderkey
+        FROM orders
+        WHERE o_custkey < 200
+    """,
+    tags=("window", "analytic"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation: spend delta vs previous order, next order id
+    (NULL at partition edges — preserved, not coalesced)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = money("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (price - F.lag(price, 1).over(w)).cast("double").alias("delta_prev"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "window_rank_ntile",
+    oracle="""
+        SELECT p_partkey, p_brand,
+               rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+                   AS price_rank,
+               dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+                   AS price_dense_rank,
+               ntile(4) OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey) AS quartile,
+               CAST(percent_rank() OVER (PARTITION BY p_brand
+                                         ORDER BY p_retailprice DESC)
+                    AS DOUBLE) AS pct_rank
+        FROM part
+    """,
+    tags=("window", "ranking"),
+)
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: rank/dense_rank (tie-aware, deterministic on
+    equal keys), ntile + percent_rank (tie-broken for determinism)."""
+    p = load_table(spark, sf_dir, "part")
+    w_ties = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    w_total = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w_ties).alias("price_rank"),
+        F.dense_rank().over(w_ties).alias("price_dense_rank"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.percent_rank().over(w_ties).cast("double").alias("pct_rank"),
+    )
+
+
+@register(
+    "window_moving_frame",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS moving_sum3,
+               count(*) OVER (PARTITION BY l_suppkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS frame_n
+        FROM lineitem
+        WHERE l_suppkey < 20
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frame: 3-row moving sum of shipment value per supplier."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(money("l_extendedprice")).over(w).cast("double").alias("moving_sum3"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+        SELECT s_suppkey, s_acctbal,
+               count(*) OVER (ORDER BY s_acctbal
+                              RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+                   AS peers_within_1000
+        FROM supplier
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): suppliers whose
+    balance is within 1000 below each supplier's. Unpartitioned window
+    over a dimension table — fine for dims, never for facts."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal").rangeBetween(-1000, Window.currentRow)
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.count("*").over(w).alias("peers_within_1000"),
+    )
