@@ -1,1 +1,336 @@
-"""Placeholder - queries land in a later milestone commit."""
+"""Text analysis operators (SURVEY.md §2.3 — M4, north-star extension).
+
+The reference computes exactly one text statistic — global word count
+(sendFileByFile.cpp:150-200, :353-374). This module generalizes the
+same tokenize→normalize pipeline (functions/text.py, reference O3-O6)
+into the text-analysis surface an LLM training-data pipeline needs:
+per-document stats, per-group top-k, vocabulary cardinality, stopword
+filtering, tf-idf, quality scoring, token-count estimation, and
+document fingerprinting.
+
+Everything is built-in column expressions (explode/split/regexp/agg) —
+no Python UDFs, so the whole module rides whole-stage codegen and
+scales with executors. Shuffles: one hash exchange per groupBy on
+(word) or (doc_id); no global sorts except explicit small top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.functions.text import tokenize_canonical
+from mapreducewordcounting_spark.registry import register
+
+#: tiny fixed stopword list matching the fixture vocabulary
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+_SQL_TOKS = """
+    SELECT doc_id, lang, source,
+           list_filter(
+               list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> regexp_replace(t, '[^a-z'']', '', 'g')),
+               w -> length(w) > 0) AS toks
+    FROM documents
+"""
+
+
+@register(
+    "text_doc_stats",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS})
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                   / len(toks) AS avg_token_len
+        FROM t
+    """,
+    tags=("text", "stats"),
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics computed entirely with array HOFs
+    — no explode, no shuffle at all (a pure map stage at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w)).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_topk_words_per_source",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        wc AS (
+            SELECT source, unnest(toks) AS word FROM t
+        ),
+        counts AS (
+            SELECT source, word, count(*) AS cnt FROM wc GROUP BY source, word
+        )
+        SELECT source, word, cnt, rn
+        FROM (SELECT source, word, cnt,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY cnt DESC, word) AS rn
+              FROM counts)
+        WHERE rn <= 5
+    """,
+    tags=("text", "topk", "window"),
+)
+def text_topk_words_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 words per source: the flagship word count partitioned by
+    source + a ranking window. Two shuffles total (word-count agg, then
+    window on source) regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        docs.select("source", F.explode(tokenize_canonical("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "text_vocab_per_lang",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS})
+        SELECT lang,
+               count(DISTINCT word) AS vocab_size,
+               count(*) AS total_tokens
+        FROM (SELECT lang, unnest(toks) AS word FROM t)
+        GROUP BY lang
+    """,
+    tags=("text", "vocab"),
+)
+def text_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vocabulary size per language. (The 100 TB variant swaps
+    count_distinct for approx_count_distinct — see text_vocab_approx.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(tokenize_canonical("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("word").alias("vocab_size"),
+            F.count("*").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "text_vocab_approx",
+    oracle=None,  # HLL sketch — engine-specific; internal test bounds
+    # the error against text_vocab_per_lang's exact counts.
+    tags=("text", "vocab", "approx"),
+)
+def text_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct vocabulary — constant memory per group at
+    any corpus size (the 100 TB path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(tokenize_canonical("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang")
+        .agg(F.approx_count_distinct("word", rsd=0.01).alias("approx_vocab"))
+    )
+
+
+@register(
+    "text_stopword_topk",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        counts AS (
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(toks) AS word FROM t)
+            WHERE word NOT IN ('the', 'a', 'of', 'and', 'to')
+            GROUP BY word
+        )
+        SELECT word, cnt FROM counts
+        ORDER BY cnt DESC, word
+        LIMIT 20
+    """,
+    tags=("text", "stopwords", "topk"),
+)
+def text_stopword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count with stopword removal, global top-20 (deterministic
+    word tie-break). The stopword filter sits before the aggregation,
+    shrinking the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize_canonical("text")).alias("word"))
+        .filter((F.length("word") > 0) & (~F.col("word").isin(*STOPWORDS)))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        words AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        tf AS (SELECT doc_id, word, count(*) AS tf
+               FROM words GROUP BY doc_id, word),
+        df AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM words)
+        SELECT tf.doc_id, tf.word, tf.tf,
+               round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+        WHERE tf.doc_id < 20
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf from first principles as two aggregations + a broadcast
+    join (df table is |vocab| rows — tiny next to the corpus, so it
+    broadcasts; the n_docs scalar folds in as a crossjoined literal).
+    Smoothed idf = ln((N+1)/(df+1)); ln rounded to 6 (libm parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(tokenize_canonical("text")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = words.select(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS})
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(len(list_filter(toks,
+                        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+               CAST(len(list_filter(toks, w -> length(w) >= 4)) AS DOUBLE)
+                   / len(toks) AS long_token_ratio,
+               (len(toks) BETWEEN 20 AND 1000) AS len_ok
+        FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (stopword ratio, long-token ratio,
+    length gate) — the heuristics training-data pipelines filter on.
+    Pure per-row array math: no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("double") / n
+        ).alias("stopword_ratio"),
+        (
+            F.size(F.filter(toks, lambda w: F.length(w) >= 4)).cast("double") / n
+        ).alias("long_token_ratio"),
+        n.between(20, 1000).alias("len_ok"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS})
+        SELECT doc_id,
+               sha256(array_to_string(toks, ' ')) AS fingerprint
+        FROM t
+    """,
+    tags=("text", "fingerprint", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint: sha256 over the canonical token
+    stream. Whitespace/punctuation-insensitive identity for exact-dedup
+    at scale (hash is 32 bytes/doc regardless of doc size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    return docs.select(
+        "doc_id",
+        F.sha2(F.array_join(toks, " "), 256).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                   AS n_bpe_tokens,
+               length(text) AS n_chars
+        FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting via a single regex pass (letters runs,
+    digit runs, lone symbols) — the cheap token-budget estimator used
+    when a real tokenizer is too expensive for a first pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"),
+                                 F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS})
+        SELECT lang, source,
+               count(*) AS n_docs,
+               sum(len(toks)) AS total_tokens,
+               CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avg_doc_tokens
+        FROM t
+        GROUP BY lang, source
+    """,
+    tags=("text", "stats"),
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by (lang, source) — the partition-planning
+    stats a 100 TB ingest runs first."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    return (
+        docs.select("lang", "source", F.size(toks).alias("n_toks"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            (F.sum("n_toks").cast("double") / F.count("*")).alias("avg_doc_tokens"),
+        )
+    )

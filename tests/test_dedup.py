@@ -1,0 +1,66 @@
+"""Internal differential tests for the non-SQL-expressible dedup ops
+(SURVEY.md §5.2 item 2): LSH recall vs the exact Jaccard pairs, and
+SimHash invariance properties the oracle can't check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+
+
+def test_exact_dedup_covers_all_docs(spark, sf_dir):
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    clusters = dedup_exact(spark, sf_dir)
+    total = clusters.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs_n  # every doc lands in exactly one cluster
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates must recover ≥90% of the true ≥0.8-Jaccard pairs
+    (16 hash tables at threshold 0.3 distance ⇒ near-perfect recall on
+    0.99-similarity planted dups)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(exact)} true pairs)"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    """Planted near-dup pairs (Jaccard ≥ 0.8) should have hamming
+    distance well below random pairs (~32)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert pairs
+    sim = {r.doc_id: (r.simhash_hi, r.simhash_lo)
+           for r in dedup_simhash(spark, sf_dir).collect()}
+
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    dists = [hamming(sim[p.id_a], sim[p.id_b]) for p in pairs]
+    assert max(dists) <= 16, f"near-dup hamming too high: {sorted(dists)[-3:]}"
+
+
+def test_simhash_deterministic_and_content_keyed(spark, sf_dir):
+    """Same content → same signature (run twice); signatures are
+    64-bit-shaped (halves fit in uint32)."""
+    a = {r.doc_id: r.simhash_hex for r in dedup_simhash(spark, sf_dir).collect()}
+    b = {r.doc_id: r.simhash_hex for r in dedup_simhash(spark, sf_dir).collect()}
+    assert a == b
+    for r in dedup_simhash(spark, sf_dir).limit(50).collect():
+        assert 0 <= r.simhash_hi < (1 << 32)
+        assert 0 <= r.simhash_lo < (1 << 32)
+        assert len(r.simhash_hex) == 16

@@ -1,0 +1,47 @@
+"""Recall tests for the approximate similarity paths vs brute force
+(the fixture embeddings are near-random — max pairwise cosine ≈ 0.51 —
+so bars are structural, not quality claims)."""
+
+from __future__ import annotations
+
+from mapreducewordcounting_spark.operators.similarity import (
+    K,
+    N_QUERIES,
+    similarity_ann_ivf,
+    similarity_ann_lsh,
+    similarity_topk_bruteforce,
+)
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_bruteforce_shape(spark, sf_dir):
+    got = _topk_sets(similarity_topk_bruteforce(spark, sf_dir))
+    assert len(got) == N_QUERIES
+    assert all(len(v) == K for v in got.values())
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """8 hash tables + generous radius ⇒ decent recall even on random
+    vectors; the bar is deliberately loose (ANN on noise)."""
+    exact = _topk_sets(similarity_topk_bruteforce(spark, sf_dir))
+    approx = _topk_sets(similarity_ann_lsh(spark, sf_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * K)
+    assert recall >= 0.5, f"LSH recall {recall:.2f}"
+
+
+def test_ivf_recall_positive(spark, sf_dir):
+    """nprobe=2 of 10 random cells on random data: structural sanity
+    (non-empty, some overlap with the exact answer), not quality."""
+    exact = _topk_sets(similarity_topk_bruteforce(spark, sf_dir))
+    approx = _topk_sets(similarity_ann_ivf(spark, sf_dir))
+    assert len(approx) == N_QUERIES
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * K)
+    assert recall >= 0.05, f"IVF recall {recall:.2f}"
