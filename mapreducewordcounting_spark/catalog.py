@@ -34,6 +34,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Pin the session timezone: fixture timestamps are tz-naive, and a
+    # non-UTC driver session would shift every collected/derived value
+    # relative to the DuckDB oracle (which is always tz-naive).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F

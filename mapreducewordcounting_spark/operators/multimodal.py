@@ -1,0 +1,154 @@
+"""Multimodal column operators (SURVEY.md §2.3 — M6 extension).
+
+Images/audio/video ride through the engine as opaque ``binary``
+columns with a typed metadata struct — the pattern that keeps Spark's
+planner useful (metadata prunes/filters/joins JVM-side) while payload
+bytes flow through Arrow to Python only where a decoder must run.
+
+The fixture has no real media, so the *asset* is built deterministically
+from ``documents.text`` (utf-8 bytes) with synthesized metadata. The
+decode stage is the honest stub the container mandates: real
+image/audio libs are absent, so ``decode_asset_features`` computes
+deterministic byte-level features via ``mapInPandas`` (the exact
+plumbing — schema, Arrow batches, partition mapping — a real decoder
+drops into; swap `_fake_decode` for PIL/ffmpeg and nothing else moves).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.registry import register
+
+
+def assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multimodal asset table:
+    (asset_id, payload binary, meta struct<kind,n_bytes,n_frames>)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        payload.alias("payload"),
+        F.struct(
+            kind.alias("kind"),
+            F.octet_length(payload).alias("n_bytes"),
+            (F.col("n_chars") % 30 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+        F.col("source"),
+    )
+
+
+@register(
+    "mm_metadata_stats",
+    oracle="""
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               source,
+               count(*) AS n_assets,
+               sum(octet_length(encode(text))) AS total_bytes,
+               max(octet_length(encode(text))) AS max_bytes
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    tags=("multimodal", "metadata"),
+)
+def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage planning stats over asset metadata — runs entirely on
+    the struct column; payload bytes are never shuffled (column pruning
+    drops them at the scan)."""
+    a = assets(spark, sf_dir)
+    return a.groupBy(F.col("meta.kind").alias("kind"), "source").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               unnest(range(0, (n_chars % 30 + 1), 5)) AS frame_idx,
+               (n_chars % 30 + 1) AS n_frames
+        FROM documents
+        WHERE doc_id < 100
+    """,
+    tags=("multimodal", "frames"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan: explode every-5th frame index from the
+    metadata — the row-multiplying step that fans one video row out to
+    N decode tasks (the decode itself is decode_asset_features)."""
+    a = assets(spark, sf_dir).filter(F.col("asset_id") < 100)
+    return a.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(5))
+        ).alias("frame_idx"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image/audio decoder (the real
+    libraries are not in this container — SURVEY spec). Swap this
+    function for PIL/torchaudio/ffmpeg; the Spark plumbing is real."""
+    import zlib
+
+    return {
+        "n_bytes": len(payload),
+        "first_byte": payload[0] if payload else None,
+        "crc32": zlib.crc32(payload) & 0xFFFFFFFF,
+    }
+
+
+def decode_asset_features(a: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: Arrow-batched payload → feature rows.
+
+    This is the UDF shape for real multimodal work: per-batch pandas
+    in, per-batch pandas out, payload column read once, features only
+    downstream (never re-shuffle the binary)."""
+    import pandas as pd
+
+    schema = ("asset_id LONG, kind STRING, n_bytes LONG, "
+              "first_byte INT, crc32 LONG")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pd.DataFrame([_fake_decode(p) for p in pdf["payload"]])
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].values,
+                "kind": [m["kind"] for m in pdf["meta"]],
+                "n_bytes": feats["n_bytes"].values,
+                "first_byte": feats["first_byte"].values,
+                "crc32": feats["crc32"].values,
+            })
+
+    return a.select("asset_id", "meta", "payload").mapInPandas(decode, schema)
+
+
+@register(
+    "mm_decode_features",
+    oracle=None,  # crc32 feature is decoder-side; determinism + schema
+    # + n_bytes agreement are pinned in tests/test_multimodal.py.
+    tags=("multimodal", "decode", "pandas-udf"),
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stage end-to-end: asset table → mapInPandas features →
+    per-kind aggregate. At 100 TB the decode partition count follows
+    the asset table's file splits; no shuffle precedes the decode."""
+    feats = decode_asset_features(assets(spark, sf_dir))
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.count_distinct("crc32").alias("n_distinct_payloads"),
+    )

@@ -74,6 +74,7 @@ def _load_all() -> None:
         text_analysis,
         dedup,
         similarity,
+        multimodal,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     _LOADED = True

@@ -1,0 +1,51 @@
+"""Streaming ≡ batch differential tests (SURVEY.md §5.2): every true
+streaming query must equal its batch twin under deterministic
+AvailableNow replay of the fixture files."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.streaming import (
+    stream_dedup,
+    stream_stateful_counter,
+    stream_tumbling,
+    stream_tumbling_batch_twin,
+)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r[c] for c in sorted(df.columns)) for r in df.collect()),
+        key=repr,
+    )
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = stream_tumbling(spark, sf_dir)
+    batch = stream_tumbling_batch_twin(spark, sf_dir)
+    assert _rows(stream) == _rows(batch)
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    stream = stream_dedup(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_events"))
+    )
+    assert _rows(stream) == _rows(batch)
+
+
+def test_stateful_counter_equals_batch_agg(spark, sf_dir):
+    stream = stream_stateful_counter(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    s = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in stream.collect()}
+    b = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
+    assert s == b
