@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = full materialization via the noop sink (forces every operator
+to execute; nothing short-circuits like count() can). One untimed
+warmup of the flagship absorbs JVM/codegen startup so the numbers
+measure the queries, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreducewordcounting_spark import registry
+from mapreducewordcounting_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: the flagship + one representative per operator family.
+#: (streaming + spark.ml LSH excluded: their setup cost measures model
+#: fitting / sink plumbing, not query execution.)
+HEADLINE = [
+    "wordcount_canonical",      # the reference's entire program
+    "filter_project",           # scan + pushdown
+    "join_broadcast_dim",       # broadcast hash join
+    "join_fact_fact",           # shuffle (sort-merge) join
+    "join_star_schema",         # 5-way star
+    "agg_suite",                # multi-aggregate hash agg
+    "agg_rollup",               # grouping sets
+    "topk_global",              # TakeOrderedAndProject
+    "window_topk_per_group",    # ranking window
+    "window_running_total",     # frame window
+    "text_tfidf",               # two-pass text pipeline
+    "text_doc_stats",           # array HOFs, zero shuffle
+    "dedup_exact",              # content-hash dedup
+    "dedup_ngram_jaccard",      # inverted-index near-dup
+    "similarity_topk_bruteforce",  # vector top-k
+    "mm_metadata_stats",        # multimodal metadata agg
+    "stream_tumbling_batch_twin",  # event-time windows (batch engine)
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="mrwc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # untimed warmup (JVM + codegen + parquet footer cache)
+    materialize(qs["wordcount_canonical"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "config": {
+            "spark": spark.version,
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,78 @@
-"""Source/sink connectors."""
+"""Source / sink connectors (SURVEY.md §2.2 rows 1-2 — M7).
+
+The reference reads a hardcoded directory of text files
+(sendFileByFile.cpp:422-444, :82-88) and writes one space-separated
+text file per (rank, reducer) — never merged (README.md:11 TODO,
+sendFileByFile.cpp:376-392). Here both ends generalize:
+
+- sources: parquet (primary, via catalog), text-file corpus
+  (the reference's actual input mode), csv, json;
+- sinks: parquet / csv / json writers plus ``write_wordcount_text`` —
+  the reference's O13 sink re-expressed (per-partition sorted
+  ``word count`` lines), with ``merge=True`` closing the README TODO
+  via ``coalesce(1)``.
+
+Everything is ``DataFrameReader``/``DataFrameWriter``: split planning,
+partition discovery, predicate pushdown and output committers are
+Spark's, not ours (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text_corpus(spark: SparkSession, directory: str) -> DataFrame:
+    """Directory-of-text-files source — the reference's O1+O3 input
+    (one row per line, plus the originating file like the reference's
+    per-file work units). Large files split across tasks automatically,
+    fixing the reference's one-file-one-reader serialization
+    (SURVEY.md §4.2 scheduling)."""
+    return (
+        spark.read.text(directory)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col("value").alias("text"),
+        )
+    )
+
+
+def write_wordcount_text(df: DataFrame, path: str, merge: bool = False) -> None:
+    """Reference O13 sink: ``word count`` lines, sorted within each
+    output file (the reference's per-reducer std::map iteration order,
+    sendFileByFile.cpp:376-392). ``merge=True`` = the README.md:11 TODO
+    ("merge into 1 txt"): coalesce to a single partition first.
+
+    Expects columns (word, cnt). At scale, leave merge=False — a
+    single merged file serializes the sink through one task.
+    """
+    out = df.select(F.concat_ws(" ", "word", "cnt").alias("value"))
+    if merge:
+        out = out.coalesce(1)
+    out.sortWithinPartitions("value").write.mode("overwrite").text(path)
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet",
+                partition_by: tuple[str, ...] = (), **options) -> None:
+    """Generic sink: parquet/csv/json with optional hive-style
+    partitioning (partition pruning on re-read comes free)."""
+    w = df.write.mode("overwrite").format(fmt)
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema=None, **options) -> DataFrame:
+    """Generic source twin of :func:`write_table`."""
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    if fmt == "csv":
+        r = r.option("header", options.get("header", "true"))
+    return r.load(path)

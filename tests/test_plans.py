@@ -1,0 +1,78 @@
+"""Plan-quality assertions (SURVEY.md §4, the 100 TB posture):
+broadcasts are broadcast, filters are pushed, columns are pruned,
+partial aggregation happens, and shuffle counts stay minimal.
+These are the properties that decide whether a plan survives a
+1000-executor scale-up — asserted, not assumed.
+"""
+
+from __future__ import annotations
+
+from mapreducewordcounting_spark.operators.relational import (
+    agg_suite,
+    filter_project,
+    join_broadcast_dim,
+    join_star_schema,
+    topk_global,
+)
+from mapreducewordcounting_spark.operators.wordcount import word_count
+from mapreducewordcounting_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregation,
+    n_exchanges,
+    pushed_filters,
+    read_schema_columns,
+    simple_plan,
+)
+
+
+def test_broadcast_dim_join_is_broadcast(spark, sf_dir):
+    assert has_broadcast_join(join_broadcast_dim(spark, sf_dir))
+
+
+def test_star_schema_broadcasts_dims(spark, sf_dir):
+    plan = simple_plan(join_star_schema(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    pf = pushed_filters(filter_project(spark, sf_dir))
+    assert "l_quantity" in pf and "l_returnflag" in pf
+
+
+def test_column_pruning(spark, sf_dir):
+    """filter_project must read ~6 of 11 lineitem columns, never all."""
+    cols = read_schema_columns(filter_project(spark, sf_dir))
+    assert 0 < len(cols) <= 6, cols
+    assert "l_comment" not in cols and "l_partkey" not in cols
+
+
+def test_wordcount_single_shuffle_with_partial_agg(spark, sf_dir):
+    """The whole reference pipeline = ONE exchange between partial and
+    final hash aggregation (vs the reference's 2-level hand shuffle)."""
+    wc = word_count(spark, sf_dir)
+    assert n_exchanges(wc) == 1
+    assert has_partial_aggregation(wc)
+
+
+def test_agg_suite_partial_final(spark, sf_dir):
+    df = agg_suite(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert n_exchanges(df) == 1
+
+
+def test_topk_never_global_sorts(spark, sf_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject — a global
+    Sort node would materialize the whole table at scale."""
+    plan = simple_plan(topk_global(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
+def test_scan_is_vectorized_parquet(spark, sf_dir):
+    """Vectorized (batched) parquet scan present. (Codegen spans only
+    appear in the executed AQE plan, so the batched-reader flag is the
+    plan-time proxy.)"""
+    plan = formatted_plan(agg_suite(spark, sf_dir))
+    assert "Scan parquet" in plan
+    assert "Batched: true" in plan  # vectorized columnar reader

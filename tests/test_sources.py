@@ -1,0 +1,111 @@
+"""Source/sink round-trips + the reference O13 text sink shape."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.operators.wordcount import word_count
+from mapreducewordcounting_spark.sources import (
+    read_table,
+    read_text_corpus,
+    write_table,
+    write_wordcount_text,
+)
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".scratch")
+
+
+@pytest.fixture()
+def scratch(request):
+    d = os.path.join(SCRATCH, request.node.name.replace("[", "_").replace("]", ""))
+    # brackets are glob chars to Spark's path resolution
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _wordcount_lines(path):
+    lines = []
+    per_file = {}
+    for fn in sorted(os.listdir(path)):
+        if fn.startswith(("part-", "part_")) and not fn.endswith(".crc"):
+            with open(os.path.join(path, fn)) as f:
+                fl = [ln.rstrip("\n") for ln in f if ln.strip()]
+            per_file[fn] = fl
+            lines.extend(fl)
+    return lines, per_file
+
+
+def test_wordcount_text_sink_reference_shape(spark, sf_dir, scratch):
+    """O13 fidelity: 'word count' lines, each output file sorted."""
+    wc = word_count(spark, sf_dir)
+    out = os.path.join(scratch, "wc")
+    write_wordcount_text(wc, out)
+    lines, per_file = _wordcount_lines(out)
+    expected = {f"{r.word} {r.cnt}" for r in wc.collect()}
+    assert set(lines) == expected
+    for fn, fl in per_file.items():
+        assert fl == sorted(fl), f"{fn} not sorted (reference O12 order)"
+
+
+def test_wordcount_text_sink_merged(spark, sf_dir, scratch):
+    """README.md:11 TODO — one merged output file via coalesce(1)."""
+    wc = word_count(spark, sf_dir)
+    out = os.path.join(scratch, "wc1")
+    write_wordcount_text(wc, out, merge=True)
+    _, per_file = _wordcount_lines(out)
+    assert len(per_file) == 1
+    (only,) = per_file.values()
+    assert only == sorted(only)
+
+
+def test_text_corpus_source(spark, sf_dir, scratch):
+    """Directory-of-text-files source (the reference's input mode)."""
+    corpus = os.path.join(scratch, "corpus")
+    os.makedirs(corpus)
+    for i, content in enumerate(["hello world", "hello spark\nhello again"]):
+        with open(os.path.join(corpus, f"f{i}.txt"), "w") as f:
+            f.write(content)
+    df = read_text_corpus(spark, corpus)
+    rows = df.collect()
+    assert len(rows) == 3  # one per line
+    assert {os.path.basename(r.file.replace("file://", "")) for r in rows} == {
+        "f0.txt", "f1.txt"}
+    counts = (
+        df.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .groupBy("word").count().collect())
+    assert {(r.word, r["count"]) for r in counts} == {
+        ("hello", 3), ("world", 1), ("spark", 1), ("again", 1)}
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_roundtrip_formats(spark, sf_dir, scratch, fmt):
+    src = load_table(spark, sf_dir, "nation")
+    path = os.path.join(scratch, fmt)
+    write_table(src, path, fmt=fmt, header="true")
+    back = read_table(spark, path, fmt=fmt,
+                      schema=src.schema if fmt in ("csv", "json") else None)
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_dir, scratch):
+    """Hive-partitioned write → re-read with a partition filter reads
+    only that partition's directory."""
+    src = load_table(spark, sf_dir, "customer")
+    path = os.path.join(scratch, "part_by_seg")
+    write_table(src, path, fmt="parquet", partition_by=("c_mktsegment",))
+    segs = [d for d in os.listdir(path) if d.startswith("c_mktsegment=")]
+    assert len(segs) >= 2
+    back = read_table(spark, path).filter(F.col("c_mktsegment") == "MACHINERY")
+    expected = src.filter(F.col("c_mktsegment") == "MACHINERY").count()
+    assert back.count() == expected
+    # partition pruning visible in the plan
+    from mapreducewordcounting_spark.plans import formatted_plan
+    assert "PartitionFilters" in formatted_plan(back)
