@@ -494,3 +494,105 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                                WHERE p2.p_brand = p.p_brand)
         GROUP BY p_brand
     """)
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+               count(c.c_custkey) AS n_customers,
+               count(s.s_suppkey) AS n_suppliers
+        FROM (SELECT c_nationkey, c_custkey FROM customer
+              WHERE c_acctbal > 9000) c
+        FULL OUTER JOIN (SELECT s_nationkey, s_suppkey FROM supplier
+                         WHERE s_acctbal > 9000) s
+          ON c.c_nationkey = s.s_nationkey
+        GROUP BY coalesce(c.c_nationkey, s.s_nationkey)
+    """,
+    tags=("relational", "join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations present on either side survive with
+    NULLs on the absent side (high-balance filters make both sides
+    sparse so all three match cases occur)."""
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 9000).select("c_nationkey", "c_custkey"))
+    s = (load_table(spark, sf_dir, "supplier")
+         .filter(F.col("s_acctbal") > 9000).select("s_nationkey", "s_suppkey"))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .groupBy(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.count("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+        SELECT r1.r_name AS region_a, r2.r_name AS region_b
+        FROM region r1 CROSS JOIN region r2
+        WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+    tags=("relational", "join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (dims only — a cross join on facts is
+    the one plan that never survives scale-up; the engine's only fact-
+    side cross is the broadcast query set in similarity search)."""
+    r1 = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("region_a"), F.col("r_regionkey").alias("k1"))
+    r2 = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("region_b"), F.col("r_regionkey").alias("k2"))
+    return (r1.crossJoin(r2).filter(F.col("k1") != F.col("k2"))
+            .select("region_a", "region_b"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("relational", "agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status
+    and grand total in one Expand pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@register(
+    "sort_multi_key",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 450000
+        ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey
+    """,
+    tags=("relational", "sort"),
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort (range partitioning + in-partition sort).
+    Kept behind a selective filter: a full-table global sort is a
+    deliberate anti-pattern at 100 TB (use sortWithinPartitions or
+    top-k instead). Order-insensitive value check still applies; the
+    sort exercises the range-exchange plan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 450000)
+        .orderBy(F.asc("o_orderstatus"), F.desc("o_totalprice"),
+                 F.asc("o_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )

@@ -1,0 +1,181 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.2 last row — extension).
+
+The reference compiles everything in; Spark's extension points are:
+
+- **Scalar pandas UDF** (``@pandas_udf``): Arrow-batched, vectorized —
+  10-100× over row-at-a-time Python. Shown here as a cosine scorer
+  (``udf_pandas_cosine``) and proven equal to the pure-JVM expression.
+- **Grouped UDAF** (``applyInPandas``): arbitrary per-group pandas
+  logic — shown as an exact per-group median, oracle-checked against
+  DuckDB's ``median``.
+- **UDTF** (row-multiplying): in Spark the idiomatic form is an
+  array-returning expression + ``explode`` (``udtf_explode_bigrams``),
+  which stays fully in the JVM.
+
+Rule of thumb encoded in these examples (SURVEY.md §7.0): built-ins
+first; pandas UDFs only where built-ins can't express the semantics;
+row-at-a-time ``F.udf`` never in a hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.functions.text import tokenize_canonical
+from mapreducewordcounting_spark.registry import register
+
+
+def _cosine_to_centroid():
+    """Vectorized cosine of each embedding against a fixed unit axis —
+    numpy over Arrow batches; no per-row Python. (Built lazily: the
+    pandas_udf decorator needs an active SparkSession, so it cannot run
+    at import time.)"""
+
+    @pandas_udf("double")
+    def cos(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.stack(emb.to_numpy())  # (batch, dim)
+        axis = np.zeros(mat.shape[1]); axis[0] = 1.0
+        norms = np.linalg.norm(mat, axis=1)
+        return pd.Series((mat @ axis) / np.where(norms == 0, 1, norms))
+
+    return cos
+
+
+@register(
+    "udf_pandas_cosine",
+    oracle="""
+        SELECT vec_id,
+               round(CAST(embedding[1] AS DOUBLE) /
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                   AS axis_cosine
+        FROM embeddings
+    """,
+    tags=("udf", "pandas", "similarity"),
+)
+def udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF surface — cosine(embedding, e₁). Oracle-checked
+    against plain SQL, and tests assert equality with the pure-JVM
+    cosine expression (same math, two execution engines).
+
+    Note the float32→float64 boundary: numpy must widen BEFORE the
+    norm/dot (np.stack keeps float32 — compute in float64 explicitly),
+    else the 7th digit diverges from the SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(_cosine_to_centroid()(F.col("embedding").cast("array<double>")), 6)
+        .alias("axis_cosine"),
+    )
+
+
+def median_per_group(df: DataFrame, key: str, value: str,
+                     out_value: str = "median_value") -> DataFrame:
+    """Grouped UDAF via applyInPandas: exact median per group.
+
+    Scale note: each group must fit one executor's memory (pandas
+    materializes the group). Bounded-cardinality money columns per
+    brand qualify; an unbounded fact table would use percentile_approx
+    instead (see agg_percentiles)."""
+    schema = f"{key} STRING, {out_value} DOUBLE"
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: [pdf[key].iloc[0]],
+                             out_value: [float(pdf[value].median())]})
+
+    return df.groupBy(key).applyInPandas(med, schema)
+
+
+@register(
+    "udaf_median_per_brand",
+    oracle="""
+        SELECT p_brand, median(p_retailprice) AS median_price
+        FROM part
+        GROUP BY p_brand
+    """,
+    tags=("udf", "udaf", "pandas"),
+)
+def udaf_median_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas UDAF oracle-checked against DuckDB median."""
+    p = load_table(spark, sf_dir, "part")
+    return median_per_group(p, "p_brand", "p_retailprice", "median_price")
+
+
+@register(
+    "udtf_explode_bigrams",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> regexp_replace(x, '[^a-z'']', '', 'g')),
+                       w -> length(w) > 0) AS toks
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM t
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_explode_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped operator: one doc row → N bigram rows, via an
+    array-returning expression + explode (JVM-side; zip_with over
+    shifted slices, the shingle idiom from operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks_df = docs.select(
+        "doc_id",
+        F.filter(tokenize_canonical("text"),
+                 lambda w: F.length(w) > 0).alias("toks"),
+    )
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, m), F.slice("toks", 2, m),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return toks_df.select("doc_id", F.explode(bigrams).alias("bigram"))
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The 100 TB variant is percentile_approx
+    (KLL/GK sketch — bounded memory), registered rows-only below."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.95), 6).alias("p95"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=None,  # sketch-based; internal test bounds error vs exact
+    tags=("agg", "percentile", "approx"),
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the bounded-memory sketch for 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+    )

@@ -75,6 +75,7 @@ def _load_all() -> None:
         dedup,
         similarity,
         multimodal,
+        udfs,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     _LOADED = True
