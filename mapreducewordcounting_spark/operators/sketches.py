@@ -1,0 +1,109 @@
+"""Sketch operators (SURVEY.md §2.2 "Approximate / sketches" — the
+bounded-memory summaries 100 TB cardinality/frequency work requires).
+
+- **HLL** (DataSketches ``hll_sketch_agg``): mergeable distinct-count
+  sketches — build per group, union across groups, constant memory.
+- **Count-Min** (``count_min_sketch``): frequency estimates with
+  one-sided error (never undercounts).
+- **Bloom filter** (``df.stat.bloomFilter`` would be driver-side; the
+  distributed idiom shown here is a broadcast semi-join against a
+  small key set — the engine-level use of a membership filter).
+
+Sketch binaries are engine-specific, so these register rows-only (or
+as derived estimates); tests/test_sketches.py bounds the estimation
+error against exact answers — the meaningful check for a sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.functions.text import tokenize_canonical
+from mapreducewordcounting_spark.registry import register
+
+
+@register(
+    "sketch_hll_union",
+    oracle=None,  # sketch estimate; error bounded in tests vs exact
+    tags=("sketch", "hll", "approx"),
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL: per-language vocabulary sketches, then a union
+    sketch for the corpus-wide estimate — the two-level pattern that
+    lets 1000 executors each summarize locally and merge 1 KB blobs
+    instead of re-shuffling raw words."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("lang", F.explode(tokenize_canonical("text")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    per_lang = words.groupBy("lang").agg(
+        F.hll_sketch_agg("word", 12).alias("sketch"))
+    merged = per_lang.agg(
+        F.hll_union_agg("sketch").alias("sketch"))
+    return (
+        per_lang.select("lang",
+                        F.hll_sketch_estimate("sketch").alias("est_vocab"))
+        .unionByName(
+            merged.select(F.lit("__all__").alias("lang"),
+                          F.hll_sketch_estimate("sketch").alias("est_vocab")))
+    )
+
+
+@register(
+    "sketch_count_min",
+    oracle=None,  # CMS estimates; one-sided error bounded in tests
+    tags=("sketch", "count-min", "approx"),
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the word stream, then point
+    queries for the known vocabulary. The sketch is one aggregate blob
+    (eps=0.1%, conf=99%) — frequency tracking without a groupBy."""
+    from pyspark.sql.column import Column
+    from pyspark.sql.classic.column import _to_java_column, _to_seq
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize_canonical("text")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    cms_df = words.agg(
+        F.count_min_sketch("word", F.lit(0.001), F.lit(0.99), F.lit(42))
+        .alias("cms"))
+    cms_bytes = bytes(cms_df.collect()[0].cms)
+
+    # deserialize once on the driver, point-query the distinct words
+    sc = spark.sparkContext
+    jcms = sc._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        sc._jvm.java.io.ByteArrayInputStream(cms_bytes))
+    vocab = [r.word for r in words.select("word").distinct().collect()]
+    est = [(w, int(jcms.estimateCount(w))) for w in sorted(vocab)]
+    return spark.createDataFrame(est, "word STRING, est_count LONG")
+
+
+@register(
+    "sketch_bloom_semijoin",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9500)
+        GROUP BY o_orderpriority
+    """,
+    tags=("sketch", "bloom", "semi-join"),
+)
+def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-filter semi-join: restrict a fact scan to keys from a
+    small filtered dimension. Expressed as leftsemi (exact; Spark
+    injects runtime bloom/DPP filters for exactly this shape — the
+    sketch lives inside the engine), so it is oracle-checkable while
+    exercising the membership-pruning plan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -1,0 +1,163 @@
+"""Temporal join operators: as-of, range, multi-resolution rollup
+(SURVEY.md §2.2 "Joins" extension row — the events-table operators a
+time-series/feature-store workload needs; none exist in the reference,
+which has no temporal type at all, §1.2).
+
+Each operator pairs a *scalable composition* (what runs at 100 TB)
+with a declarative oracle that states the semantics:
+
+- **as-of join**: the naive form is a correlated max-subquery (the
+  oracle). The scalable form used here is the union-window trick: tag
+  both sides, union, one window pass per user carrying the last right-
+  side timestamp forward — one shuffle on user_id, no per-row probe.
+- **range join**: the naive form is an inequality join (the oracle) —
+  O(n·m) per key. The scalable form buckets time into range-sized
+  cells and joins on (user, cell ∈ {b-1, b}) before the exact filter —
+  fan-out bounded at 2 buckets instead of the whole key history.
+- **multi-res rollup**: minute/hour/day aggregates in ONE scan via
+  GROUPING SETS (the "hypertable rollup" shape), not three passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.registry import register
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT e.event_id,
+               e.user_id,
+               epoch_us(e.ts) AS purchase_us,
+               (SELECT epoch_us(max(s.ts)) FROM events s
+                WHERE s.user_id = e.user_id
+                  AND s.event_type = 'signup'
+                  AND s.ts <= e.ts) AS last_signup_us
+        FROM events e
+        WHERE e.event_type = 'purchase'
+    """,
+    tags=("temporal", "join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    signup at-or-before it. Implementation = union-window (tag sides,
+    sort by (ts, tag) within user, carry last signup ts forward with
+    ``last(..., ignorenulls)``): one exchange on user_id total,
+    regardless of how many right-side rows each key has. The
+    correlated-subquery oracle is the semantics; it would be a
+    per-row probe at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side"))
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("side"))
+    # side=0 sorts first at equal ts → signup at the same instant counts
+    # (inclusive as-of, matching the oracle's <=)
+    tagged = purchases.unionByName(signups)
+    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = tagged.withColumn(
+        "last_signup_ts",
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.unix_micros("last_signup_ts").alias("last_signup_us"),
+        )
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+        SELECT e.event_id,
+               count(p.event_id) AS n_prior_5min
+        FROM events e
+        LEFT JOIN events p
+          ON p.user_id = e.user_id
+         AND p.ts >= e.ts - INTERVAL 5 MINUTE
+         AND p.ts < e.ts
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id
+    """,
+    tags=("temporal", "join", "range"),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per error event, how many of the same user's events
+    fell in the preceding 5 minutes. Implementation = bucketed range
+    join: both sides keyed by (user, ⌊ts/5min⌋); each error probes its
+    own bucket and the previous one, then the exact interval filter
+    runs on ≤2 buckets of candidates — never the user's whole history.
+    (The oracle's raw inequality join IS the naive plan Spark would
+    pick for the same predicate.)"""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_micros(c) / F.lit(300_000_000))  # noqa: E731
+
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("e_id"),
+                      F.col("user_id").alias("e_user"),
+                      F.col("ts").alias("e_ts")))
+    probe = errors.withColumn(
+        "bkt", F.explode(F.array(bucket(F.col("e_ts")) - 1,
+                                 bucket(F.col("e_ts")))))
+    cand = ev.select(F.col("event_id").alias("p_id"),
+                     F.col("user_id").alias("p_user"),
+                     F.col("ts").alias("p_ts")).withColumn(
+        "bkt", bucket(F.col("p_ts")))
+    joined = probe.join(
+        cand,
+        (F.col("e_user") == F.col("p_user")) & (probe.bkt == cand.bkt)
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("p_ts") < F.col("e_ts")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("e_id").alias("event_id"))
+        .agg(F.count("p_id").alias("n_prior_5min"))
+    )
+
+
+@register(
+    "time_rollup_multires",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                    THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (date_trunc('day', ts), date_trunc('hour', ts)),
+            (date_trunc('day', ts))
+        )
+    """,
+    tags=("temporal", "rollup", "hypertable"),
+)
+def time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups
+    in one scan + one Expand (GROUPING SETS), instead of one pass per
+    resolution. At 100 TB this halves (or better) the scan cost of
+    maintaining a rollup ladder; finer→coarser reuse would go through
+    a materialized hourly table."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    ).createOrReplaceTempView("ev_res")
+    return spark.sql("""
+        SELECT day,
+               CASE WHEN GROUPING(hour) = 0 THEN hour END AS hour,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM ev_res
+        GROUP BY GROUPING SETS ((day, hour), (day))
+    """)

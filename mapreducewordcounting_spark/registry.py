@@ -76,6 +76,9 @@ def _load_all() -> None:
         similarity,
         multimodal,
         udfs,
+        temporal,
+        sketches,
+        skew,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     _LOADED = True
