@@ -44,7 +44,16 @@ HEADLINE = [
     "dedup_ngram_jaccard",      # inverted-index near-dup
     "similarity_topk_bruteforce",  # vector top-k
     "mm_metadata_stats",        # multimodal metadata agg
+    "mm_decode_features",       # Arrow/mapInPandas decode stage
     "stream_tumbling_batch_twin",  # event-time windows (batch engine)
+    "join_asof",                # union-window as-of join
+    "join_range",               # bucketed range join
+    "time_rollup_multires",     # hypertable-style rollup
+    "join_salted",              # skew-mitigated join
+    "sketch_bloom_semijoin",    # membership-filter semi-join
+    "agg_percentiles",          # exact percentile agg
+    "udaf_median_per_brand",    # applyInPandas UDAF
+    "udf_pandas_cosine",        # vectorized pandas UDF
 ]
 
 

@@ -101,13 +101,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for an image/audio decoder (the real
     libraries are not in this container — SURVEY spec). Swap this
-    function for PIL/torchaudio/ffmpeg; the Spark plumbing is real."""
-    import zlib
+    function for PIL/torchaudio/ffmpeg; the Spark plumbing is real.
+    md5 (not crc32) so the oracle can reproduce it (DuckDB md5)."""
+    import hashlib
 
     return {
         "n_bytes": len(payload),
         "first_byte": payload[0] if payload else None,
-        "crc32": zlib.crc32(payload) & 0xFFFFFFFF,
+        "digest": hashlib.md5(payload).hexdigest(),
     }
 
 
@@ -120,7 +121,7 @@ def decode_asset_features(a: DataFrame) -> DataFrame:
     import pandas as pd
 
     schema = ("asset_id LONG, kind STRING, n_bytes LONG, "
-              "first_byte INT, crc32 LONG")
+              "first_byte INT, digest STRING")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,7 +131,7 @@ def decode_asset_features(a: DataFrame) -> DataFrame:
                 "kind": [m["kind"] for m in pdf["meta"]],
                 "n_bytes": feats["n_bytes"].values,
                 "first_byte": feats["first_byte"].values,
-                "crc32": feats["crc32"].values,
+                "digest": feats["digest"].values,
             })
 
     return a.select("asset_id", "meta", "payload").mapInPandas(decode, schema)
@@ -138,8 +139,17 @@ def decode_asset_features(a: DataFrame) -> DataFrame:
 
 @register(
     "mm_decode_features",
-    oracle=None,  # crc32 feature is decoder-side; determinism + schema
-    # + n_bytes agreement are pinned in tests/test_multimodal.py.
+    oracle="""
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               count(*) AS n_assets,
+               sum(octet_length(encode(text))) AS total_bytes,
+               count(DISTINCT md5(text)) AS n_distinct_payloads
+        FROM documents
+        GROUP BY 1
+    """,  # md5-of-payload is reproducible in DuckDB, so even the
+    # Python decode stage is oracle-checked end-to-end.
     tags=("multimodal", "decode", "pandas-udf"),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,5 +160,5 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.groupBy("kind").agg(
         F.count("*").alias("n_assets"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.count_distinct("crc32").alias("n_distinct_payloads"),
+        F.count_distinct("digest").alias("n_distinct_payloads"),
     )

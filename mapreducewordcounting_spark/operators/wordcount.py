@@ -98,8 +98,20 @@ def word_count_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "wordcount_fidelity",
-    oracle=None,  # truncation semantics are order-dependent per char —
-    # golden-tested (tests/test_tokenizer.py), not oracle-tested.
+    oracle=r"""
+WITH toks AS (
+    SELECT lower(regexp_extract(
+               unnest(regexp_split_to_array(text, '\s+')),
+               '^[A-Za-z''\[\\\]\^_`]*')) AS word
+    FROM documents
+)
+SELECT word, count(*) AS cnt
+FROM toks
+WHERE length(word) > 0
+GROUP BY word
+""",  # the same truncation regex expressed in DuckDB — verified to
+    # reproduce the reference's erase-to-end semantics on the golden
+    # corpus (tests/test_tokenizer.py pins both engines' behavior).
     tags=("flagship", "text", "fidelity"),
     doc="Word count with reference-faithful truncation tokenizer "
         "(sendFileByFile.cpp:89-91 semantics).",

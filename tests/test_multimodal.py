@@ -13,9 +13,9 @@ from mapreducewordcounting_spark.operators.multimodal import (
 
 
 def test_decode_deterministic(spark, sf_dir):
-    a = {r.asset_id: (r.n_bytes, r.crc32)
+    a = {r.asset_id: (r.n_bytes, r.digest)
          for r in decode_asset_features(assets(spark, sf_dir)).collect()}
-    b = {r.asset_id: (r.n_bytes, r.crc32)
+    b = {r.asset_id: (r.n_bytes, r.digest)
          for r in decode_asset_features(assets(spark, sf_dir)).collect()}
     assert a == b and len(a) > 0
 
