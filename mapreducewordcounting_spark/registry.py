@@ -79,6 +79,7 @@ def _load_all() -> None:
         temporal,
         sketches,
         skew,
+        iterative,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     _LOADED = True
