@@ -338,3 +338,129 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_toks").cast("double") / F.count("*")).alias("avg_doc_tokens"),
         )
     )
+
+
+#: character-marker profiles for the n-gram language-ID heuristic
+#: (tiny on purpose — the operator is the scoring/argmax plumbing;
+#: production swaps in real trigram profiles, same plan shape)
+LANG_PROFILES = {
+    "en": (" the ", " and ", " of "),
+    "es": (" el ", " la ", " los "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " les ", " des "),
+}
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   (CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END)
+                       AS s_en,
+                   (CASE WHEN ' ' || text || ' ' LIKE '% el %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% la %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% los %' THEN 1 ELSE 0 END)
+                       AS s_es,
+                   (CASE WHEN ' ' || text || ' ' LIKE '% der %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% und %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% die %' THEN 1 ELSE 0 END)
+                       AS s_de,
+                   (CASE WHEN ' ' || text || ' ' LIKE '% le %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% les %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% des %' THEN 1 ELSE 0 END)
+                       AS s_fr
+            FROM documents
+        )
+        SELECT doc_id, s_en, s_es, s_de, s_fr,
+               CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+                    WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang_guess
+        FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score each doc against per-language
+    marker-n-gram profiles (codegen'd ``contains``, no UDF), argmax
+    with a fixed precedence order (en > es > de > fr on ties — the
+    deterministic tie-break the oracle mirrors). One map stage; at
+    100 TB this is a scan-rate classifier."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scores = {
+        lang: sum(
+            (F.when(padded.contains(m), 1).otherwise(0) for m in marks),
+            F.lit(0),
+        ).alias(f"s_{lang}")
+        for lang, marks in LANG_PROFILES.items()
+    }
+    scored = docs.select("doc_id", *scores.values())
+    guess = (
+        F.when(F.col("s_en") >= F.greatest("s_es", "s_de", "s_fr"), "en")
+        .when(F.col("s_es") >= F.greatest("s_de", "s_fr"), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return scored.withColumn("lang_guess", guess)
+
+
+@register(
+    "pipeline_training_data",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, source,
+                   list_filter(
+                       list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> regexp_replace(t, '[^a-z'']', '', 'g')),
+                       w -> length(w) > 0) AS toks,
+                   md5(text) AS content_hash
+            FROM documents
+        ),
+        quality AS (
+            SELECT * FROM toks
+            WHERE len(toks) BETWEEN 20 AND 1000
+              AND CAST(len(list_filter(toks,
+                      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                  / len(toks) < 0.5
+        ),
+        deduped AS (
+            SELECT * FROM quality
+            WHERE doc_id IN (SELECT min(doc_id) FROM quality
+                             GROUP BY content_hash)
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(len(toks)) AS total_tokens
+        FROM deduped
+        GROUP BY lang
+    """,
+    tags=("text", "pipeline", "dedup", "quality"),
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline in one plan:
+    tokenize → quality gate (length + stopword ratio) → exact dedup
+    (survivor = min doc_id per content hash) → per-language token
+    budget. Composed from this module's operators; Catalyst fuses the
+    scan/filter/project stages, and the only exchanges are the dedup
+    group and the final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    base = docs.select(
+        "doc_id", "lang", "source", toks.alias("toks"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"))
+    n = F.size("toks")
+    quality = base.filter(
+        n.between(20, 1000)
+        & ((F.size(F.filter("toks", lambda w: w.isin(*STOPWORDS)))
+            .cast("double") / n) < 0.5))
+    survivors = quality.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"))
+    deduped = quality.join(survivors, ["content_hash", "doc_id"], "leftsemi")
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+    )

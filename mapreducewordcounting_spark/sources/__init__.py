@@ -76,3 +76,17 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     if fmt == "csv":
         r = r.option("header", options.get("header", "true"))
     return r.load(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 8,
+                   sort_col: str | None = None) -> None:
+    """Bucketed managed table (Spark bucketing = hive-style hash
+    bucketing persisted in the metastore). Two tables bucketed the same
+    way on their join key join WITHOUT any exchange — the pre-shuffled
+    layout a 100 TB star schema is stored in so the nightly joins never
+    pay the network again."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
