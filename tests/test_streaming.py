@@ -49,3 +49,19 @@ def test_stateful_counter_equals_batch_agg(spark, sf_dir):
     s = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in stream.collect()}
     b = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
     assert s == b
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    from mapreducewordcounting_spark.streaming import stream_static_join
+
+    stream = stream_static_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    profile = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    batch = (
+        ev.join(profile, "user_id", "left")
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert _rows(stream) == _rows(batch)
