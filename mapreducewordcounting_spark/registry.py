@@ -80,6 +80,7 @@ def _load_all() -> None:
         sketches,
         skew,
         iterative,
+        tpch,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     _LOADED = True

@@ -309,3 +309,44 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return run_available_now(enriched)
+
+
+@register(
+    "stream_stream_join",
+    oracle=None,  # streaming; equality with the equivalent batch
+    # interval join asserted in tests/test_streaming.py.
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each error event matched to the
+    same user's purchases in the preceding 10 minutes. Both sides carry
+    watermarks, and the join condition bounds event-time distance, so
+    each side's state buffer is capped at (watermark + interval) — the
+    two requirements that make an unbounded×unbounded join feasible."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("e_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "30 minutes")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("p_ts") < F.col("e_ts")),
+    ).select("e_id", "p_id", "e_user")
+    sink = f"mrwc_ssj_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(sink)

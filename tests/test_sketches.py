@@ -38,3 +38,38 @@ def test_count_min_never_undercounts_and_is_close(spark, sf_dir):
     for w, c in exact.items():
         assert est[w] >= c, f"CMS undercounted {w}"  # one-sided error
         assert est[w] - c <= 0.001 * n_total * 3, f"CMS overshoot on {w}"
+
+
+def test_approx_count_distinct_error_bounds(spark, sf_dir):
+    """agg_approx_distinct (rsd=2%) and text_vocab_approx (rsd=1%) must
+    sit within ~3 standard errors of their exact twins."""
+    from mapreducewordcounting_spark.operators.relational import (
+        agg_approx_distinct, agg_distinct)
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_vocab_approx, text_vocab_per_lang)
+
+    exact = {r.o_orderstatus: r.n_customers
+             for r in agg_distinct(spark, sf_dir).collect()}
+    approx = {r.o_orderstatus: r.approx_customers
+              for r in agg_approx_distinct(spark, sf_dir).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(3, 0.06 * v), (k, v, approx[k])
+
+    exact_v = {r.lang: r.vocab_size
+               for r in text_vocab_per_lang(spark, sf_dir).collect()}
+    approx_v = {r.lang: r.approx_vocab
+                for r in text_vocab_approx(spark, sf_dir).collect()}
+    for k, v in exact_v.items():
+        assert abs(approx_v[k] - v) <= max(2, 0.03 * v), (k, v, approx_v[k])
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    from mapreducewordcounting_spark.operators.udfs import (
+        agg_percentile_approx, agg_percentiles)
+
+    exact = {r.l_returnflag: r.p50
+             for r in agg_percentiles(spark, sf_dir).collect()}
+    approx = {r.l_returnflag: r.p50_approx
+              for r in agg_percentile_approx(spark, sf_dir).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v <= 0.01, (k, v, approx[k])

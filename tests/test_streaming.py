@@ -65,3 +65,23 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         .agg(F.count("*").alias("n_events"))
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from mapreducewordcounting_spark.streaming import stream_stream_join
+
+    stream = stream_stream_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"))
+    batch = e.join(
+        p,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("p_ts") < F.col("e_ts")),
+    ).select("e_id", "p_id", "e_user")
+    assert _rows(stream) == _rows(batch)
