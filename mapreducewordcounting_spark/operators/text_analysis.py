@@ -464,3 +464,39 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size("toks")).alias("total_tokens"),
     )
+
+
+@register(
+    "text_tfidf_ml",
+    oracle=None,  # HashingTF buckets terms by murmur3 — engine-side;
+    # tests/test_text_ml.py checks rank agreement with exact tf-idf.
+    tags=("text", "tfidf", "ml"),
+)
+def text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf via spark.ml HashingTF+IDF — the fixed-width-vector
+    variant (2^18 features, no vocabulary build, one pass + one fit):
+    at 100 TB there is no driver-side vocab to hold, which is why
+    pipelines hash instead of building the exact df table
+    (text_tfidf). Output: per-doc max tf-idf weight and the number of
+    non-zero features."""
+    from pyspark.ml.feature import IDF, HashingTF
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokenize_canonical("text"),
+                 lambda w: F.length(w) > 0).alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="tf",
+                   numFeatures=1 << 18).transform(toks)
+    model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = model.transform(tf)
+
+    @F.udf("double")
+    def vec_max(v):
+        return float(max(v.values)) if v.values.size else 0.0
+
+    return out.select(
+        "doc_id",
+        F.round(vec_max("tfidf"), 6).alias("max_weight"),
+        F.udf(lambda v: int(v.values.size), "int")("tfidf").alias("n_terms"),
+    )

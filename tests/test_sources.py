@@ -85,7 +85,7 @@ def test_text_corpus_source(spark, sf_dir, scratch):
         ("hello", 3), ("world", 1), ("spark", 1), ("again", 1)}
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_roundtrip_formats(spark, sf_dir, scratch, fmt):
     src = load_table(spark, sf_dir, "nation")
     path = os.path.join(scratch, fmt)
@@ -93,6 +93,17 @@ def test_roundtrip_formats(spark, sf_dir, scratch, fmt):
     back = read_table(spark, path, fmt=fmt,
                       schema=src.schema if fmt in ("csv", "json") else None)
     assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_parquet_codec_roundtrip(spark, sf_dir, scratch):
+    """Columnar compression codecs (zstd) round-trip losslessly."""
+    src = load_table(spark, sf_dir, "nation")
+    path = os.path.join(scratch, "zstd")
+    write_table(src, path, fmt="parquet", compression="zstd")
+    back = read_table(spark, path)
+    assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+    import glob
+    assert any("zstd" in f for f in glob.glob(os.path.join(path, "*.parquet")))
 
 
 def test_partitioned_write_prunes(spark, sf_dir, scratch):
