@@ -596,3 +596,85 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.asc("o_orderkey"))
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts by priority × status. The
+    pivot values are declared explicitly — at scale an undeclared
+    pivot triggers a distinct-scan of the pivot column first; declared
+    values make it a single pass."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, rate_kind, rate
+        FROM (
+            SELECT l_orderkey, l_linenumber, 'discount' AS rate_kind,
+                   l_discount AS rate
+            FROM lineitem WHERE l_linenumber = 1
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'tax' AS rate_kind,
+                   l_tax AS rate
+            FROM lineitem WHERE l_linenumber = 1
+        )
+    """,
+    tags=("relational", "agg", "unpivot"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via the built-in melt/unpivot — the
+    normalize-before-aggregate step of metric pipelines (one row per
+    (row, metric) without a self-union of scans)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber") == 1)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [F.col("l_discount").alias("discount"), F.col("l_tax").alias("tax")],
+        "rate_kind",
+        "rate",
+    )
+
+
+@register(
+    "sample_seeded",
+    oracle=None,  # sampling is engine-specific; determinism-with-seed
+    # and rate bounds pinned in tests/test_sampling.py.
+    tags=("relational", "sample", "approx"),
+)
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (10%) + aggregate — the scan-rate
+    estimator pattern: statistics on a fixed sample with
+    reproducibility from the seed, long before a full pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("l_quantity").alias("qty_sampled"),
+        )
+    )

@@ -80,3 +80,20 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
             member_to_cluster[m] = c.cluster_survivor
     for p in pairs:
         assert member_to_cluster[p.id_a] == member_to_cluster[p.id_b]
+
+
+def test_salted_join_correct_under_synthetic_skew(spark):
+    """salted_join must equal the plain join on a 90%-one-key skewed
+    input (the case it exists for — the fixture keys are uniform)."""
+    from pyspark.sql import Row
+
+    from mapreducewordcounting_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k=0 if i % 10 != 9 else i % 100, v=i) for i in range(5000)])
+    small = spark.createDataFrame(
+        [Row(sk=i, name=f"dim{i}") for i in range(100)])
+    plain = big.join(small, big.k == small.sk).select("k", "v", "name")
+    salted = salted_join(big, small, "k", "sk", salt=8).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect()))
