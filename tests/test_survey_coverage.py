@@ -60,6 +60,17 @@ COVERAGE = {
     "multimodal": ["mm_metadata_stats", "mm_frame_sample",
                    "mm_decode_features"],
     "temporal_rollup": ["time_rollup_multires"],
+    "pivot_unpivot": ["agg_pivot", "agg_unpivot"],
+    "sampling": ["sample_seeded"],
+    "streaming_joins": ["stream_static_join", "stream_stream_join"],
+    "dedup_semantic": ["dedup_embedding_cosine", "dedup_clusters"],
+    "iterative": ["kmeans_embeddings"],
+    "tpch_compositions": ["tpch_q3_shipping_priority",
+                          "tpch_q10_returned_items",
+                          "tpch_q18_large_orders"],
+    "pipelines": ["pipeline_training_data"],
+    "langid": ["text_lang_id"],
+    "tfidf_ml": ["text_tfidf_ml"],
     "flagship_rdd": ["wordcount_rdd"],
     "flagship_fidelity": ["wordcount_fidelity"],
 }
