@@ -37,6 +37,7 @@ def l2_norm(a: str | Column) -> Column:
 
 
 def cosine_similarity(a: str | Column, b: str | Column) -> Column:
-    """cos(a, b) = a·b / (‖a‖‖b‖); NULL-safe only insofar as inputs are
-    non-null, zero vectors yield NULL (division by zero)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """cos(a, b) = a·b / (‖a‖‖b‖). Zero vectors yield NULL via an
+    explicit nullif guard — under Spark 4's default ANSI mode a bare
+    division would abort the whole query on the first zero vector."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))

@@ -158,6 +158,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
         docs.select("doc_id", _toks().alias("toks"))
         .select("doc_id", shingles(F.col("toks")).alias("shingles"))
         .withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
+        # materialized once: three plan branches (inverted index + both
+        # verify sides) would otherwise re-run tokenize+shingle per use
+        .localCheckpoint(eager=True)
     )
 
     exploded = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
@@ -393,13 +396,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(4):  # ≥ fixture component diameter
+    # iterate to convergence (bounded): components merge along minimum
+    # labels; a fixed small iteration count would silently mis-cluster
+    # any component whose min-label eccentricity exceeds it
+    for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.node)
             .groupBy(F.col("id_a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -408,6 +414,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        changed = new_labels.join(
+            labels, ["node", "label"], "leftanti").count()
+        labels = new_labels
+        if changed == 0:
+            break
     return labels.groupBy(F.col("label").alias("cluster_survivor")).agg(
         F.count("*").alias("n_members"),
         F.sort_array(F.collect_list("node")).alias("members"),

@@ -61,9 +61,6 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch over the word stream, then point
     queries for the known vocabulary. The sketch is one aggregate blob
     (eps=0.1%, conf=99%) — frequency tracking without a groupBy."""
-    from pyspark.sql.column import Column
-    from pyspark.sql.classic.column import _to_java_column, _to_seq
-
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokenize_canonical("text")).alias("word"))

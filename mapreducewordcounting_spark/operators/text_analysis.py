@@ -44,7 +44,7 @@ _SQL_TOKS = """
                len(toks) AS n_tokens,
                len(list_distinct(toks)) AS n_distinct,
                CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
-                   / len(toks) AS avg_token_len
+                   / nullif(len(toks), 0) AS avg_token_len
         FROM t
     """,
     tags=("text", "stats"),
@@ -61,7 +61,9 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.aggregate(toks, F.lit(0).cast("long"),
                         lambda acc, w: acc + F.length(w)).cast("double")
-            / F.size(toks)
+            # nullif guard: ANSI mode (Spark 4 default) turns /0 into a
+            # query-killing error; zero-token docs must yield NULL
+            / F.nullif(F.size(toks), F.lit(0))
         ).alias("avg_token_len"),
     )
 
@@ -235,9 +237,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(toks) AS n_tokens,
                CAST(len(list_filter(toks,
                         w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
-                   / len(toks) AS stopword_ratio,
+                   / nullif(len(toks), 0) AS stopword_ratio,
                CAST(len(list_filter(toks, w -> length(w) >= 4)) AS DOUBLE)
-                   / len(toks) AS long_token_ratio,
+                   / nullif(len(toks), 0) AS long_token_ratio,
                (len(toks) BETWEEN 20 AND 1000) AS len_ok
         FROM t
     """,
@@ -250,14 +252,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
     n = F.size(toks)
+    n_safe = F.nullif(n, F.lit(0))  # ANSI-safe ratios for empty docs
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
         (
-            F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("double") / n
+            F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("double")
+            / n_safe
         ).alias("stopword_ratio"),
         (
-            F.size(F.filter(toks, lambda w: F.length(w) >= 4)).cast("double") / n
+            F.size(F.filter(toks, lambda w: F.length(w) >= 4)).cast("double")
+            / n_safe
         ).alias("long_token_ratio"),
         n.between(20, 1000).alias("len_ok"),
     )

@@ -82,6 +82,8 @@ def word_count_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip = re.compile(r"[^a-z']")
 
     def tokens(row):
+        if row.text is None:  # NULL text: match split(NULL) semantics
+            return
         for tok in row.text.lower().split():
             w = strip.sub("", tok)
             if w:

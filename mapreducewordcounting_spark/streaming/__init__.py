@@ -150,7 +150,7 @@ def stream_sliding_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                              IS NULL
                           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             > INTERVAL 10 MINUTE
+                             >= INTERVAL 10 MINUTE
                         THEN 1 ELSE 0 END AS is_new
             FROM events
         ),
@@ -171,9 +171,12 @@ def stream_sliding_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (10-minute gap) per user. Spark: built-in
     session_window; oracle: the classic gaps-and-islands rewrite —
-    proving the semantics, not just the plumbing. Session identity is
-    compared on epoch-µs of the first event (ns tails truncate
-    identically on both sides)."""
+    proving the semantics, not just the plumbing. The new-session
+    condition is gap >= 10 min because Spark's session end
+    (last_event + gap) is EXCLUSIVE: an event exactly one gap after the
+    previous one starts a new session. Session identity is compared on
+    epoch-µs of the first event (ns tails truncate identically on both
+    sides)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("sw"))
@@ -222,13 +225,14 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup"),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates on event_id within the
-    watermark horizon — the streaming face of dedup_exact. State holds
-    only ids newer than the watermark."""
+    """Streaming exact dedup — the streaming face of dedup_exact.
+    dropDuplicatesWithinWatermark (not plain dropDuplicates) is what
+    makes the state bounded: plain dropDuplicates without the event-time
+    column in its key set keeps every id ever seen, unbounded."""
     ev = read_events_stream(spark, sf_dir)
     deduped = (
         ev.withWatermark("ts", "30 minutes")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique_events"))
     )
@@ -280,9 +284,12 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update-mode emits one row per user per batch; keep the last state
     # per user (single batch here, but be robust to multi-batch replay).
     tbl = spark.table(sink)
+    # keep the LAST emission per user (the row with max n_events) —
+    # independent per-column maxes could pair values from different
+    # emissions when total_value is non-monotone (negative values)
     return tbl.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_value").alias("total_value"),
+        F.max_by("total_value", "n_events").alias("total_value"),
     )
 
 
