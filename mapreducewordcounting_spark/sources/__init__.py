@@ -90,3 +90,16 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          partition_by: str = "lang",
+                          max_records_per_file: int = 10_000) -> None:
+    """Training-data delivery: hive-partitioned parquet shards with a
+    per-file record cap — the layout downstream dataloaders want
+    (partition pruning by lang/source; bounded shard sizes so a
+    1000-reader job gets even work without re-splitting)."""
+    (df.write.mode("overwrite")
+     .option("maxRecordsPerFile", max_records_per_file)
+     .partitionBy(partition_by)
+     .parquet(path))

@@ -120,3 +120,24 @@ def test_partitioned_write_prunes(spark, sf_dir, scratch):
     # partition pruning visible in the plan
     from mapreducewordcounting_spark.plans import formatted_plan
     assert "PartitionFilters" in formatted_plan(back)
+
+
+def test_training_shards_layout(spark, sf_dir, scratch):
+    """Pipeline output → partitioned, size-capped shards, readable back
+    with partition pruning."""
+    from mapreducewordcounting_spark.catalog import load_table
+    from mapreducewordcounting_spark.sources import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    out = os.path.join(scratch, "shards")
+    write_training_shards(docs, out, max_records_per_file=100)
+    langs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert len(langs) >= 2
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # per-file cap honored
+    import glob
+    for f in glob.glob(os.path.join(out, "lang=*", "*.parquet")):
+        n = spark.read.parquet(f).count()
+        assert n <= 100, f
