@@ -678,3 +678,73 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("qty_sampled"),
         )
     )
+
+
+@register(
+    "agg_boolean",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+               bool_or(l_tax = 0) AS any_tax_free,
+               bool_and(l_quantity >= 1) AS all_qty_positive
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "boolean"),
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if / any / every."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+        F.some(F.col("l_tax") == 0).alias("any_tax_free"),
+        F.every(F.col("l_quantity") >= 1).alias("all_qty_positive"),
+    )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+        SELECT o_orderstatus,
+               arg_max(o_orderkey, o_totalprice) AS biggest_order,
+               arg_min(o_orderkey, o_totalprice) AS smallest_order,
+               max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("relational", "agg", "argminmax"),
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg_max/arg_min): the key of the extreme row
+    without a self-join back. (o_totalprice is unique enough in the
+    fixture that ties don't arise; with ties these are
+    engine-nondeterministic and belong in rows-only queries.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS nations,
+               len(list_distinct(list(n_name))) AS n_distinct
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    tags=("relational", "agg", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list into a sorted array (sorted for determinism —
+    bare collect_list order is partitioning-dependent). Dimension-sized
+    groups only: collecting a fact table into one row is the
+    unbounded-state anti-pattern."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.size(F.array_distinct(F.collect_list("n_name"))).alias("n_distinct"),
+    )

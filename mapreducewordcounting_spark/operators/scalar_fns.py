@@ -285,3 +285,100 @@ def fn_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.date_trunc("second", "ts")).alias("epoch_s"),
         )
     )
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+        SELECT a.vec_id,
+               len(list_intersect(a.embedding[1:8], b.embedding[1:8]))
+                   AS n_common,
+               len(flatten([a.embedding[1:3], b.embedding[1:3]])) AS n_flat,
+               list_reverse(list_sort(a.embedding[1:4]))[1] AS max_of_head3,
+               list_contains(a.embedding, a.embedding[1]) AS has_first
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 50
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array-function tranche: set ops on arrays
+    (array_intersect), flatten, sort/reverse, membership."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"),
+                 F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.size(F.array_intersect(F.slice("ea", 1, 8), F.slice("eb", 1, 8)))
+            .alias("n_common"),
+            F.size(F.flatten(F.array(F.slice("ea", 1, 3), F.slice("eb", 1, 3))))
+            .alias("n_flat"),
+            F.element_at(F.reverse(F.array_sort(F.slice("ea", 1, 4))), 1)
+            .alias("max_of_head3"),
+            F.array_contains("ea", F.element_at("ea", 1)).alias("has_first"),
+        )
+    )
+
+
+@register(
+    "fn_date_arith",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                   AS plus_3m,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               weekofyear(o_orderdate) AS iso_week,
+               dayofyear(o_orderdate) AS doy,
+               (year(o_orderdate) % 4 = 0 AND (year(o_orderdate) % 100 <> 0
+                    OR year(o_orderdate) % 400 = 0)) AS in_leap_year
+        FROM orders
+        WHERE o_orderkey < 2000
+    """,
+    tags=("scalar", "date"),
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic tranche: add_months, last_day, ISO week,
+    day-of-year, leap-year predicate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate").cast("date")
+    y = F.year("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        ((y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0)))
+        .alias("in_leap_year"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+        SELECT doc_id,
+               regexp_matches(text, 'scan .* join') AS mentions_scan_join,
+               len(regexp_extract_all(text, '[a-z]+ing')) AS n_ing_words,
+               regexp_extract(text, '([a-z]+) (scan)', 1) AS word_before_scan,
+               regexp_replace(text, '^the ', 'THE ') AS emphasized
+        FROM documents
+        WHERE doc_id < 200
+    """,
+    tags=("scalar", "regex"),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tranche: rlike, extract-all counting, group extraction,
+    anchored replace (dialect kept to the Spark/DuckDB common subset)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.col("text").rlike("scan .* join").alias("mentions_scan_join"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+ing"), 0))
+        .alias("n_ing_words"),
+        F.regexp_extract("text", "([a-z]+) (scan)", 1).alias("word_before_scan"),
+        F.regexp_replace("text", "^the ", "THE ").alias("emphasized"),
+    )
