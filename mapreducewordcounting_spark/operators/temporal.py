@@ -161,3 +161,42 @@ def time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev_res
         GROUP BY GROUPING SETS ((day, hour), (day))
     """)
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   avg(value) AS mu,
+                   stddev_samp(value) AS sigma
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT e.event_id,
+               e.event_type,
+               round((e.value - s.mu) / s.sigma, 6) AS zscore
+        FROM events e JOIN stats s USING (event_type)
+        WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+    """,
+    tags=("temporal", "anomaly", "stats"),
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly detection: per-event-type z-score, flag
+    |z| > 2.5. Two aggregates over a broadcast stats table — the
+    monitoring query that runs after every ingest batch. The stats
+    table is |event_type| rows, so the re-join is broadcast and the
+    fact table is scanned twice at most (once for stats, once to
+    score); at 100 TB the stats come from the previous rollup instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+    )

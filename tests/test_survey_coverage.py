@@ -71,6 +71,11 @@ COVERAGE = {
     "pipelines": ["pipeline_training_data"],
     "langid": ["text_lang_id"],
     "tfidf_ml": ["text_tfidf_ml"],
+    "fn_extended": ["fn_array_ops", "fn_date_arith", "fn_regex"],
+    "agg_extended": ["agg_boolean", "agg_argminmax", "agg_collect"],
+    "anomaly": ["anomaly_zscore"],
+    "cli": [],  # python -m mapreducewordcounting_spark (tests/test_cli.py)
+    "sinks_training": [],  # write_training_shards (tests/test_sources.py)
     "flagship_rdd": ["wordcount_rdd"],
     "flagship_fidelity": ["wordcount_fidelity"],
 }
