@@ -125,13 +125,13 @@ def decode_asset_features(a: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pd.DataFrame([_fake_decode(p) for p in pdf["payload"]])
+            feats = [_fake_decode(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"].values,
                 "kind": [m["kind"] for m in pdf["meta"]],
-                "n_bytes": feats["n_bytes"].values,
-                "first_byte": feats["first_byte"].values,
-                "digest": feats["digest"].values,
+                "n_bytes": [f["n_bytes"] for f in feats],
+                "first_byte": [f["first_byte"] for f in feats],
+                "digest": [f["digest"] for f in feats],
             })
 
     return a.select("asset_id", "meta", "payload").mapInPandas(decode, schema)

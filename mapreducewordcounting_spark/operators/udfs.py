@@ -158,13 +158,22 @@ def udtf_explode_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (Spark ``percentile`` ≡ DuckDB
-    ``quantile_cont``). The 100 TB variant is percentile_approx
-    (KLL/GK sketch — bounded memory), registered rows-only below."""
+    ``quantile_cont``). One array-valued ``percentile`` call, not three
+    scalar ones: each scalar aggregate buffers + sorts the full value
+    list per group independently (3× memory, 3× sort at 600k rows ≈
+    2.9 s); the array form sorts once and reads all three quantiles
+    (≈3× faster, same exact math). The 100 TB variant is
+    percentile_approx (KLL/GK sketch — bounded memory), registered
+    rows-only below."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", 0.95), 6).alias("p95"),
-        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    )
+    return li.groupBy("l_returnflag").agg(pcts.alias("pcts")).select(
+        "l_returnflag",
+        F.round(F.col("pcts")[0], 6).alias("p50"),
+        F.round(F.col("pcts")[1], 6).alias("p95"),
+        F.round(F.col("pcts")[2], 6).alias("p99"),
     )
 
 
