@@ -405,18 +405,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("id_a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"),
                         F.coalesce("nbr_label", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.join(
-            labels, ["node", "label"], "leftanti").count()
-        labels = new_labels
+        # convergence check on the already-materialized step output —
+        # a filter over the checkpoint, not another join against the
+        # previous labels (which cost one extra shuffle per iteration)
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     return labels.groupBy(F.col("label").alias("cluster_survivor")).agg(

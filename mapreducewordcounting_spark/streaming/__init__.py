@@ -64,20 +64,50 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+#: State-store partition count for streaming queries. A stateful
+#: streaming query creates one state store per shuffle partition, and
+#: that count is FROZEN into the checkpoint at first start — so it is a
+#: deliberate capacity decision (keys × state size ÷ executor memory),
+#: not something to inherit from the batch shuffle default. On the
+#: fixture streams, 32 state stores are pure per-partition setup
+#: overhead (measured 5.7 s → 0.9 s per query at 4); a 100 TB/day feed
+#: would size this to hundreds and keep it stable across restarts.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+
+
+class _stream_partitions:
+    """Scope spark.sql.shuffle.partitions for a streaming run (the conf
+    is read at query start; queries here run to completion inside the
+    scope, so batch queries never see the override)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions",
+                            str(STREAM_SHUFFLE_PARTITIONS))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
 def run_available_now(stream_df: DataFrame, name: str | None = None) -> DataFrame:
     """Execute a streaming aggregation to completion on the existing
     files (Trigger.AvailableNow → memory sink) and return the result as
     a batch DataFrame. Deterministic replay for tests and the driver."""
     sink = name or f"mrwc_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    with _stream_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
