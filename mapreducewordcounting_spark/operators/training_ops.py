@@ -1,0 +1,296 @@
+"""Training-data pipeline operators (north-star extension, no reference
+counterpart — the reference is a single word-count query,
+sendFileByFile.cpp:447-498; these are the surrounding operations a
+100 TB LLM-corpus pipeline runs on the same tables).
+
+All per-document transforms here are pure map stages (no shuffle):
+chunking, PII redaction, and hash-bucket sampling parallelize linearly
+with executors and are safe at any scale. The contamination check's
+only shuffle is the n-gram semi-join, with the (small, distinct)
+benchmark-side gram set broadcast; sequence packing shuffles once on
+the partition key (lang) and then runs a per-group linear pass.
+
+Determinism posture: sampling uses md5-bucket hashing, not RNG — the
+same row always lands in the same bucket on any cluster size, so
+pipeline reruns are reproducible and the op is oracle-checkable
+(seeded RNG sampling, by contrast, is engine-specific; see
+``sample_seeded``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.functions.text import words_canonical
+from mapreducewordcounting_spark.registry import register
+
+#: chunking geometry: 500-char windows every 400 chars (100 overlap) —
+#: context-window-shaped splitting with boundary overlap so no phrase
+#: is lost at a cut point.
+CHUNK_LEN = 500
+CHUNK_STRIDE = 400
+
+#: PII patterns (email / NANP-style phone / long digit run), applied in
+#: this order. One alternation, identical string in Spark and DuckDB —
+#: both use RE2-compatible syntax for this subset.
+PII_PATTERN = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    r"|\d{3}[-.]\d{3}[-.]\d{4}"
+    r"|\d{9,}"
+)
+
+#: token budget per packed training sequence
+PACK_BUDGET = 2048
+
+#: per-language keep-rate (percent of md5 buckets) for stratified
+#: downsampling; unlisted languages use the default.
+STRATA_PCT = {"en": 80, "de": 50}
+STRATA_DEFAULT_PCT = 20
+
+_SQL_TOKS = """
+    SELECT doc_id, lang, source,
+           list_filter(
+               list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> regexp_replace(t, '[^a-z'']', '', 'g')),
+               w -> length(w) > 0) AS toks
+    FROM documents
+"""
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(unnest(generate_series(0, greatest(length(text)-1, 0),
+                                           {CHUNK_STRIDE})) AS BIGINT)
+                   AS chunk_start,
+               substr(text,
+                      CAST(unnest(generate_series(0, greatest(length(text)-1, 0),
+                                                  {CHUNK_STRIDE})) AS INT) + 1,
+                      {CHUNK_LEN}) AS chunk_text
+        FROM documents
+    """,
+    tags=("training", "chunking", "text"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-width character
+    chunks ({CHUNK_LEN} chars every {CHUNK_STRIDE}): the standard
+    pre-tokenization step for context-window-bounded training. Pure
+    map stage — sequence+explode+substring, no shuffle, no UDF; at
+    100 TB it scales with input splits and the output stays
+    partition-local for a direct parquet sink."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", "text",
+                    F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.col("start").cast("bigint").alias("chunk_start"),
+            F.expr(f"substring(text, start + 1, {CHUNK_LEN})")
+            .alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(text, '{PII_PATTERN}', '[PII]', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '{PII_PATTERN}')) AS BIGINT)
+                   AS n_pii
+        FROM documents
+    """,
+    tags=("training", "pii", "text"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact PII-shaped spans (emails, phone numbers, long digit
+    runs) and count them per document. Built-in regexp_replace /
+    regexp_extract_all — JVM-side, codegen'd, zero shuffle; the only
+    scale knob is the regex cost per byte, which is why it is one
+    alternation pass rather than three."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", PII_PATTERN, "[PII]").alias("clean_text"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PATTERN), F.lit(0)))
+        .cast("bigint").alias("n_pii"),
+    )
+
+
+@register(
+    "contamination_5gram",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        grams AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(
+                       list_transform(range(greatest(len(toks)-4, 0)),
+                                      i -> array_to_string(
+                                          list_slice(toks, i+1, i+5), ' '))))
+                       AS gram
+            FROM t
+        ),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0')
+        SELECT g.doc_id, count(*) AS n_shared_5grams
+        FROM grams g JOIN bench b ON g.gram = b.gram
+        WHERE g.source <> 'src0'
+        GROUP BY g.doc_id
+    """,
+    tags=("training", "contamination", "ngram"),
+)
+def contamination_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which training documents share a
+    5-gram with the held-out benchmark set (source 'src0')? The
+    benchmark side reduces to its distinct grams and broadcasts, so
+    the training side never shuffles — at 100 TB this is one map-side
+    semi-join per doc-gram, then a groupBy(doc_id) count. This is the
+    n-gram-overlap decontamination step of LLM corpus construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words_canonical("text")
+    grams = F.array_distinct(
+        F.when(
+            F.size(toks) >= 5,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 5),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    g = docs.select("doc_id", "source", F.explode(grams).alias("gram"))
+    bench = (g.filter(F.col("source") == "src0")
+             .select("gram").distinct())
+    return (
+        g.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_5grams"))
+    )
+
+
+def _bucket_spark(key) -> F.Column:
+    """Deterministic 0-99 bucket from md5 of the key (engine-portable:
+    first 8 hex digits as an unsigned int, mod 100)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+
+
+_SQL_BUCKET = ("CAST(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8)) "
+               "AS BIGINT) % 100")
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+        SELECT doc_id, lang,
+               {_SQL_BUCKET.format(key='doc_id')} AS bucket
+        FROM documents
+        WHERE {_SQL_BUCKET.format(key='doc_id')} <
+              CASE lang WHEN 'en' THEN {STRATA_PCT['en']}
+                        WHEN 'de' THEN {STRATA_PCT['de']}
+                        ELSE {STRATA_DEFAULT_PCT} END
+    """,
+    tags=("training", "sampling", "stratified"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language rates (domain mixing:
+    keep 80% of en, 50% of de, 20% of the rest) via md5-bucket
+    hashing instead of RNG. Deterministic: the same doc keeps or
+    drops on every run, any partitioning, any cluster — which is what
+    makes corpus mixes reproducible and this query oracle-checkable.
+    Pure map stage, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _bucket_spark(F.col("doc_id"))
+    rate = F.when(F.col("lang") == "en", STRATA_PCT["en"]) \
+        .when(F.col("lang") == "de", STRATA_PCT["de"]) \
+        .otherwise(STRATA_DEFAULT_PCT)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+@register(
+    "pack_sequences_offset",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        n AS (SELECT doc_id, lang, len(toks) AS n_tokens FROM t),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM n)
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT)
+                   AS pack_id
+        FROM c
+    """,
+    tags=("training", "packing", "window"),
+)
+def pack_sequences_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, offset variant: assign each document (ordered
+    by doc_id within its language) to the pack its starting token
+    offset falls in ({PACK_BUDGET}-token bins over the running total).
+    One window cumulative sum = one shuffle on (lang); deterministic
+    and SQL-expressible, unlike true greedy packing (see
+    ``pack_sequences_greedy`` for that). A pack may overflow by at
+    most one document's tail — the standard cheap approximation when
+    downstream tokenization truncates/pads anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", "lang",
+        F.size(words_canonical("text")).cast("bigint").alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        n.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / float(PACK_BUDGET))
+            .cast("bigint").alias("pack_id"))
+    )
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle=None,  # recursive fold — not expressible in ANSI SQL;
+    # invariants pinned in tests/test_training_ops.py instead
+    tags=("training", "packing", "stateful"),
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, true greedy: per language (one shuffle), walk
+    documents in doc_id order and start a new pack whenever adding the
+    next document would exceed {PACK_BUDGET} tokens. The fold is
+    inherently sequential per group, so it runs as an Arrow-batched
+    ``applyInPandas`` — the documented escape hatch for per-partition
+    imperative logic. State is O(1) per group; group size is the only
+    scale limit (partition by (lang, day) or similar in a real corpus
+    to bound it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", "lang",
+        F.size(words_canonical("text")).cast("bigint").alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, pid, used = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if used > 0 and used + t > PACK_BUDGET:
+                pid, used = pid + 1, 0
+            pack_ids.append(pid)
+            used += t
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf
+
+    return n.groupBy("lang").applyInPandas(
+        pack, schema="doc_id long, lang string, n_tokens long, pack_id long")
