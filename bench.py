@@ -54,6 +54,11 @@ HEADLINE = [
     "agg_percentiles",          # exact percentile agg
     "udaf_median_per_brand",    # applyInPandas UDAF
     "udf_pandas_cosine",        # vectorized pandas UDF
+    "tpch_q1_pricing_summary",  # wide map-side-combine agg
+    "tpch_q5_local_supplier_volume",  # 6-table star join
+    "tpch_q21_waiting_suppliers",  # double-correlated exists/anti
+    "contamination_5gram",      # broadcast n-gram semi-join
+    "pack_sequences_offset",    # windowed cumulative packing
 ]
 
 

