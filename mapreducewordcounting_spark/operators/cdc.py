@@ -1,0 +1,130 @@
+"""Change-data-capture-shaped operators: MERGE-style upsert and SCD2
+(slowly-changing-dimension type 2) interval construction.
+
+No reference counterpart (the reference has no notion of mutation —
+one batch query, sendFileByFile.cpp:447-498). These are the patterns a
+warehouse layer runs on top of the engine: upsert = full-outer join +
+coalesce (the relational core of MERGE INTO, which Spark itself only
+exposes through table formats like Delta/Iceberg — the join is the
+part that matters at 100 TB), and SCD2 = gaps-and-islands over a
+change log (lag-compare → running change count → island aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.registry import register
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment
+            FROM customer WHERE c_acctbal > 0),
+        delta AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS urgent_total
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_custkey)
+        SELECT coalesce(b.c_custkey, d.o_custkey) AS c_custkey,
+               coalesce(b.c_acctbal, 0.0) + coalesce(d.urgent_total, 0.0)
+                   AS new_acctbal,
+               coalesce(b.c_mktsegment, 'NEW') AS c_mktsegment,
+               CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                    WHEN d.o_custkey IS NULL THEN 'keep'
+                    ELSE 'update' END AS merge_action
+        FROM base b FULL OUTER JOIN delta d ON b.c_custkey = d.o_custkey
+    """,
+    tags=("cdc", "merge", "upsert", "outer-join"),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a relational expression: base rows
+    matched by the delta are updated (balance += urgent order total),
+    unmatched delta keys are inserted with defaults, unmatched base
+    rows pass through — one full-outer join + coalesce, with the
+    action tagged per row. At 100 TB both sides hash-partition on the
+    key (the delta is usually far smaller — AQE picks the broadcast
+    side when it fits); the exact-decimal delta sum keeps the updated
+    balance engine-stable."""
+    base = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") > 0)
+            .select("c_custkey", "c_acctbal", "c_mktsegment"))
+    delta = (load_table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderpriority") == "1-URGENT")
+             .groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("urgent_total")))
+    action = (F.when(base.c_custkey.isNull(), "insert")
+              .when(delta.o_custkey.isNull(), "keep")
+              .otherwise("update"))
+    return (
+        base.join(delta, base.c_custkey == delta.o_custkey, "full_outer")
+        .select(
+            F.coalesce(base.c_custkey, delta.o_custkey).alias("c_custkey"),
+            (F.coalesce(base.c_acctbal, F.lit(0.0))
+             + F.coalesce(delta.urgent_total, F.lit(0.0)))
+            .alias("new_acctbal"),
+            F.coalesce(base.c_mktsegment, F.lit("NEW")).alias("c_mktsegment"),
+            action.alias("merge_action"))
+    )
+
+
+@register(
+    "scd2_event_intervals",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   date_trunc('second', ts) AS ts_s,
+                   event_type
+            FROM events),
+        m AS (
+            SELECT *,
+                   CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        i AS (
+            SELECT *,
+                   sum(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM m)
+        SELECT user_id, event_type, island,
+               min(ts_s) AS valid_from,
+               max(ts_s) AS valid_to,
+               count(*)  AS n_events
+        FROM i
+        GROUP BY user_id, event_type, island
+    """,
+    tags=("cdc", "scd2", "window", "gaps-and-islands"),
+)
+def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history from a change log: collapse each user's event
+    stream into intervals of constant event_type (gaps-and-islands:
+    lag-compare flags changes, a running sum numbers the islands, the
+    island aggregate yields valid_from/valid_to). Two window passes
+    over the same (user_id, ts) sort — Catalyst reuses one sort/one
+    exchange for both — then a groupBy that is co-partitioned with it.
+    ts truncates to seconds (ns parquet vs µs Spark, FIXTURES.md);
+    event_id tiebreaks equal timestamps so island numbering is
+    deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.date_trunc("second", "ts").alias("ts_s"), "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("chg", chg)
+        .withColumn("island", F.sum("chg").over(run))
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.min("ts_s").alias("valid_from"),
+             F.max("ts_s").alias("valid_to"),
+             F.count("*").alias("n_events"))
+    )

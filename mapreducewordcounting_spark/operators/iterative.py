@@ -83,6 +83,78 @@ def kmeans_fit(emb: DataFrame, k: int = K_DEFAULT,
     return assigned, inertia_history
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 10
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame,
+             damping: float = PR_DAMPING, iters: int = PR_ITERS) -> DataFrame:
+    """Weighted PageRank over an edge list ``(src, dst, weight)`` and a
+    node list ``(node)``. Returns ``(node, rank)`` with Σrank = 1.
+
+    The scalable loop shape: ranks and edges are both DataFrames keyed
+    by node; each iteration is one join (edges ⋈ ranks on src) + one
+    aggregation (sum contributions by dst) — at 10⁹ edges that is the
+    canonical pre-partitioned join (partition both sides on node id
+    once and every iteration's shuffle is exchange-free). Dangling
+    mass (nodes with no out-edges) is a single scalar aggregate
+    broadcast back, keeping the distribution normalized. Driver holds
+    only per-iteration scalars, never data."""
+    n = nodes.count()
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    e_norm = (edges.join(out_w, "src")
+              .select("src", "dst",
+                      (F.col("weight") / F.col("out_w")).alias("p"))
+              .localCheckpoint())  # reused every iteration: cut lineage once
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    has_out = out_w.select(F.col("src").alias("node"))
+    for _ in range(iters):
+        dangling = (ranks.join(has_out, "node", "leftanti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+                    .collect()[0]["dm"])
+        contrib = (e_norm.join(ranks, e_norm.src == ranks.node)
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow")))
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (nodes.select("node")
+                 .join(contrib, "node", "left_outer")
+                 .select("node",
+                         (F.lit(base)
+                          + damping * F.coalesce(F.col("inflow"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint())  # bound lineage growth across iterations
+    return ranks
+
+
+@register(
+    "pagerank_nation_trade",
+    oracle=None,  # iterative fixpoint, not SQL-expressible; invariants
+    # (Σrank=1, positivity, determinism) in tests/test_iterative.py.
+    tags=("iterative", "graph", "pagerank"),
+)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade graph (edge customer-nation
+    → supplier-nation, weight = number of lineitems shipped). The
+    graph build is the analytics part — a 4-table join aggregated to
+    25² max edges; the rank loop then runs on DataFrames as described
+    in :func:`pagerank`."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    nodes = (load_table(spark, sf_dir, "nation")
+             .select(F.col("n_nationkey").alias("node")))
+    ranks = pagerank(edges, nodes)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
 @register(
     "kmeans_embeddings",
     oracle=None,  # iterative, not SQL-expressible; invariants

@@ -1,0 +1,128 @@
+"""Statistical aggregate coverage: second-moment aggregates
+(stddev/variance/covariance/correlation), linear regression
+aggregates, and explicit higher-moment (skewness/kurtosis) queries.
+
+No reference counterpart — the reference's only aggregate is integer
+sum (sendFileByFile.cpp:174-180); these are the built-in JVM-side
+aggregates an analytics engine needs for data profiling, all
+single-pass partial/final hash aggregates (one shuffle, map-side
+combined, same plan shape as the reference's O8/O11 pipeline).
+
+Oracle-parity notes: stddev_samp / var_samp / corr / covar_samp /
+regr_* have identical definitions in Spark and DuckDB. skewness and
+kurtosis do NOT (Spark returns population moments, DuckDB
+bias-corrected sample moments), so the higher-moment query computes
+the moments explicitly from sums — the same arithmetic both engines,
+over small-magnitude columns (quantity/discount) so the 6-dp rounded
+compare is far above double summation noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.registry import register
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+        SELECT l_returnflag,
+               stddev_samp(l_quantity)  AS sd_qty,
+               var_samp(l_quantity)     AS var_qty,
+               corr(l_quantity, l_discount)       AS corr_qty_disc,
+               covar_samp(l_quantity, l_discount) AS covar_qty_disc,
+               covar_pop(l_quantity, l_discount)  AS covar_pop_qty_disc,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment profile of lineitem per return flag — stddev,
+    variance, correlation, covariance in one hash-aggregate pass.
+    All are algebraic aggregates (finite sufficient statistics), so
+    they partial-aggregate map-side and shuffle only 3-group states;
+    at 100 TB the shuffle is O(groups), not O(rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.stddev_samp("l_quantity").alias("sd_qty"),
+             F.var_samp("l_quantity").alias("var_qty"),
+             F.corr("l_quantity", "l_discount").alias("corr_qty_disc"),
+             F.covar_samp("l_quantity", "l_discount").alias("covar_qty_disc"),
+             F.covar_pop("l_quantity", "l_discount").alias("covar_pop_qty_disc"),
+             F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+        SELECT l_returnflag,
+               regr_slope(l_discount, l_quantity)     AS slope,
+               regr_intercept(l_discount, l_quantity) AS intercept,
+               regr_r2(l_discount, l_quantity)        AS r2,
+               regr_count(l_discount, l_quantity)     AS n_pairs
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats", "regression"),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of discount on quantity via
+    the SQL-standard regr_* aggregates — algebraic (sums of x, y, xy,
+    x², y²), so the same one-shuffle partial/final plan as any sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.regr_slope("l_discount", "l_quantity").alias("slope"),
+             F.regr_intercept("l_discount", "l_quantity").alias("intercept"),
+             F.regr_r2("l_discount", "l_quantity").alias("r2"),
+             F.regr_count("l_discount", "l_quantity").alias("n_pairs"))
+    )
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   avg(l_quantity) AS mu,
+                   count(*)        AS n
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag,
+               avg(pow(l.l_quantity - m.mu, 2)) AS m2,
+               avg(pow(l.l_quantity - m.mu, 3))
+                   / pow(avg(pow(l.l_quantity - m.mu, 2)), 1.5) AS skew_pop,
+               avg(pow(l.l_quantity - m.mu, 4))
+                   / pow(avg(pow(l.l_quantity - m.mu, 2)), 2) - 3 AS kurt_excess
+        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        GROUP BY l.l_returnflag
+    """,
+    tags=("agg", "stats", "moments"),
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of quantity per return
+    flag, computed explicitly from central moments (two passes: mean,
+    then powered deviations). Spark's built-in skewness/kurtosis and
+    DuckDB's disagree on bias correction, so the engine-portable form
+    IS the explicit moment arithmetic — identical expressions both
+    sides. The mean side is 3 rows and broadcasts; both aggregations
+    are map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (li.groupBy(F.col("l_returnflag").alias("mk"))
+         .agg(F.avg("l_quantity").alias("mu")))
+    d = F.col("l_quantity") - F.col("mu")
+    return (
+        li.join(F.broadcast(m), li.l_returnflag == F.col("mk"))
+        .groupBy("l_returnflag")
+        .agg(F.avg(F.pow(d, 2)).alias("m2"),
+             (F.avg(F.pow(d, 3)) / F.pow(F.avg(F.pow(d, 2)), 1.5))
+             .alias("skew_pop"),
+             (F.avg(F.pow(d, 4)) / F.pow(F.avg(F.pow(d, 2)), 2) - 3)
+             .alias("kurt_excess"))
+    )

@@ -284,6 +284,66 @@ def pack_sequences_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_signals",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        c AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        tc AS (SELECT doc_id, tok, count(*) AS cnt FROM c GROUP BY doc_id, tok),
+        tt AS (SELECT doc_id,
+                      CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                      CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_frac
+               FROM tc GROUP BY doc_id),
+        b AS (SELECT doc_id,
+                     greatest(len(toks) - 1, 0) AS nb,
+                     len(list_distinct(
+                         list_transform(range(greatest(len(toks) - 1, 0)),
+                                        i -> toks[i+1] || ' ' || toks[i+2])))
+                         AS ndb
+              FROM t)
+        SELECT tt.doc_id, tt.n_tokens, tt.top_token_frac,
+               CASE WHEN b.nb = 0 THEN 0.0
+                    ELSE 1.0 - CAST(b.ndb AS DOUBLE) / b.nb END
+                   AS dup_bigram_frac
+        FROM tt JOIN b ON tt.doc_id = b.doc_id
+    """,
+    tags=("training", "quality", "repetition"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per document — the
+    Gopher/RefinedWeb-style filters: most-frequent-token fraction and
+    duplicate-bigram fraction (1 − distinct/total). High values mark
+    boilerplate/spam for corpus filtering. The token-frequency side is
+    explode → two co-partitioned aggregations on doc_id (one shuffle);
+    the bigram side is pure per-row array arithmetic (zip_with over
+    the materialized token column — no shuffle, no per-element
+    tokenizer re-eval), joined back on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", words_canonical("text").alias("toks"))
+    tok_counts = (
+        toked.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_tokens"),
+             (F.max("cnt").cast("double") / F.sum("cnt"))
+             .alias("top_token_frac"))
+    )
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, m), F.expr("slice(toks, 2, size(toks) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b))
+    big = toked.select(
+        "doc_id", m.alias("nb"),
+        F.size(F.array_distinct(bigrams)).alias("ndb"))
+    dup = F.when(F.col("nb") == 0, 0.0).otherwise(
+        1.0 - F.col("ndb").cast("double") / F.col("nb"))
+    return (
+        tok_counts.join(big, "doc_id")
+        .select("doc_id", "n_tokens", "top_token_frac",
+                dup.alias("dup_bigram_frac"))
+    )
+
+
+@register(
     "pack_sequences_greedy",
     oracle=None,  # recursive fold — not expressible in ANSI SQL;
     # invariants pinned in tests/test_training_ops.py instead

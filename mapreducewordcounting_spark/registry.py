@@ -83,6 +83,8 @@ def _load_all() -> None:
         tpch,
         tpch_full,
         training_ops,
+        stats,
+        cdc,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     _LOADED = True

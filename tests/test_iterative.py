@@ -22,6 +22,27 @@ def test_inertia_monotone_nonincreasing(spark, sf_dir):
     assert hist[-1] < hist[0]  # strictly improved over init
 
 
+def test_pagerank_distribution_invariants(spark, sf_dir):
+    """Ranks form a probability distribution (Σ=1 within float noise,
+    all positive), are deterministic across runs, and weight flows to
+    the supplier nations that actually receive trade edges."""
+    from mapreducewordcounting_spark.operators.iterative import (
+        pagerank_nation_trade,
+    )
+    r1 = {r.node: r.rank for r in pagerank_nation_trade(spark, sf_dir).collect()}
+    r2 = {r.node: r.rank for r in pagerank_nation_trade(spark, sf_dir).collect()}
+    assert r1 == r2
+    assert abs(sum(r1.values()) - 1.0) < 1e-6, sum(r1.values())
+    assert all(v > 0 for v in r1.values())
+    n = load_table(spark, sf_dir, "nation").count()
+    assert len(r1) == n
+    # supplier nations (in-edges) must out-rank the uniform floor
+    supp_nations = {r.s_nationkey for r in load_table(
+        spark, sf_dir, "supplier").select("s_nationkey").distinct().collect()}
+    floor = (1 - 0.85) / n
+    assert all(r1[k] > floor * 1.01 for k in supp_nations if k in r1)
+
+
 def test_full_coverage_and_determinism(spark, sf_dir):
     n = load_table(spark, sf_dir, "embeddings").count()
     prof1 = {r.cluster: r.n_members

@@ -69,6 +69,59 @@ def test_topk_never_global_sorts(spark, sf_dir):
     assert "Sort [" not in plan
 
 
+def test_tpch_q1_single_exchange_partial_agg(spark, sf_dir):
+    """The wide pricing-summary agg must map-side combine: one
+    exchange between partial and final HashAggregate."""
+    from mapreducewordcounting_spark.operators.tpch_full import (
+        tpch_q1_pricing_summary,
+    )
+    df = tpch_q1_pricing_summary(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert n_exchanges(df) == 1
+
+
+def test_tpch_q6_filters_reach_scan(spark, sf_dir):
+    """Q6's whole WHERE clause must appear in PushedFilters — this is
+    the query where row-group statistics skip most of a 100 TB table."""
+    from mapreducewordcounting_spark.operators.tpch import (
+        tpch_q6_forecast_revenue,
+    )
+    pf = pushed_filters(tpch_q6_forecast_revenue(spark, sf_dir))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, (col, pf)
+
+
+def test_tpch_q5_dimensions_broadcast(spark, sf_dir):
+    """supplier/nation/region must broadcast in the 6-table star —
+    a shuffle join on a dimension is a scale bug."""
+    from mapreducewordcounting_spark.operators.tpch_full import (
+        tpch_q5_local_supplier_volume,
+    )
+    plan = simple_plan(tpch_q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_q21_no_nested_loop(spark, sf_dir):
+    """The decorrelated double-EXISTS must stay hash-join-shaped:
+    a BroadcastNestedLoopJoin / CartesianProduct here would be the
+    O(n²) plan the rewrite exists to avoid."""
+    from mapreducewordcounting_spark.operators.tpch_full import (
+        tpch_q21_waiting_suppliers,
+    )
+    plan = simple_plan(tpch_q21_waiting_suppliers(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_bench_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast — shuffling the training
+    side on gram hash would move the whole corpus."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        contamination_5gram,
+    )
+    assert has_broadcast_join(contamination_5gram(spark, sf_dir))
+
+
 def test_scan_is_vectorized_parquet(spark, sf_dir):
     """Vectorized (batched) parquet scan present. (Codegen spans only
     appear in the executed AQE plan, so the batched-reader flag is the

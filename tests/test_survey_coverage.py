@@ -77,6 +77,11 @@ COVERAGE = {
                         "tpch_q17_small_quantity_revenue",
                         "tpch_q20_dominant_suppliers",
                         "tpch_q21_waiting_suppliers"],
+    "agg_stats": ["agg_stats_moments", "agg_regression", "agg_higher_moments"],
+    "cdc_merge_upsert": ["merge_upsert_customers"],
+    "cdc_scd2": ["scd2_event_intervals"],
+    "graph_pagerank": ["pagerank_nation_trade"],
+    "training_quality_signals": ["text_repetition_signals"],
     "training_chunk_pii": ["chunk_documents", "pii_redact"],
     "training_contamination": ["contamination_5gram"],
     "training_sampling": ["sample_stratified_hash"],
