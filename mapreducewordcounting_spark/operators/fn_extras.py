@@ -1,0 +1,158 @@
+"""Function-surface fillers: fuzzy string matching, cryptographic
+hashes, bitwise arithmetic, generator (explode) variants, and the
+cume_dist distribution window — closing the remaining built-in-function
+gaps against SURVEY.md §2.2's string/math rows.
+
+The reference's entire scalar repertoire is tolower + a char-class
+strip (sendFileByFile.cpp:89-93); everything here is extension
+surface, chosen so each function has an exact DuckDB twin (levenshtein,
+md5/sha256, integer bit ops, list indexing, count-based cume_dist are
+all engine-identical; soundex/jaro exist in only one engine and are
+deliberately excluded from the oracle-checked set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.registry import register
+
+
+@register(
+    "fn_fuzzy_string",
+    oracle="""
+        SELECT p_partkey,
+               levenshtein(p_name, 'small bolt') AS edit_dist,
+               translate(p_name, 'aeiou', '     ') AS devoweled,
+               lpad(p_brand, 10, '*') AS brand_padded,
+               repeat(left(p_name, 2), 3) AS rep2,
+               reverse(p_name) AS name_rev,
+               ascii(p_name) AS first_code
+        FROM part
+    """,
+    tags=("fn", "string", "fuzzy"),
+)
+def fn_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy/string-shape functions over part names: Levenshtein edit
+    distance to a probe string (the fuzzy-match primitive — at scale,
+    used after a cheap blocking key so the quadratic comparison only
+    runs within blocks), translate/lpad/repeat/reverse/ascii. All
+    JVM-side codegen'd expressions, zero shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("small bolt")).alias("edit_dist"),
+        F.translate("p_name", "aeiou", "     ").alias("devoweled"),
+        F.lpad("p_brand", 10, "*").alias("brand_padded"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("rep2"),
+        F.reverse("p_name").alias("name_rev"),
+        F.ascii("p_name").alias("first_code"),
+    )
+
+
+@register(
+    "fn_hash_digests",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               sha256(text) AS text_sha256,
+               length(md5(text)) AS md5_len
+        FROM documents
+    """,
+    tags=("fn", "hash"),
+)
+def fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests of document text — the content-addressing
+    primitive under exact dedup and cache keys. md5/sha256 are
+    bit-identical across engines (unlike xxhash64/murmur, which are
+    engine-internal and kept out of oracle-checked outputs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.length(F.md5("text")).alias("md5_len"),
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_linenumber & 3       AS low2,
+               l_linenumber | 8       AS with_flag,
+               xor(l_linenumber, 5)   AS xored,
+               l_linenumber << 2      AS shl2,
+               l_linenumber >> 1      AS shr1,
+               CAST(bit_count(l_linenumber) AS INT) AS popcount
+        FROM lineitem
+        WHERE l_orderkey <= 100
+    """,
+    tags=("fn", "math", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer bit arithmetic (mask/flag/shift/popcount) — the basis
+    of bitmap-index and flag-packing tricks. Pure codegen'd
+    expressions; the orderkey filter pushes to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    ln = F.col("l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        ln.bitwiseAND(F.lit(3)).alias("low2"),
+        ln.bitwiseOR(F.lit(8)).alias("with_flag"),
+        ln.bitwiseXOR(F.lit(5)).alias("xored"),
+        F.shiftleft(ln, 2).alias("shl2"),
+        F.shiftright(ln, 1).alias("shr1"),
+        F.bit_count(ln).alias("popcount"),
+    )
+
+
+@register(
+    "fn_explode_variants",
+    oracle="""
+        SELECT e.vec_id,
+               CAST(i.i AS INT) AS pos,
+               round(CAST(e.head[i.i + 1] AS DOUBLE), 6) AS val
+        FROM (SELECT vec_id, list_slice(embedding, 1, 4) AS head
+              FROM embeddings) e,
+             LATERAL (SELECT unnest(range(len(e.head))) AS i) i
+    """,
+    tags=("fn", "generator", "explode"),
+)
+def fn_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (position-preserving row generation) over the first
+    4 embedding dimensions — the generator family beyond plain
+    explode. Generate runs inside the scan stage (no shuffle); at
+    scale the fan-out factor, not the operator, is the cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.slice("embedding", 1, 4).alias("head"))
+        .select("vec_id", F.posexplode("head").alias("pos", "v"))
+        .select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
+    )
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               cume_dist() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_quantity) AS qty_cume
+        FROM lineitem
+        WHERE l_orderkey <= 200
+    """,
+    tags=("window", "distribution"),
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist per return flag — the distribution window. Tie-safe
+    by definition (count(peers ≤ current)/n is independent of
+    intra-tie order), so it is oracle-exact without a unique sort key,
+    unlike row_number."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.cume_dist().over(w).alias("qty_cume"),
+    )

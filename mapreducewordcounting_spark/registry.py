@@ -85,6 +85,7 @@ def _load_all() -> None:
         training_ops,
         stats,
         cdc,
+        fn_extras,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     _LOADED = True

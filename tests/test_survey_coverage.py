@@ -78,6 +78,10 @@ COVERAGE = {
                         "tpch_q20_dominant_suppliers",
                         "tpch_q21_waiting_suppliers"],
     "agg_stats": ["agg_stats_moments", "agg_regression", "agg_higher_moments"],
+    "fn_fuzzy_hash_bitwise": ["fn_fuzzy_string", "fn_hash_digests",
+                              "fn_bitwise"],
+    "fn_generators": ["fn_explode_variants"],
+    "window_distribution": ["window_cume_dist"],
     "cdc_merge_upsert": ["merge_upsert_customers"],
     "cdc_scd2": ["scd2_event_intervals"],
     "graph_pagerank": ["pagerank_nation_trade"],
