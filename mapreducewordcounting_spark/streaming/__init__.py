@@ -387,3 +387,70 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "stream_incremental_ingest",
+    oracle=None,  # foreachBatch side-effecting pipeline; invariants
+    # (kept == distinct content hashes == batch-dedup answer,
+    # idempotent across arrival chunks) in tests/test_streaming.py.
+    tags=("streaming", "foreachBatch", "dedup", "ingest"),
+)
+def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion — the training-data loop: documents
+    arrive in chunks, each micro-batch is exact-deduped within itself
+    and anti-joined against the accumulated store on content hash, and
+    only novel content is appended. ``foreachBatch`` is the escape
+    hatch that lets a stream run arbitrary batch relational logic per
+    micro-batch with exactly-once bookkeeping from the checkpoint.
+
+    Returns (n_kept, n_distinct) of the final store — equal iff the
+    merge is correct, and arrival-order-invariant (which per-doc row
+    survives depends on chunk order; the *count* of distinct contents
+    does not, so this is the deterministic surface).
+
+    Scale: the anti-join probes the store on its hash key — with the
+    store bucketed/partitioned by hash prefix this is a pruned probe,
+    not a full scan; on a real lakehouse this exact pattern is
+    ``MERGE INTO ... WHEN NOT MATCHED INSERT`` on a Delta/Iceberg
+    table, with the same join underneath."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="mrwc_ingest_")
+    src_dir = os.path.join(tmp, "arrivals")
+    store = os.path.join(tmp, "store")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source",
+            F.sha2("text", 256).alias("content_hash"))
+        # stage the corpus as 4 arrival chunks
+        docs.repartition(4).write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def merge(batch: DataFrame, _batch_id: int) -> None:
+            fresh = batch.dropDuplicates(["content_hash"])
+            if os.path.isdir(store):
+                seen = batch.sparkSession.read.parquet(store).select(
+                    "content_hash")
+                fresh = fresh.join(seen, "content_hash", "leftanti")
+            fresh.write.mode("append").parquet(store)
+
+        with _stream_partitions(spark):
+            q = (stream.writeStream.foreachBatch(merge)
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+        final = spark.read.parquet(store)
+        result = final.agg(
+            F.count("*").alias("n_kept"),
+            F.count_distinct("content_hash").alias("n_distinct"))
+        rows = result.collect()  # materialize before tmp cleanup
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -85,3 +85,19 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         & (F.col("p_ts") < F.col("e_ts")),
     ).select("e_id", "p_id", "e_user")
     assert _rows(stream) == _rows(batch)
+
+
+def test_incremental_ingest_matches_batch_dedup(spark, sf_dir):
+    """The foreachBatch merge must keep exactly one row per distinct
+    content hash — the same answer batch dedup gives in one shot."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordcounting_spark.catalog import load_table
+    from mapreducewordcounting_spark.streaming import stream_incremental_ingest
+
+    row = stream_incremental_ingest(spark, sf_dir).collect()[0]
+    assert row["n_kept"] == row["n_distinct"]
+    batch_distinct = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sha2("text", 256).alias("h")).distinct().count())
+    assert row["n_distinct"] == batch_distinct

@@ -63,6 +63,7 @@ COVERAGE = {
     "pivot_unpivot": ["agg_pivot", "agg_unpivot"],
     "sampling": ["sample_seeded"],
     "streaming_joins": ["stream_static_join", "stream_stream_join"],
+    "streaming_ingest": ["stream_incremental_ingest"],
     "dedup_semantic": ["dedup_embedding_cosine", "dedup_clusters"],
     "iterative": ["kmeans_embeddings"],
     "tpch_compositions": ["tpch_q3_shipping_priority",
