@@ -162,3 +162,70 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.count_distinct("digest").alias("n_distinct_payloads"),
     )
+
+
+def _fake_resize(n_bytes: int) -> dict:
+    """Deterministic stand-in for an image resize (target 64×64,
+    aspect-preserving). Source geometry derives from payload size so
+    the DuckDB oracle can reproduce it; swap for PIL's
+    ``Image.resize`` and the surrounding plumbing is unchanged.
+    All arithmetic is IEEE-double, identical in any engine."""
+    import math
+
+    src_w = 16 + n_bytes % 97
+    src_h = 16 + (n_bytes * 7) % 89
+    scale = 64.0 / max(src_w, src_h)
+    out_w = math.floor(src_w * scale)
+    out_h = math.floor(src_h * scale)
+    return {"src_w": src_w, "src_h": src_h, "scale": scale,
+            "out_bytes": out_w * out_h * 3}
+
+
+@register(
+    "mm_resize_stub",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id AS asset_id,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents WHERE doc_id % 3 = 0),
+        g AS (
+            SELECT asset_id,
+                   16 + n_bytes % 97 AS src_w,
+                   16 + (n_bytes * 7) % 89 AS src_h
+            FROM img)
+        SELECT asset_id, src_w, src_h,
+               64.0 / greatest(src_w, src_h) AS scale,
+               CAST(floor(src_w * (64.0 / greatest(src_w, src_h)))
+                    * floor(src_h * (64.0 / greatest(src_w, src_h)))
+                    * 3 AS BIGINT) AS out_bytes
+        FROM g
+    """,
+    tags=("multimodal", "resize", "pandas-udf"),
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage over the image-kind assets: mapInPandas
+    batch transform producing target geometry + output byte estimate
+    per asset. The kind filter runs on metadata BEFORE any payload
+    reaches Python (audio/video rows never cross the Arrow boundary),
+    and the stage is a pure map — partition-parallel at any scale.
+    The resize itself is the documented deterministic stub
+    (_fake_resize); the Spark surface — pushdown-able kind filter,
+    Arrow batching, output schema — is the real thing."""
+    import pandas as pd
+
+    a = assets(spark, sf_dir).filter(F.col("meta.kind") == "image")
+    schema = ("asset_id LONG, src_w INT, src_h INT, "
+              "scale DOUBLE, out_bytes LONG")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            geo = [_fake_resize(len(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].values,
+                "src_w": [g["src_w"] for g in geo],
+                "src_h": [g["src_h"] for g in geo],
+                "scale": [g["scale"] for g in geo],
+                "out_bytes": [g["out_bytes"] for g in geo],
+            })
+
+    return a.select("asset_id", "payload").mapInPandas(resize, schema)

@@ -188,3 +188,59 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
     )
+
+
+@register(
+    "udtf_python_tokenize",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> regexp_replace(x, '[^a-z'']', '', 'g')),
+                       w -> length(w) > 0) AS toks
+            FROM documents WHERE doc_id < 50)
+        SELECT t.doc_id,
+               CAST(i.i - 1 AS INT) AS pos,
+               t.toks[i.i] AS word
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) i
+    """,
+    tags=("udf", "udtf", "python-udtf"),
+)
+def udtf_python_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True class-based Python UDTF (Spark 4 ``@udtf``): one document
+    row in, one (pos, word) row per kept token out, invoked via
+    LATERAL in SQL — the row-multiplying extension point when the
+    fan-out logic genuinely needs Python (here it mirrors the
+    canonical tokenizer, so the DuckDB twin pins exact parity with
+    the JVM expression path, ``udtf_explode_bigrams``).
+
+    Scale note: a Python UDTF is the slow path (per-partition Python
+    workers, pickled rows) — it exists for API completeness and for
+    logic with no JVM equivalent; the engine's hot tokenize path stays
+    the codegen'd expression in functions/text.py. Capped at doc_id <
+    50 for the oracle tier accordingly."""
+    import re
+    from pyspark.sql.functions import udtf as sql_udtf
+
+    @sql_udtf(returnType="doc_id: bigint, pos: int, word: string")
+    class TokenizeUDTF:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            pos = 0
+            for raw in text.lower().split():
+                w = re.sub(r"[^a-z']", "", raw)
+                if w:
+                    yield doc_id, pos, w
+                    pos += 1
+
+    spark.udtf.register("mrwc_tokenize_udtf", TokenizeUDTF)
+    (load_table(spark, sf_dir, "documents")
+     .filter(F.col("doc_id") < 50)
+     .createOrReplaceTempView("docs_udtf_v"))
+    return spark.sql("""
+        SELECT t.doc_id, t.pos, t.word
+        FROM docs_udtf_v d,
+             LATERAL mrwc_tokenize_udtf(d.doc_id, d.text) t
+    """)

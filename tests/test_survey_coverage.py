@@ -58,7 +58,8 @@ COVERAGE = {
     "text_analysis": ["text_doc_stats", "text_tfidf", "text_quality_score",
                       "text_fingerprint", "text_token_count_bpe"],
     "multimodal": ["mm_metadata_stats", "mm_frame_sample",
-                   "mm_decode_features"],
+                   "mm_decode_features", "mm_resize_stub"],
+    "udtf_python_class": ["udtf_python_tokenize"],
     "temporal_rollup": ["time_rollup_multires"],
     "pivot_unpivot": ["agg_pivot", "agg_unpivot"],
     "sampling": ["sample_seeded"],
