@@ -59,6 +59,7 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",  # double-correlated exists/anti
     "contamination_5gram",      # broadcast n-gram semi-join
     "pack_sequences_offset",    # windowed cumulative packing
+    "text_bm25",                # BM25 retrieval scoring
 ]
 
 

@@ -505,3 +505,117 @@ def text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vec_max("tfidf"), 6).alias("max_weight"),
         F.udf(lambda v: int(v.values.size), "int")("tfidf").alias("n_terms"),
     )
+
+
+#: fixed query terms for the BM25 ranking demo (mid-frequency fixture words)
+BM25_TERMS = ("scan", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        stats AS (SELECT count(*) AS n_docs,
+                         avg(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT t.doc_id, u.w AS word, count(*) AS tf
+            FROM t, unnest(t.toks) AS u(w)
+            WHERE u.w IN ('scan', 'merge', 'window')
+            GROUP BY t.doc_id, u.w),
+        df AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
+        SELECT tf.doc_id,
+               count(*) AS n_terms_matched,
+               sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                        + {_BM25_B} * dl.dl / stats.avgdl))) AS score
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN df ON df.word = tf.word
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    """,
+    tags=("text", "ranking", "bm25"),
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed query-term set
+    — the retrieval-side sibling of text_tfidf (same tf/df/dl building
+    blocks, the scoring every search/RAG corpus pipeline needs).
+
+    Dataflow at scale: the corpus is tokenized once; tf is the only
+    fact-sized aggregate (one exchange on (doc_id, word), pre-filtered
+    to the query terms so almost all tokens die at the map side); df,
+    N, and avgdl are tiny aggregates broadcast back onto tf. Scoring
+    is a pure codegen'd expression; no global sort — callers top-k
+    with the window/limit operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    base = docs.select("doc_id", toks.alias("toks"))
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("word"))
+        .filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0)
+    per_term = (idf * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b
+                    + b * F.col("dl") / F.col("avgdl"))))
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms_matched"),
+             F.sum(per_term).alias("score"))
+    )
+
+
+#: heavy-hitter support threshold (fraction of total tokens)
+_HH_SUPPORT = 0.034
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        w AS (SELECT u.w AS word, count(*) AS cnt
+              FROM t, unnest(t.toks) AS u(w) GROUP BY u.w),
+        tot AS (SELECT sum(cnt) AS total FROM w)
+        SELECT w.word, w.cnt,
+               w.cnt / CAST(tot.total AS DOUBLE) AS freq
+        FROM w CROSS JOIN tot
+        WHERE w.cnt >= {_HH_SUPPORT} * tot.total
+    """,
+    tags=("text", "heavy-hitters", "aggregation"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: words whose frequency is ≥ a support
+    fraction of all tokens — the exact counterpart the Count-Min
+    sketch (sketches.py::sketch_count_min) approximates, kept
+    oracle-checked because it is plain SQL.
+
+    At scale this is the word count (one exchange, partial agg) plus a
+    1-row total broadcast back as the threshold — the second pass over
+    the *aggregated* table (|vocab| rows), never over the corpus.
+    The sketch variant exists for when even |vocab| is too big."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    counts = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(_HH_SUPPORT) * F.col("total"))
+        .select("word", "cnt",
+                (F.col("cnt") / F.col("total").cast("double")).alias("freq"))
+    )

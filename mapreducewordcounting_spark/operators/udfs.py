@@ -244,3 +244,76 @@ def udtf_python_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf_v d,
              LATERAL mrwc_tokenize_udtf(d.doc_id, d.text) t
     """)
+
+
+@register(
+    "cogroup_asof_pandas",
+    oracle="""
+        SELECT e.event_id,
+               e.user_id,
+               epoch_us(e.ts) AS purchase_us,
+               (SELECT epoch_us(max(s.ts)) FROM events s
+                WHERE s.user_id = e.user_id
+                  AND s.event_type = 'signup'
+                  AND s.ts <= e.ts) AS last_signup_us
+        FROM events e
+        WHERE e.event_type = 'purchase'
+    """,
+    tags=("udf", "cogroup", "applyInPandas", "asof"),
+)
+def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: purchases and signups grouped by
+    user on both sides, each pair of per-user groups handed to pandas
+    ``merge_asof`` — the two-input custom-operator extension point
+    (the API the engine offers when per-key logic needs both inputs at
+    once and SQL can't state it).
+
+    Same semantics and same oracle as temporal.py::join_asof, which IS
+    the engine's scale path (union-window, pure JVM); this variant
+    exists to cover the cogroup surface and double-checks the two
+    implementations against one oracle. Cost shape: one exchange per
+    side on user_id, then Arrow batches per key — fine when per-key
+    groups fit in memory, which is the cogroup contract."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts")
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": pd.array([], dtype="Int64"),
+                 "user_id": pd.array([], dtype="Int64"),
+                 "purchase_us": pd.array([], dtype="Int64"),
+                 "last_signup_us": pd.array([], dtype="Int64")})
+        left = left.sort_values("ts")
+        if right.empty:
+            merged = left.assign(ts_s=pd.NaT)
+        else:
+            # merge_asof keeps only the left 'ts'; rename the right one
+            # so the matched signup timestamp survives as its own column
+            m = pd.merge_asof(
+                left[["ts"]], right.sort_values("ts")
+                                   .rename(columns={"ts": "ts_match"}),
+                left_on="ts", right_on="ts_match",
+                direction="backward", allow_exact_matches=True)
+            merged = left.assign(ts_s=m["ts_match"].values)
+        us = merged["ts"].astype("datetime64[us]").astype("int64")
+        sig = merged["ts_s"].astype("datetime64[us]")
+        sig_us = pd.array(
+            [None if pd.isna(v) else int(v.value // 1000)
+             for v in sig], dtype="Int64")
+        return pd.DataFrame({
+            "event_id": merged["event_id"].astype("int64"),
+            "user_id": merged["user_id"].astype("int64"),
+            "purchase_us": us,
+            "last_signup_us": sig_us,
+        })
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(asof, "event_id long, user_id long, "
+                             "purchase_us long, last_signup_us long")
+    )

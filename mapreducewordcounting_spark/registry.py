@@ -86,6 +86,7 @@ def _load_all() -> None:
         stats,
         cdc,
         fn_extras,
+        sql_surface,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     _LOADED = True

@@ -60,6 +60,14 @@ COVERAGE = {
     "multimodal": ["mm_metadata_stats", "mm_frame_sample",
                    "mm_decode_features", "mm_resize_stub"],
     "udtf_python_class": ["udtf_python_tokenize"],
+    "sql_recursive_cte": ["sql_recursive_hierarchy"],
+    "sql_udf": ["sql_scalar_udf_charge", "sql_table_udf_trigrams"],
+    "variant_semi_structured": ["json_variant_extract"],
+    "web_url": ["web_url_host_stats"],
+    "time_gapfill": ["time_gapfill_weekly"],
+    "ranking_bm25": ["text_bm25"],
+    "heavy_hitters": ["text_heavy_hitters"],
+    "udf_cogroup": ["cogroup_asof_pandas"],
     "temporal_rollup": ["time_rollup_multires"],
     "pivot_unpivot": ["agg_pivot", "agg_unpivot"],
     "sampling": ["sample_seeded"],
