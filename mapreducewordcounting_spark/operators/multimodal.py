@@ -229,3 +229,55 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return a.select("asset_id", "payload").mapInPandas(resize, schema)
+
+
+@register(
+    "mm_decode_arrow",
+    oracle="""
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               count(*) AS n_assets,
+               sum(octet_length(encode(text))) AS total_bytes,
+               count(DISTINCT md5(text)) AS n_distinct_payloads
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("multimodal", "decode", "arrow"),
+)
+def mm_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode stage on ``mapInArrow``: pyarrow RecordBatches in and
+    out, skipping the Arrow→pandas→Arrow conversion that mapInPandas
+    pays per batch. For a decode stage whose Python side only touches
+    the payload bytes (every other column passes through), that
+    conversion is pure overhead — this is the engine's preferred shape
+    for binary-heavy stages. Same oracle as mm_decode_features, so the
+    two UDF transports are pinned to identical results."""
+    import hashlib
+
+    import pyarrow as pa
+
+    a = assets(spark, sf_dir).select(
+        "asset_id", F.col("meta.kind").alias("kind"), "payload")
+    schema = "asset_id LONG, kind STRING, n_bytes LONG, digest STRING"
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column("payload").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("asset_id"),
+                    batch.column("kind"),
+                    pa.array([len(p) for p in payloads], pa.int64()),
+                    pa.array([hashlib.md5(p).hexdigest() for p in payloads],
+                             pa.string()),
+                ],
+                names=["asset_id", "kind", "n_bytes", "digest"],
+            )
+
+    feats = a.mapInArrow(decode, schema)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.count_distinct("digest").alias("n_distinct_payloads"),
+    )

@@ -89,4 +89,5 @@ def _load_all() -> None:
         sql_surface,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
+    from mapreducewordcounting_spark.sources import pyds  # noqa: F401
     _LOADED = True

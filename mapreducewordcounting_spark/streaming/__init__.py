@@ -454,3 +454,92 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _has_protobuf() -> bool:
+    """transformWithState talks to the JVM state server over protobuf;
+    the dependency is optional in this container (SURVEY env rules:
+    gate, don't install)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running aggregate on ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState (typed state handles,
+    timers, TTL, RocksDB-backed). Same semantics as
+    stream_stateful_counter, so wherever both run they pin each other.
+
+    Registered only when protobuf is importable (the state-server
+    protocol needs it); on this container the applyInPandasWithState
+    variant is the exercised path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ])
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", StructType([StructField("n", LongType()),
+                                   StructField("v", DoubleType())]))
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, v = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._state.update((n, v))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "n_events": [n], "total_value": [v]})
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        counted = (
+            ev.withWatermark("ts", "30 minutes")
+            .groupBy("user_id")
+            .transformWithStateInPandas(Counter(), out_schema,
+                                        "Update", "ProcessingTime")
+        )
+        sink = f"mrwc_tws_{uuid.uuid4().hex[:8]}"
+        with _stream_partitions(spark):
+            q = (counted.writeStream.format("memory").queryName(sink)
+                 .outputMode("update").trigger(availableNow=True).start())
+            q.awaitTermination()
+        tbl = spark.table(sink)
+        return tbl.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+if _has_protobuf():  # pragma: no cover — absent in this container
+    register(
+        "stream_transform_with_state",
+        oracle=None,  # streaming; batch-twin equality in tests
+        tags=("streaming", "stateful", "transformWithState"),
+    )(stream_transform_with_state)

@@ -101,3 +101,27 @@ def test_incremental_ingest_matches_batch_dedup(spark, sf_dir):
         load_table(spark, sf_dir, "documents")
         .select(F.sha2("text", 256).alias("h")).distinct().count())
     assert row["n_distinct"] == batch_distinct
+
+
+def test_transform_with_state_equals_batch_agg(spark, sf_dir):
+    """transformWithStateInPandas twin of the stateful counter —
+    runnable only where protobuf exists (the state-server protocol
+    dependency, absent in this container; gated, not installed)."""
+    import pytest
+
+    from mapreducewordcounting_spark.streaming import (
+        _has_protobuf,
+        stream_transform_with_state,
+    )
+
+    if not _has_protobuf():
+        pytest.skip("google.protobuf not available in this environment")
+    stream = stream_transform_with_state(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    s = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in stream.collect()}
+    b = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
+    assert s == b

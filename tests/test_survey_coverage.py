@@ -68,6 +68,10 @@ COVERAGE = {
     "ranking_bm25": ["text_bm25"],
     "heavy_hitters": ["text_heavy_hitters"],
     "udf_cogroup": ["cogroup_asof_pandas"],
+    "udf_arrow_native": ["mm_decode_arrow"],
+    "source_python_datasource": ["pyds_wordcount"],
+    # transformWithState is protobuf-gated (streaming/__init__.py);
+    # registered only where the dependency exists, so not listed here.
     "temporal_rollup": ["time_rollup_multires"],
     "pivot_unpivot": ["agg_pivot", "agg_unpivot"],
     "sampling": ["sample_seeded"],
