@@ -156,3 +156,42 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity",
         F.cume_dist().over(w).alias("qty_cume"),
     )
+
+
+@register(
+    "fn_xml_roundtrip",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(event_id) AS sum_ids,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("xml", "semi-structured", "fn"),
+)
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML codec surface (``to_xml``/``from_xml``, Spark 4): each event
+    is serialized to an XML fragment and parsed back with an explicit
+    schema; the aggregate runs on the *parsed* values, so the oracle
+    (computed from the raw columns) proves the round-trip is the
+    identity — the same twin strategy as the decode and URL operators.
+    Both codecs are JVM expressions (no Python); at scale this is the
+    ingest path for XML feeds Spark lacks a native reader for in this
+    container (spark-xml's expression core is built in)."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = ev.select(
+        F.to_xml(F.struct("event_id", "event_type", "value")).alias("x"))
+    parsed = xml.select(
+        F.from_xml(
+            "x",
+            "event_id BIGINT, event_type STRING, value DOUBLE",
+        ).alias("r"))
+    return (
+        parsed.groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("r.event_id").alias("sum_ids"),
+             F.sum(F.col("r.value").cast("decimal(18,2)")).cast("double")
+             .alias("total_value"))
+    )

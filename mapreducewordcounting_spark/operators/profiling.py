@@ -1,0 +1,133 @@
+"""Data-profiling operators — the ANALYZE/statistics surface.
+
+The reference has no notion of data statistics (its only metadata is
+the file listing, sendFileByFile.cpp:422-444). An engine serving a
+100 TB corpus needs first-class profiling: per-column null/distinct/
+range stats (feeding CBO-style decisions and data-quality gates) and
+value histograms (skew diagnosis — the reference's own reducer hash
+was measurably skewed, SURVEY.md §4.2, and a histogram is how you see
+that before it burns a job).
+
+Both operators are single-pass over the fact table: the profile is one
+wide aggregate unpivoted to long form; the histogram groups on a
+codegen'd bucket expression. No sorts, no self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.functions.numeric import money
+from mapreducewordcounting_spark.registry import register
+
+#: numeric lineitem columns profiled (name → column)
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "profile_lineitem",
+    oracle="""
+        WITH agg AS (
+            SELECT count(*) AS n_rows,
+                   count(l_quantity) AS nn_q,
+                   count(DISTINCT l_quantity) AS nd_q,
+                   min(l_quantity) AS mn_q, max(l_quantity) AS mx_q,
+                   count(l_extendedprice) AS nn_p,
+                   count(DISTINCT l_extendedprice) AS nd_p,
+                   min(l_extendedprice) AS mn_p, max(l_extendedprice) AS mx_p,
+                   count(l_discount) AS nn_d,
+                   count(DISTINCT l_discount) AS nd_d,
+                   min(l_discount) AS mn_d, max(l_discount) AS mx_d
+            FROM lineitem)
+        SELECT 'l_quantity' AS col_name, n_rows,
+               n_rows - nn_q AS n_nulls, nd_q AS n_distinct,
+               mn_q AS min_val, mx_q AS max_val FROM agg
+        UNION ALL
+        SELECT 'l_extendedprice', n_rows, n_rows - nn_p, nd_p, mn_p, mx_p
+        FROM agg
+        UNION ALL
+        SELECT 'l_discount', n_rows, n_rows - nn_d, nd_d, mn_d, mx_d
+        FROM agg
+    """,
+    tags=("profiling", "statistics"),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (rows, nulls, distinct, min, max) in
+    long form — ANALYZE TABLE as a query. All metrics for all columns
+    come from a single wide aggregate (one scan); the per-column rows
+    are an unpivot of that 1-row result, not extra passes.
+
+    Scale note: the exact multi-column count(DISTINCT) expands the
+    input ×k before the shuffle (Spark's Expand); at 100 TB swap in
+    ``approx_count_distinct`` per column — same single-pass shape, no
+    expand — which is why the sketch variants sit beside every exact
+    cardinality operator in this engine (README scale posture)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stacked = wide.select(
+        "n_rows",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ])).alias("m"),
+    )
+    return stacked.select(
+        "m.col_name", "n_rows", "m.n_nulls", "m.n_distinct",
+        "m.min_val", "m.max_val")
+
+
+#: histogram bounds for o_totalprice (fixture range ⊂ [0, 600000))
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 600000.0, 12
+
+
+@register(
+    "agg_histogram_prices",
+    oracle=f"""
+        SELECT CAST(CASE WHEN o_totalprice < {_HIST_LO} THEN 0
+                         WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_N} + 1
+                         ELSE floor((o_totalprice - {_HIST_LO})
+                                / (({_HIST_HI} - {_HIST_LO}) / {_HIST_N})) + 1
+                    END AS BIGINT) AS bucket,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("profiling", "histogram", "width_bucket"),
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram via ``width_bucket`` — the skew
+    diagnostic (bucket counts ARE the key-distribution picture that
+    predicts shuffle hot spots). One hash aggregate on a codegen'd
+    bucket id; 14 output rows regardless of input size. The oracle
+    replicates width_bucket's exact floor arithmetic (DuckDB lacks the
+    function), pinning the boundary semantics: [lo, hi) in-range
+    buckets 1..n, underflow 0, overflow n+1."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(_HIST_LO), F.lit(_HIST_HI),
+                           F.lit(_HIST_N)).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(money("o_totalprice")).cast("double").alias("total_price"))
+    )

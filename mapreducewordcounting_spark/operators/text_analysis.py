@@ -619,3 +619,63 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "cnt",
                 (F.col("cnt") / F.col("total").cast("double")).alias("freq"))
     )
+
+
+#: vocabulary size for the coverage/OOV operator
+_VOCAB_K = 20
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        ex AS (SELECT doc_id, lang, u.w AS word
+               FROM t, unnest(t.toks) AS u(w)),
+        vocab AS (
+            SELECT word FROM (
+                SELECT word, count(*) AS cnt FROM ex GROUP BY word
+                ORDER BY cnt DESC, word ASC LIMIT {_VOCAB_K})),
+        per_doc AS (
+            SELECT e.doc_id, e.lang,
+                   count(*) AS n_toks,
+                   count(*) FILTER (WHERE e.word IN (SELECT word FROM vocab))
+                       AS n_in
+            FROM ex e GROUP BY e.doc_id, e.lang)
+        SELECT lang,
+               count(*) AS n_docs,
+               avg(1.0 - CAST(n_in AS DOUBLE) / n_toks) AS avg_oov_rate
+        FROM per_doc
+        GROUP BY lang
+    """,
+    tags=("text", "vocab", "oov", "training"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-K vocabulary from
+    the corpus itself, then measure each document's out-of-vocabulary
+    rate, rolled up per language — the coverage check run before
+    committing to a tokenizer vocab in a training pipeline.
+
+    Dataflow: word counts (one exchange), top-K of the *aggregated*
+    table (tiny sort), broadcast the K-row vocab back as a semi-join —
+    the corpus is scanned twice but shuffled once, and the second pass
+    joins map-side. Deterministic top-K: ties broken by word."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    ex = docs.select("doc_id", "lang", F.explode(toks).alias("word"))
+    vocab = (
+        ex.groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word")).limit(_VOCAB_K)
+        .select("word")
+    )
+    per_doc = (
+        ex.join(F.broadcast(vocab).withColumn("in_vocab", F.lit(1)),
+                "word", "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_toks"),
+             F.count("in_vocab").alias("n_in"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(1.0 - F.col("n_in").cast("double") / F.col("n_toks"))
+        .alias("avg_oov_rate"),
+    )

@@ -87,6 +87,7 @@ def _load_all() -> None:
         cdc,
         fn_extras,
         sql_surface,
+        profiling,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     from mapreducewordcounting_spark.sources import pyds  # noqa: F401

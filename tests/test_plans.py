@@ -129,3 +129,33 @@ def test_scan_is_vectorized_parquet(spark, sf_dir):
     plan = formatted_plan(agg_suite(spark, sf_dir))
     assert "Scan parquet" in plan
     assert "Batched: true" in plan  # vectorized columnar reader
+
+
+def test_join_hints_are_respected(spark, sf_dir):
+    """The engine exposes Spark's join-strategy hints as the manual
+    override lane: a MERGE hint must defeat the auto-broadcast of a
+    tiny dimension, and a BROADCAST hint must force the broadcast even
+    when the optimizer would shuffle — the knobs an operator author
+    reaches for when AQE's estimate is wrong at 100 TB."""
+    from mapreducewordcounting_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "supplier")
+
+    forced_merge = li.join(n.hint("merge"), li.l_suppkey == n.s_suppkey)
+    p = simple_plan(forced_merge)
+    assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p, p
+
+    forced_bc = li.join(n.hint("broadcast"), li.l_suppkey == n.s_suppkey)
+    assert has_broadcast_join(forced_bc)
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """The column profile must read the table once (one FileScan):
+    metrics fan out of a single wide aggregate, not per-column jobs."""
+    from mapreducewordcounting_spark.operators.profiling import (
+        profile_lineitem,
+    )
+
+    p = simple_plan(profile_lineitem(spark, sf_dir))
+    assert p.count("Scan parquet") == 1, p

@@ -69,6 +69,10 @@ COVERAGE = {
     "heavy_hitters": ["text_heavy_hitters"],
     "udf_cogroup": ["cogroup_asof_pandas"],
     "udf_arrow_native": ["mm_decode_arrow"],
+    "profiling_stats": ["profile_lineitem"],
+    "profiling_histogram": ["agg_histogram_prices"],
+    "vocab_oov": ["text_vocab_coverage"],
+    "fn_xml": ["fn_xml_roundtrip"],
     "source_python_datasource": ["pyds_wordcount"],
     # transformWithState is protobuf-gated (streaming/__init__.py);
     # registered only where the dependency exists, so not listed here.
