@@ -174,3 +174,67 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank",
                 F.round("cos", 6).alias("cosine"))
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   CAST(list_min(embedding) AS DOUBLE) AS mn,
+                   CAST(list_max(embedding) AS DOUBLE) AS mx
+            FROM embeddings),
+        s AS (SELECT vec_id, embedding, mn,
+                     (mx - mn) / 255.0 AS scale FROM e),
+        q AS (
+            SELECT vec_id,
+                   len(embedding) AS n_dims,
+                   CASE WHEN scale = 0
+                        THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding,
+                             x -> CAST(floor((CAST(x AS DOUBLE) - mn) / scale)
+                                       AS BIGINT)) END AS codes
+            FROM s)
+        SELECT vec_id, n_dims,
+               CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+               CAST(list_min(codes) AS BIGINT) AS min_code,
+               CAST(list_max(codes) AS BIGINT) AS max_code
+        FROM q
+    """,
+    tags=("similarity", "quantization", "training"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (min/max affine, 256 codes)
+    — the 4× storage/bandwidth cut applied before ANN indexing at
+    scale (IVF/PQ pipelines start exactly here). Pure array HOFs: a
+    map stage with no shuffle at all; codes live as an array<int>
+    beside the float vector.
+
+    The oracle recomputes the identical IEEE-double affine in DuckDB
+    (float→double widening is exact in both engines, so the code
+    assignment — including the boundary dim where x = max — is
+    bit-identical); checked on code sums/extrema per vector. Zero-range
+    vectors (max = min) quantize to all-zero codes via an explicit
+    guard rather than a 0/0 NaN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    base = emb.select(
+        "vec_id", "embedding", mn.alias("mn"),
+        ((mx - mn) / F.lit(255.0)).alias("scale"))
+    codes = F.when(F.col("scale") == 0, F.transform(
+        "embedding", lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor((x.cast("double") - F.col("mn"))
+                              / F.col("scale"))))
+    q = base.select(
+        "vec_id", F.size("embedding").alias("n_dims"),
+        codes.alias("codes"))
+    return q.select(
+        "vec_id", "n_dims",
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("sum_codes"),
+        F.array_min("codes").alias("min_code"),
+        F.array_max("codes").alias("max_code"),
+    )

@@ -126,3 +126,55 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.avg(F.pow(d, 4)) / F.pow(F.avg(F.pow(d, 2)), 2) - 3)
              .alias("kurt_excess"))
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.01) AS p01,
+                   quantile_cont(l_extendedprice, 0.99) AS p99
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag,
+               count(*) AS n_lines,
+               sum(CASE WHEN l.l_extendedprice < q.p01 THEN 1 ELSE 0 END)
+                   AS n_clipped_low,
+               sum(CASE WHEN l.l_extendedprice > q.p99 THEN 1 ELSE 0 END)
+                   AS n_clipped_high,
+               avg(least(greatest(l.l_extendedprice, q.p01), q.p99))
+                   AS winsorized_mean
+        FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+        GROUP BY l.l_returnflag
+    """,
+    tags=("stats", "percentile", "outliers"),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: clip each group's values to its own [p1, p99]
+    band, then average — the outlier-robust location estimate a
+    data-quality gate uses where a raw mean would follow one corrupt
+    row. Two aggregates over the group key: the quantile pass produces
+    a |groups|-row table broadcast back onto the fact scan, so the
+    fact data shuffles once per pass and never self-joins. At 100 TB
+    the quantile pass swaps to percentile_approx (same join shape,
+    bounded memory)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice",
+                          F.array(F.lit(0.01), F.lit(0.99))).alias("p"))
+        .select("l_returnflag", F.col("p")[0].alias("p01"),
+                F.col("p")[1].alias("p99"))
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")),
+                      F.col("p99"))
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(F.when(F.col("l_extendedprice") < F.col("p01"), 1)
+                   .otherwise(0)).alias("n_clipped_low"),
+             F.sum(F.when(F.col("l_extendedprice") > F.col("p99"), 1)
+                   .otherwise(0)).alias("n_clipped_high"),
+             F.avg(clipped).alias("winsorized_mean"))
+    )

@@ -376,3 +376,43 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return n.groupBy("lang").applyInPandas(
         pack, schema="doc_id long, lang string, n_tokens long, pack_id long")
+
+
+#: per-group sample size for the balanced subsample operator
+_PER_GROUP_N = 5
+
+
+@register(
+    "sample_per_group",
+    oracle=f"""
+        SELECT source, doc_id, rk FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                       AS rk
+            FROM documents)
+        WHERE rk <= {_PER_GROUP_N}
+    """,
+    tags=("sampling", "training", "window"),
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced subsample: exactly N documents per
+    source, chosen by ranking on md5(doc_id) — a keyed pseudo-random
+    order that is engine- and run-independent (the property seeded
+    ``sample()`` lacks across engines, which is why sample_seeded is
+    rows-only checked while this one is oracle-exact).
+
+    This is the per-group companion of the md5-bucket stratified
+    sampler: one window shuffle on the group key, no collect, and the
+    hash ordering guarantees no tie-ambiguity (md5 of distinct ids is
+    distinct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.select("source", "doc_id",
+                    F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _PER_GROUP_N)
+    )

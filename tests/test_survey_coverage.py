@@ -73,6 +73,9 @@ COVERAGE = {
     "profiling_histogram": ["agg_histogram_prices"],
     "vocab_oov": ["text_vocab_coverage"],
     "fn_xml": ["fn_xml_roundtrip"],
+    "stats_robust": ["agg_winsorized_mean"],
+    "sampling_per_group": ["sample_per_group"],
+    "vector_quantization": ["embedding_quantize_int8"],
     "source_python_datasource": ["pyds_wordcount"],
     # transformWithState is protobuf-gated (streaming/__init__.py);
     # registered only where the dependency exists, so not listed here.
