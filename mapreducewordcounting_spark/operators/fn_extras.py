@@ -195,3 +195,71 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("r.value").cast("decimal(18,2)")).cast("double")
              .alias("total_value"))
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(o_totalprice / nullif(o_custkey % 7, 0)) AS n_divisible,
+               avg(o_totalprice / nullif(o_custkey % 7, 0)) AS avg_ratio,
+               max(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER))
+                   AS prio_num,
+               count(TRY_CAST(o_orderpriority AS INTEGER)) AS n_full_castable
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("fn", "ansi", "try"),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: ``try_divide`` and ``try_cast``
+    turn would-be runtime errors (division by zero, malformed casts)
+    into NULLs — the posture that keeps a 100 TB job from dying on one
+    bad row while ANSI mode still catches real bugs elsewhere. The
+    oracle states the NULL semantics explicitly (nullif guard, strict
+    TRY_CAST), pinning that Spark's try_* family is *strict* — the
+    full-string cast of '1-URGENT' is NULL, not 1."""
+    o = load_table(spark, sf_dir, "orders")
+    ratio = F.try_divide("o_totalprice", F.col("o_custkey") % 7)
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count(ratio).alias("n_divisible"),
+        F.avg(ratio).alias("avg_ratio"),
+        F.max(F.split_part("o_orderpriority", F.lit("-"), F.lit(1))
+              .try_cast("int")).alias("prio_num"),
+        F.count(F.col("o_orderpriority").try_cast("int"))
+        .alias("n_full_castable"),
+    )
+
+
+@register(
+    "fn_collation_group",
+    oracle="""
+        WITH u AS (
+            SELECT source AS s FROM documents
+            UNION ALL
+            SELECT upper(source) FROM documents)
+        SELECT lower(s) AS source, count(*) AS n_rows
+        FROM u GROUP BY lower(s)
+    """,
+    tags=("fn", "collation", "string"),
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): the corpus's
+    source labels unioned with their uppercased forms collapse back to
+    one group each under ``UTF8_LCASE`` — case-insensitive semantics
+    declared on the *column*, so every comparison/group/join derived
+    from it inherits them (vs. sprinkling lower() at each use site,
+    which the oracle does to state the same semantics). Output is
+    re-normalized with lower() since a CI group's representative is
+    whichever casing arrived first."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(F.col("source").alias("s")).unionAll(
+        docs.select(F.upper("source").alias("s")))
+    ci = u.select(F.collate("s", "UTF8_LCASE").alias("s_ci"))
+    return (
+        ci.groupBy("s_ci").agg(F.count("*").alias("n_rows"))
+        .select(F.lower(F.col("s_ci").cast("string")).alias("source"),
+                "n_rows")
+    )

@@ -76,6 +76,9 @@ COVERAGE = {
     "stats_robust": ["agg_winsorized_mean"],
     "sampling_per_group": ["sample_per_group"],
     "vector_quantization": ["embedding_quantize_int8"],
+    "fn_ansi_try": ["fn_try_arithmetic"],
+    "collation": ["fn_collation_group"],
+    "catalog_ddl": [],  # CTAS/INSERT/views/cache/observe (tests/test_catalog_ddl.py)
     "source_python_datasource": ["pyds_wordcount"],
     # transformWithState is protobuf-gated (streaming/__init__.py);
     # registered only where the dependency exists, so not listed here.
