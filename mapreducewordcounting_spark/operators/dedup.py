@@ -150,6 +150,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     at 100× and one that scales with true-duplicate density.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Core of dedup_ngram_jaccard over any (doc_id, text) DataFrame —
+    split out so property-based tests can drive it with adversarial
+    random corpora (tests/test_hypothesis_dedup.py) against a
+    brute-force reference."""
     # Two-step projection: materialize the token array BEFORE shingling.
     # shingles() dereferences the array once per n-gram via element_at;
     # inlining the tokenizer there makes Spark re-run split+regexp per

