@@ -239,7 +239,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = HashingTF(inputCol="shingles", outputCol="features",
                    numFeatures=1 << 18, binary=True)
-    feats = tf.transform(sh)
+    # approxSimilarityJoin is a self-join: without the checkpoint the
+    # tokenizer → shingle → HashingTF pipeline executes once per side
+    # (and again under the ml MinHash explode); materialize it once.
+    feats = tf.transform(sh).localCheckpoint()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=16, seed=42)
     model = lsh.fit(feats)

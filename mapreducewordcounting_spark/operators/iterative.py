@@ -97,9 +97,11 @@ def pagerank(edges: DataFrame, nodes: DataFrame,
     aggregation (sum contributions by dst) — at 10⁹ edges that is the
     canonical pre-partitioned join (partition both sides on node id
     once and every iteration's shuffle is exchange-free). Dangling
-    mass (nodes with no out-edges) is a single scalar aggregate
-    broadcast back, keeping the distribution normalized. Driver holds
-    only per-iteration scalars, never data."""
+    mass (nodes with no out-edges) stays *inside the plan* as a 1-row
+    aggregate cross-joined (broadcast) onto the rank update — no
+    driver round-trip per iteration, so each iteration is exactly one
+    Spark job: the localCheckpoint that materializes the new ranks and
+    bounds lineage growth. Driver never holds data."""
     n = nodes.count()
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     e_norm = (edges.join(out_w, "src")
@@ -109,18 +111,19 @@ def pagerank(edges: DataFrame, nodes: DataFrame,
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     has_out = out_w.select(F.col("src").alias("node"))
     for _ in range(iters):
-        dangling = (ranks.join(has_out, "node", "leftanti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-                    .collect()[0]["dm"])
+        dm = (ranks.join(has_out, "node", "leftanti")
+              .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
         contrib = (e_norm.join(ranks, e_norm.src == ranks.node)
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow")))
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (nodes.select("node")
                  .join(contrib, "node", "left_outer")
+                 .crossJoin(F.broadcast(dm))
                  .select("node",
-                         (F.lit(base)
-                          + damping * F.coalesce(F.col("inflow"), F.lit(0.0)))
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping) * F.col("dm") / F.lit(float(n))
+                          + F.lit(damping)
+                          * F.coalesce(F.col("inflow"), F.lit(0.0)))
                          .alias("rank"))
                  .localCheckpoint())  # bound lineage growth across iterations
     return ranks
