@@ -83,3 +83,47 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "skew_key_histogram",
+    oracle="""
+        WITH freq AS (
+            SELECT l_partkey, count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT length(printf('%b', cnt)) - 1 AS freq_bucket,
+               count(*) AS n_keys,
+               min(cnt) AS min_freq,
+               max(cnt) AS max_freq,
+               sum(cnt) AS rows_covered
+        FROM freq
+        GROUP BY freq_bucket
+    """,
+    tags=("skew", "diagnostics", "histogram"),
+)
+def skew_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic: the log2 frequency histogram of a join/
+    aggregation key (here lineitem.l_partkey). Bucket b holds keys with
+    2^b ≤ freq < 2^(b+1); ``rows_covered`` shows where the shuffle
+    volume concentrates. This is the query you run BEFORE choosing
+    between a plain shuffle join, AQE skew splitting, and manual
+    salting (:func:`join_salted`): a heavy tail (rows concentrated in
+    the top buckets) means salt; a flat histogram means don't pay the
+    salting overhead.
+
+    Scale: two map-side-combinable aggregations — the first keyed by
+    the diagnosed key (same shuffle the real query would do, so its
+    cost predicts the real cost), the second on ≤64 buckets. The log2
+    bucket is computed with exact integer ops (binary-string length,
+    not float log2) so the result is engine-portable bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    bucket = (F.length(F.conv(F.col("cnt").cast("string"), 10, 2)) - 1)
+    return (
+        freq.groupBy(bucket.cast("long").alias("freq_bucket"))
+        .agg(F.count("*").alias("n_keys"),
+             F.min("cnt").alias("min_freq"),
+             F.max("cnt").alias("max_freq"),
+             F.sum("cnt").alias("rows_covered"))
+    )

@@ -679,3 +679,79 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(1.0 - F.col("n_in").cast("double") / F.col("n_toks"))
         .alias("avg_oov_rate"),
     )
+
+
+#: vocabulary size for the token-id mapping (control-sized by design)
+TOKEN_ID_VOCAB_K = 40
+
+
+@register(
+    "text_token_ids",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        words AS (SELECT unnest(toks) AS word FROM t),
+        counts AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+        vocab AS (
+            SELECT word, rn - 1 AS token_id
+            FROM (SELECT word, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, word) AS rn
+                  FROM counts)
+            WHERE rn <= {TOKEN_ID_VOCAB_K}
+        ),
+        pos_tok AS (
+            SELECT doc_id, i.i AS pos, toks[i.i] AS word
+            FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) i
+        ),
+        mapped AS (
+            SELECT p.doc_id, p.pos,
+                   coalesce(v.token_id, -1) AS tid
+            FROM pos_tok p LEFT JOIN vocab v USING (word)
+        )
+        SELECT doc_id,
+               list(tid ORDER BY pos) AS token_ids,
+               count(*) AS n_tokens,
+               sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_oov
+        FROM mapped GROUP BY doc_id
+    """,
+    tags=("text", "training", "tokenize", "vocab"),
+)
+def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids — the stage that turns a text corpus into model
+    input: build a frequency-ranked vocabulary (id = dense rank, ties
+    broken lexically so the mapping is engine- and run-deterministic),
+    then map every document to its ``array<long>`` of token ids with
+    OOV → -1.
+
+    Scale shape: the vocabulary is *control state* — top-K by a
+    map-side-combinable count + ``orderBy().limit(K)`` (TakeOrdered,
+    no global sort), then broadcast into the id-assignment join, so
+    the corpus-sized path is one explode + one broadcast join + one
+    groupBy(doc_id) reassembly. The final window that numbers the K
+    vocabulary rows runs on K rows only — the single-partition sort
+    everyone warns about is fine when its input is bounded by
+    construction. Positional order survives the shuffle via
+    array_sort(collect_list(struct(pos, id)))."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "word"))
+    counts = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    topk = counts.orderBy(F.desc("cnt"), "word").limit(TOKEN_ID_VOCAB_K)
+    vocab = topk.select(
+        "word",
+        (F.row_number().over(Window.orderBy(F.desc("cnt"), "word")) - 1)
+        .cast("long").alias("token_id"))
+    mapped = (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .select("doc_id", "pos",
+                F.coalesce("token_id", F.lit(-1).cast("long")).alias("tid"))
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s.tid).alias("token_ids"),
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("tid") == -1).cast("long")).alias("n_oov"),
+        )
+    )

@@ -88,6 +88,7 @@ def _load_all() -> None:
         fn_extras,
         sql_surface,
         profiling,
+        layout,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     from mapreducewordcounting_spark.sources import pyds  # noqa: F401

@@ -159,3 +159,35 @@ def test_profile_is_single_scan(spark, sf_dir):
 
     p = simple_plan(profile_lineitem(spark, sf_dir))
     assert p.count("Scan parquet") == 1, p
+
+
+def test_zorder_quantization_is_broadcast_not_shuffle(spark, sf_dir):
+    """layout_zorder's bounds join must be a broadcast nested-loop of a
+    1-row aggregate — fact rows are quantized in place; the only
+    fact-sized exchange is the 256-bucket groupBy."""
+    from mapreducewordcounting_spark.operators.layout import layout_zorder
+
+    df = layout_zorder(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_token_ids_vocab_is_broadcast(spark, sf_dir):
+    """text_token_ids: the vocabulary side of the id-assignment join
+    must be broadcast (control-sized by construction), never a
+    sort-merge over the exploded corpus."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_token_ids,
+    )
+
+    plan = simple_plan(text_token_ids(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_histogram_partial_aggregates(spark, sf_dir):
+    from mapreducewordcounting_spark.operators.skew import skew_key_histogram
+
+    df = skew_key_histogram(spark, sf_dir)
+    assert has_partial_aggregation(df)
