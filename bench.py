@@ -60,6 +60,9 @@ HEADLINE = [
     "contamination_5gram",      # broadcast n-gram semi-join
     "pack_sequences_offset",    # windowed cumulative packing
     "text_bm25",                # BM25 retrieval scoring
+    "cogroup_asof_pandas",      # bucketed cogroup applyInPandas
+    "layout_zorder",            # Morton-key layout stats
+    "text_token_ids",           # broadcast-vocab tokenize-to-ids
 ]
 
 
