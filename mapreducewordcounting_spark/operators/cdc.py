@@ -128,3 +128,39 @@ def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("ts_s").alias("valid_to"),
              F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "compact_keep_latest",
+    oracle="""
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM (SELECT user_id, event_id, event_type, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    tags=("cdc", "compaction", "window"),
+)
+def compact_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction: latest record per key — the read-side collapse
+    of an append-only change log (what Kafka compaction / Delta MERGE
+    materialize; here as a pure engine operator). Tie-break on
+    event_id so the winner is deterministic even with equal
+    timestamps.
+
+    Scale: one shuffle on the key, and the window is a
+    ``row_number() = 1`` filter — Spark rewrites that to a per-key
+    top-1 (WindowGroupLimit pushes the limit below the sort), so state
+    per key is O(1), not O(history). This is THE pattern for 100 TB
+    event logs; the anti-pattern it replaces is groupBy(max(ts)) +
+    self-join, which shuffles the log twice."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type",
+                F.unix_micros("ts").alias("ts_us"))
+    )

@@ -755,3 +755,53 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("tid") == -1).cast("long")).alias("n_oov"),
         )
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        wc AS (SELECT source, unnest(toks) AS word FROM t),
+        counts AS (SELECT source, word, count(*) AS cnt
+                   FROM wc GROUP BY source, word),
+        tot AS (SELECT source, sum(cnt) AS n_tokens FROM counts
+                GROUP BY source)
+        SELECT c.source,
+               any_value(t.n_tokens) AS n_tokens,
+               count(*) AS vocab_size,
+               -sum((CAST(c.cnt AS DOUBLE) / t.n_tokens)
+                    * log2(CAST(c.cnt AS DOUBLE) / t.n_tokens))
+                   AS entropy_bits
+        FROM counts c JOIN tot t USING (source)
+        GROUP BY c.source
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution (bits) —
+    the corpus-diversity quality signal: near-zero entropy flags
+    template/boilerplate sources, high entropy flags natural text.
+    Complements the per-document repetition signals
+    (training_ops.py) with a per-slice aggregate view.
+
+    Scale: two map-side-combinable aggregations — (source, word)
+    counts, then a per-source fold; the totals side of the join is
+    |sources| rows (broadcast). Entropy is algebraic over the count
+    table: nothing in the plan holds more than the slice vocabulary,
+    and the approx path past memory is sketched frequency (Count-Min)
+    feeding the same formula."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    counts = (
+        docs.select("source", F.explode(toks).alias("word"))
+        .groupBy("source", "word").agg(F.count("*").alias("cnt"))
+    )
+    tot = counts.groupBy("source").agg(F.sum("cnt").alias("n_tokens"))
+    p = F.col("cnt").cast("double") / F.col("n_tokens")
+    return (
+        counts.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(F.any_value("n_tokens").alias("n_tokens"),
+             F.count("*").alias("vocab_size"),
+             (-F.sum(p * F.log2(p))).alias("entropy_bits"))
+    )

@@ -191,3 +191,13 @@ def test_skew_histogram_partial_aggregates(spark, sf_dir):
 
     df = skew_key_histogram(spark, sf_dir)
     assert has_partial_aggregation(df)
+
+
+def test_keep_latest_uses_window_group_limit(spark, sf_dir):
+    """compact_keep_latest must compile to partial+final WindowGroupLimit
+    (per-key top-1 pushed below the exchange — the window analogue of
+    map-side combine), never a full per-key sort of history."""
+    from mapreducewordcounting_spark.operators.cdc import compact_keep_latest
+
+    plan = simple_plan(compact_keep_latest(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
