@@ -416,3 +416,60 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _PER_GROUP_N)
     )
+
+
+#: weighted-sample size (control-sized)
+WEIGHTED_SAMPLE_K = 200
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id, source, n_chars,
+                   (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 13)) AS BIGINT) + 1)
+                       / 4503599627370496.0 AS unif
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars,
+               CAST(n_chars AS DOUBLE) / unif AS priority
+        FROM u
+        ORDER BY priority DESC, doc_id
+        LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+    tags=("training", "sampling", "weighted"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (priority sampling,
+    Duffield/Lund/Thorup): inclusion probability ∝ weight (here
+    n_chars — longer documents sampled more), via key = w/u with u a
+    keyed pseudo-uniform from md5 — deterministic on any cluster, any
+    partitioning, any engine. The training-data-mixing primitive:
+    sample a corpus slice proportional to document length (≈ token
+    contribution) without materializing per-token rows.
+
+    Why this is oracle-EXACT while classic A-ES (u^(1/w)) could not
+    be: IEEE-754 division is correctly rounded, so w/u is bit-identical
+    in every engine, whereas pow() is only faithfully rounded and may
+    differ in the last ulp across libm implementations — enough to
+    flip a rank at the selection boundary. The uniform comes from 52
+    md5 bits (13 hex chars), exactly representable in a double; +1
+    keeps it in (0, 1].
+
+    Scale: pure map stage + TakeOrdered top-K — no shuffle of the
+    corpus, no RNG state. K per-partition heaps of size
+    {WEIGHTED_SAMPLE_K} merge on the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    unif = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("bigint") + 1)
+        / F.lit(float(1 << 52))
+    )
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            (F.col("n_chars").cast("double") / unif).alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
