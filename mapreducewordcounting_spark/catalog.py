@@ -24,13 +24,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. ``name`` must be in :data:`TABLES`.
 
-    ``events.ts`` is ns-precision parquet (TIMESTAMP(NANOS)), which
-    Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).
-    The supported path is ``spark.sql.legacy.parquet.nanosAsLong``:
-    read the raw int64 nanos, then integer-divide to µs and rebuild a
-    TimestampType column — so every consumer sees a normal timestamp
-    (truncated ns→µs; oracle-checked queries stay ≥second granularity,
-    SURVEY.md §7.3 item 3).
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: µs-precision TIMESTAMP (reads as TIMESTAMP_NTZ) and
+    ns-precision TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects outright, PARQUET_TYPE_ILLEGAL, unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` maps it to raw int64).
+    We branch on the *observed* type rather than assuming a generation,
+    and normalize every variant to session-tz TimestampType so all
+    downstream operators (windows, watermarks, oracle hashing) see one
+    stable schema.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -41,12 +43,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        # `ts div 1000` (integer division) — a double division would
-        # lose precision above 2^53 ns (~104 days of epoch-nanos).
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # ns-precision fixture: re-read with nanos surfaced as int64.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Raw epoch-nanos. `ts div 1000` (integer division) — a
+            # double division would lose precision above 2^53 ns.
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            # NTZ → LTZ is value-identity under the UTC session tz
+            # pinned above; keeps one TimestampType across fixtures.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

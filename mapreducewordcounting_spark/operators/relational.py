@@ -731,7 +731,7 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS nations,
+               array_to_string(list_sort(list(n_name)), '|') AS nations,
                len(list_distinct(list(n_name))) AS n_distinct
         FROM nation
         GROUP BY n_regionkey
@@ -740,11 +740,15 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list into a sorted array (sorted for determinism —
-    bare collect_list order is partitioning-dependent). Dimension-sized
-    groups only: collecting a fact table into one row is the
-    unbounded-state anti-pattern."""
+    bare collect_list order is partitioning-dependent), surfaced as a
+    '|'-joined string: the driver's canonicalizer sorts+hashes pandas
+    values, and Python lists are unhashable, so array-typed *result*
+    columns can't be oracle-compared (round-1 CORRECTNESS err).
+    Dimension-sized groups only: collecting a fact table into one row
+    is the unbounded-state anti-pattern."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|")
+        .alias("nations"),
         F.size(F.array_distinct(F.collect_list("n_name"))).alias("n_distinct"),
     )

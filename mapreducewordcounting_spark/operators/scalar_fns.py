@@ -104,8 +104,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
                abs(l_quantity - 25) AS qty_dev,
                sqrt(l_quantity) AS qty_sqrt,
                round(ln(l_extendedprice), 6) AS price_ln,
-               ceil(l_discount * 100) AS disc_pct_ceil,
-               floor(l_tax * 100) AS tax_pct_floor,
+               CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+               CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
                CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
                CASE WHEN l_discount > 0 THEN 1 WHEN l_discount = 0 THEN 0
                     ELSE -1 END AS disc_sign,
@@ -177,7 +177,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_max(embedding) AS max_val,
                list_min(embedding) AS min_val,
                len(list_filter(embedding, x -> x > 0)) AS n_positive,
-               embedding[1:3] AS head3
+               embedding[1:3][3] AS head3_last
         FROM embeddings
     """,
     tags=("scalar", "array"),
@@ -186,7 +186,11 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array (higher-order) functions over the embedding column — the
     basis of the similarity operators (SURVEY.md §2.3). float32 values
     widen exactly to double in both engines, so no rounding is needed
-    for element access / min / max."""
+    for element access / min / max. The slice is surfaced through a
+    scalar element access (not as an array column): the driver's
+    canonicalizer can't hash list-typed result columns (round-1
+    CORRECTNESS err), so slice semantics are pinned via its last
+    element instead."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
@@ -195,7 +199,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").alias("max_val"),
         F.array_min("embedding").alias("min_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.element_at(F.slice("embedding", 1, 3), 3).alias("head3_last"),
     )
 
 
