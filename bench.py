@@ -63,6 +63,8 @@ HEADLINE = [
     "cogroup_asof_pandas",      # bucketed cogroup applyInPandas
     "layout_zorder",            # Morton-key layout stats
     "text_token_ids",           # broadcast-vocab tokenize-to-ids
+    "sink_partitioned_prune",   # partitioned parquet sink + pruned read
+    "source_csv_roundtrip",     # CSV sink + explicit-schema source
 ]
 
 

@@ -47,8 +47,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         try:
             df = spark.read.parquet(path)
-        except Exception:
-            # ns-precision fixture: re-read with nanos surfaced as int64.
+        except Exception as exc:
+            # Only the ns-precision fixture earns the nanosAsLong retry
+            # (mutating session config); anything else — missing file,
+            # corrupt footer, permissions — re-raises the original error
+            # rather than masking it behind a confusing second failure.
+            if "PARQUET_TYPE_ILLEGAL" not in str(exc) and \
+                    "Illegal Parquet type" not in str(exc):
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType

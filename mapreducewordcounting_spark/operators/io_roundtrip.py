@@ -1,0 +1,212 @@
+"""Source/sink round-trips: CSV, JSON-lines, text-dir, partitioned parquet.
+
+The reference's only source is a directory of whitespace-delimited text
+files (O1 dir scan at sendFileByFile.cpp:422-444, O3 token scan at
+:82-88) and its only sink is per-partition ``word count\\n`` text files
+(O13, :376-392). These queries make both ends first-class *oracle-checked*
+operators — each one writes a real sink, reads it back through the
+matching source, and aggregates, with the DuckDB oracle computing the
+same aggregate straight from the original parquet. A round-trip bug
+(quoting, schema drift, partition-column loss, newline splitting) shows
+up as a value-hash mismatch, not just a unit-test failure.
+
+Scale posture (100 TB):
+- Every read supplies an EXPLICIT schema — ``inferSchema`` is a full
+  extra pass over the data and is never acceptable at scale.
+- The partitioned sink demonstrates partition pruning: the read-back
+  filter lands in ``PartitionFilters`` (asserted in
+  tests/test_io_roundtrip.py), so a 100 TB store scans only the
+  selected partition's files.
+- Round-trip aggregates stick to engine-exact values (counts, integer
+  sums, min/max) so the check pins the IO path, not float-summation
+  order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.functions.text import tokenize_canonical
+from mapreducewordcounting_spark.operators.wordcount import _ORACLE_WORDCOUNT
+from mapreducewordcounting_spark.registry import register
+
+#: repo-local scratch root (gitignored). Keyed by sf-dir basename so
+#: correctness (sf0.01) and bench (sf0.1) runs never share files.
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch", "io",
+)
+
+
+def _io_path(sf_dir: str, name: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_SCRATCH, sf_name, name)
+
+
+@register(
+    "source_text_dir_wordcount",
+    oracle=_ORACLE_WORDCOUNT,
+    tags=("source", "sink", "text"),
+)
+def source_text_dir_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal IO shape: corpus as a DIRECTORY OF TEXT
+    FILES (O1/O3), word-counted via ``spark.read.text``. The corpus is
+    first materialized through the text sink (one file per partition —
+    the reference's per-thread output layout, O13), then re-scanned.
+    Embedded newlines split documents across lines, which is exactly
+    why this shares the flagship oracle: whitespace tokenization is
+    invariant to line boundaries, so the word multiset must survive the
+    round-trip bit-for-bit."""
+    path = _io_path(sf_dir, "textdir")
+    docs = load_table(spark, sf_dir, "documents")
+    # text sink: single non-null string column
+    docs.select(F.coalesce("text", F.lit("")).alias("value")) \
+        .write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return (
+        lines.select(F.explode(tokenize_canonical("value")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_CSV_SCHEMA = StructType([
+    StructField("l_orderkey", LongType()),
+    StructField("l_quantity", DoubleType()),
+    StructField("l_extendedprice", DoubleType()),
+    StructField("l_returnflag", StringType()),
+    StructField("l_linestatus", StringType()),
+    StructField("l_shipdate", DateType()),
+])
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               sum(l_orderkey) AS sum_orderkey,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               min(CAST(l_shipdate AS DATE)) AS first_ship,
+               max(CAST(l_shipdate AS DATE)) AS last_ship
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("source", "sink", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → CSV sink (header) → CSV source (EXPLICIT schema, no
+    inferSchema pass) → aggregate; oracle aggregates the original
+    parquet, so any quoting/parsing/precision loss in the CSV path
+    breaks the hash. Doubles round-trip exactly (Java Double.toString
+    is shortest-exact); aggregates are min/max + exact integer sums so
+    the comparison is order-insensitive."""
+    path = _io_path(sf_dir, "csv")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+    li.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+_JSON_SCHEMA = StructType([
+    StructField("o_orderkey", LongType()),
+    StructField("o_custkey", LongType()),
+    StructField("o_orderstatus", StringType()),
+    StructField("o_totalprice", DoubleType()),
+    StructField("o_orderpriority", StringType()),
+])
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(o_custkey) AS sum_custkey,
+               count(DISTINCT o_orderstatus) AS n_statuses,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("source", "sink", "json"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON-lines sink → JSON source (explicit schema) →
+    aggregate vs the original parquet. JSON-lines is the interchange
+    format of LLM corpus pipelines; the explicit-schema read skips
+    Spark's schema-inference pass (a full extra scan at 100 TB)."""
+    path = _io_path(sf_dir, "json")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority",
+    )
+    o.write.mode("overwrite").json(path)
+    back = spark.read.schema(_JSON_SCHEMA).json(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_custkey").alias("sum_custkey"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "sink_partitioned_prune",
+    oracle="""
+        SELECT user_id % 8 AS user_bucket,
+               count(*) AS n_events,
+               sum(user_id) AS sum_user,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id % 8
+    """,
+    tags=("source", "sink", "partitioning"),
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink (``partitionBy(event_type)``)
+    + pruned read-back: the ``event_type = 'purchase'`` filter resolves
+    against DIRECTORY NAMES (``PartitionFilters`` in the scan — plan
+    asserted in tests/test_io_roundtrip.py), so at 100 TB only the one
+    partition's files are listed and scanned. The oracle filters the
+    unpartitioned original, proving the sink dropped/duplicated
+    nothing and the partition column survives the directory encoding."""
+    path = _io_path(sf_dir, "part_events")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return back.groupBy(
+        (F.col("user_id") % 8).alias("user_bucket"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_id").alias("sum_user"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

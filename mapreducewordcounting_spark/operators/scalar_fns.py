@@ -177,7 +177,10 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_max(embedding) AS max_val,
                list_min(embedding) AS min_val,
                len(list_filter(embedding, x -> x > 0)) AS n_positive,
-               embedding[1:3][3] AS head3_last
+               len(embedding[1:3]) AS head3_len,
+               embedding[1:3][1] AS head3_1,
+               embedding[1:3][2] AS head3_2,
+               embedding[1:3][3] AS head3_3
         FROM embeddings
     """,
     tags=("scalar", "array"),
@@ -186,12 +189,15 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array (higher-order) functions over the embedding column — the
     basis of the similarity operators (SURVEY.md §2.3). float32 values
     widen exactly to double in both engines, so no rounding is needed
-    for element access / min / max. The slice is surfaced through a
-    scalar element access (not as an array column): the driver's
-    canonicalizer can't hash list-typed result columns (round-1
-    CORRECTNESS err), so slice semantics are pinned via its last
-    element instead."""
+    for element access / min / max. The slice is pinned by LENGTH plus
+    every element as scalar double columns (not as an array column —
+    the driver's canonicalizer can't hash list-typed result columns,
+    round-1 CORRECTNESS err; and not string-joined — double→string
+    formatting differs between engines while the doubles themselves
+    hash exactly). A slice bug returning wrong length or extra/altered
+    elements now fails the hash (round-2 ADVICE)."""
     e = load_table(spark, sf_dir, "embeddings")
+    head3 = F.slice("embedding", 1, 3)
     return e.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
@@ -199,7 +205,10 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").alias("max_val"),
         F.array_min("embedding").alias("min_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
-        F.element_at(F.slice("embedding", 1, 3), 3).alias("head3_last"),
+        F.size(head3).alias("head3_len"),
+        F.element_at(head3, 1).alias("head3_1"),
+        F.element_at(head3, 2).alias("head3_2"),
+        F.element_at(head3, 3).alias("head3_3"),
     )
 
 

@@ -1,0 +1,57 @@
+"""Source/sink round-trip invariants beyond the oracle hash:
+plan-shape proof that the partitioned sink actually prunes, and that
+the text-dir source reproduces the flagship result exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.operators import io_roundtrip as io
+from mapreducewordcounting_spark.registry import all_queries
+
+
+def test_partitioned_read_prunes(spark, sf_dir):
+    """The event_type filter must resolve as a PartitionFilter (directory
+    pruning), not a data filter — at 100 TB this is the difference
+    between listing one partition and scanning the whole store."""
+    df = all_queries()["sink_partitioned_prune"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pushed partition predicate names the partition column
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf_line
+    # and it is NOT re-checked as a post-scan data filter on parquet rows
+    assert "PushedFilters: [], " in plan or "PushedFilters: []" in plan
+
+
+def test_text_dir_equals_flagship(spark, sf_dir):
+    """Round-tripping the corpus through the text sink/source must not
+    change the word multiset (line splits are whitespace)."""
+    qs = all_queries()
+    via_text = qs["source_text_dir_wordcount"].fn(spark, sf_dir)
+    direct = qs["wordcount_canonical"].fn(spark, sf_dir)
+    assert via_text.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_text).count() == 0
+
+
+def test_csv_preserves_row_count(spark, sf_dir):
+    df = all_queries()["source_csv_roundtrip"].fn(spark, sf_dir)
+    total = df.agg(F.sum("n_rows").alias("n")).collect()[0]["n"]
+    assert total == load_table(spark, sf_dir, "lineitem").count()
+
+
+def test_partitioned_sink_layout(spark, sf_dir, tmp_path):
+    """partitionBy writes hive-style directories, one per value."""
+    import os
+    all_queries()["sink_partitioned_prune"].fn(spark, sf_dir).collect()
+    root = io._io_path(sf_dir, "part_events")
+    types = sorted(
+        d.split("=", 1)[1] for d in os.listdir(root)
+        if d.startswith("event_type=")
+    )
+    ev_types = [
+        r["event_type"] for r in load_table(spark, sf_dir, "events")
+        .select("event_type").distinct().collect()
+    ]
+    assert types == sorted(ev_types)

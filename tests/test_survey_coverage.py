@@ -137,6 +137,24 @@ def test_every_category_covered():
     assert not missing, f"survey categories with unregistered queries: {missing}"
 
 
+def test_priority_window_is_broad_and_oracled():
+    """The first 50 queries feed the driver's externally recorded
+    CORRECTNESS window (registry._PRIORITY): every one must be
+    oracle-backed, and the window must span the major families rather
+    than re-checking one module's block."""
+    from mapreducewordcounting_spark.registry import _PRIORITY
+    specs = all_queries()
+    names = list(specs)
+    assert [n for n in _PRIORITY if n not in specs] == []
+    window = names[:50]
+    assert all(specs[n].oracle is not None for n in window), (
+        [n for n in window if specs[n].oracle is None])
+    families = {specs[n].tags[0] for n in window if specs[n].tags}
+    assert {"flagship", "relational", "window", "scalar", "text", "dedup",
+            "similarity", "temporal", "tpch", "training",
+            "streaming"} <= families, families
+
+
 def test_oracle_coverage_ratio():
     """At least 75% of the registry must be oracle-checked (rows-only
     is reserved for sketches/LSH/streaming — SURVEY.md §5.2)."""
