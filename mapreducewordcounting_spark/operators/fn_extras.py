@@ -263,3 +263,75 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower(F.col("s_ci").cast("string")).alias("source"),
                 "n_rows")
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+               sum(l_orderkey) FILTER (WHERE l_linestatus = 'F')
+                   AS sum_key_finished,
+               max(l_extendedprice) FILTER (WHERE l_tax < 0.03)
+                   AS max_price_lowtax
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("fn", "agg", "filter-clause"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the SQL FILTER clause): several
+    differently-predicated aggregates in ONE pass over the fact table —
+    the scale-correct alternative to N filtered scans or a self-join
+    per condition. DataFrame side uses count_if / when-guarded
+    aggregates, which compile into the same single partial+final
+    HashAggregate; sums stick to exact integers so the check is
+    order-insensitive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_orderkey")))
+        .alias("sum_key_finished"),
+        F.max(F.when(F.col("l_tax") < 0.03, F.col("l_extendedprice")))
+        .alias("max_price_lowtax"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY count(*) DESC,
+                                               o_orderpriority DESC) AS rn
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority)
+        SELECT o_orderstatus,
+               o_orderpriority AS mode_priority,
+               n AS mode_count
+        FROM c WHERE rn = 1
+    """,
+    tags=("fn", "agg", "mode"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) with a DETERMINISTIC tie-break: the
+    bare ``mode()`` builtin is engine- and partitioning-nondeterministic
+    on ties (the sf0.001 fixture really has one), so the engine's mode
+    is arg-max over (count, value) — largest count, then largest value,
+    total order, any engine, any partitioning. Two hash aggregates,
+    both map-side combined; the second one's input is |statuses × 
+    priorities| rows, so the heavy shuffle is only the first."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"))
+    return c.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderpriority",
+                 F.struct(F.col("n"), F.col("o_orderpriority")))
+        .alias("mode_priority"),
+        F.max("n").alias("mode_count"),
+    )

@@ -100,3 +100,45 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("px").alias("p_min"), F.max("px").alias("p_max"),
              F.min("sx").alias("s_min"), F.max("sx").alias("s_max"))
     )
+
+
+@register(
+    "layout_compact_files",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               count(DISTINCT doc_id) AS n_distinct_ids
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("layout", "compaction", "sink"),
+)
+def layout_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance operation that
+    keeps a 100 TB table scannable. A fragmented copy of the corpus is
+    produced first (``maxRecordsPerFile`` caps rows per file — the
+    shape left behind by streaming ingest or over-parallel writers:
+    every file carries footer/open/seek overhead and its own parquet
+    dictionary, and at 10⁶+ files the driver's split planning itself
+    becomes the bottleneck). Compaction is then a single
+    ``repartition(target)`` rewrite — a round-robin shuffle whose
+    target count a real deployment derives from bytes/128 MiB; AQE's
+    partition coalescing handles the long tail automatically. The
+    oracle aggregates the ORIGINAL table, so the check proves the
+    rewrite preserved every row and every value through both hops.
+    """
+    from mapreducewordcounting_spark.operators.io_roundtrip import _io_path
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag = _io_path(sf_dir, "fragmented_docs")
+    docs.write.mode("overwrite").option("maxRecordsPerFile", 50).parquet(frag)
+    compacted = _io_path(sf_dir, "compacted_docs")
+    spark.read.parquet(frag).repartition(4) \
+        .write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("doc_id").alias("n_distinct_ids"),
+    )

@@ -232,3 +232,30 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w_full).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               percent_rank() OVER w AS pct_rank,
+               CAST(floor(percent_rank() OVER w * 4) AS BIGINT) AS quartile
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+    """,
+    tags=("window", "ranking", "distribution"),
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank (relative rank in [0,1]) + derived quartile per
+    nation — the distribution-position primitive behind quantile
+    bucketing. Rank-based, so ties produce identical values in every
+    engine (unlike row_number on a non-unique order). One shuffle on
+    the partition key, same as any window over a fact."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    pr = F.percent_rank().over(w)
+    return s.select(
+        "s_suppkey", "s_nationkey",
+        pr.alias("pct_rank"),
+        F.floor(pr * 4).cast("long").alias("quartile"),
+    )

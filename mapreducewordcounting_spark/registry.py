@@ -57,13 +57,14 @@ def register(name: str, oracle: str | None = None,
 _PRIORITY: tuple[str, ...] = (
     "wordcount_canonical", "wordcount_rdd",
     "filter_project",
+    "source_text_dir_wordcount", "sink_partitioned_prune",
     "join_broadcast_dim", "join_fact_fact", "join_semi", "join_anti",
-    "join_full_outer", "join_theta", "join_star_schema",
+    "join_full_outer", "join_star_schema",
     "agg_suite", "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_pivot", "agg_argminmax", "agg_collect",
     "topk_global", "setop_except", "subquery_correlated",
     "window_topk_per_group", "window_running_total", "window_lag_lead",
-    "window_moving_frame", "window_range_frame",
+    "window_range_frame",
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_json",
     "text_doc_stats", "text_tfidf", "text_bm25", "text_lang_id",
     "text_quality_score", "text_fingerprint",
@@ -81,7 +82,9 @@ _PRIORITY: tuple[str, ...] = (
     "udaf_median_per_brand", "udf_pandas_cosine",
     "sketch_bloom_semijoin", "agg_percentiles", "join_salted",
     "sql_recursive_hierarchy", "layout_zorder", "profile_lineitem",
-    "sample_stratified_hash",
+    "sample_stratified_hash", "agg_filter_clause",
+    "agg_mode_deterministic", "window_percent_rank",
+    "source_csv_roundtrip", "source_json_roundtrip",
 )
 
 

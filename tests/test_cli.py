@@ -71,3 +71,10 @@ def test_cli_bad_args():
     r = _run_cli()  # missing required args
     assert r.returncode == 2
     assert "usage" in (r.stderr + r.stdout).lower()
+
+
+def test_explain_list():
+    """explain --list enumerates the registry without a SparkSession."""
+    from mapreducewordcounting_spark.explain import main
+    assert main(["--list"]) == 0
+    assert main(["no_such_query"]) == 2

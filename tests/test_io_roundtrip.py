@@ -55,3 +55,16 @@ def test_partitioned_sink_layout(spark, sf_dir, tmp_path):
         .select("event_type").distinct().collect()
     ]
     assert types == sorted(ev_types)
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """The fragmented copy has many small parquet files; the compacted
+    rewrite collapses them to the target partition count."""
+    import glob
+    import os
+    all_queries()["layout_compact_files"].fn(spark, sf_dir).collect()
+    frag = glob.glob(os.path.join(io._io_path(sf_dir, "fragmented_docs"),
+                                  "*.parquet"))
+    comp = glob.glob(os.path.join(io._io_path(sf_dir, "compacted_docs"),
+                                  "*.parquet"))
+    assert len(comp) <= 4 < len(frag)
