@@ -65,6 +65,7 @@ HEADLINE = [
     "text_token_ids",           # broadcast-vocab tokenize-to-ids
     "sink_partitioned_prune",   # partitioned parquet sink + pruned read
     "source_csv_roundtrip",     # CSV sink + explicit-schema source
+    "dedup_minhash_det",        # map-stage MinHash signatures + band join
 ]
 
 

@@ -100,10 +100,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-        WITH t AS ({_SQL_TOKS}),
+#: DuckDB CTE body computing the exact 3-gram Jaccard >= 0.8 pairs
+#: (shared by the pair query's oracle and the clusters oracle).
+_SQL_JACCARD_CTES = f"""
+        t AS ({_SQL_TOKS}),
         sh AS (
             SELECT doc_id,
                    list_distinct(list_transform(range(1, len(toks) - 1),
@@ -117,14 +117,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
             FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
+        ),
+        jacc AS (
+            SELECT i.id_a, i.id_b,
+                   CAST(i.n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON i.id_a = sa.doc_id
+            JOIN sizes sb ON i.id_b = sb.doc_id
+            WHERE CAST(i.n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
         )
-        SELECT i.id_a, i.id_b,
-               CAST(i.n_common AS DOUBLE)
-                   / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
-        FROM inter i
-        JOIN sizes sa ON i.id_a = sa.doc_id
-        JOIN sizes sb ON i.id_b = sb.doc_id
-        WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_SQL_JACCARD_CTES}
+        SELECT id_a, id_b, jaccard FROM jacc
     """,
     tags=("dedup", "neardup", "jaccard"),
 )
@@ -376,8 +387,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
 
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative transitive closure — invariants tested in
-    # tests/test_dedup.py (endpoint agreement, survivor = cluster min).
+    # The iterative min-label loop IS SQL-expressible for this graph:
+    # near-dup components are tiny, so a recursive CTE that enumerates
+    # every (node, reachable-node) pair and takes min per node is an
+    # exact oracle — upgrading this from the weaker rows-only check.
+    # UNION (distinct) is what terminates the recursion on the cyclic
+    # undirected graph.
+    oracle=f"""
+        WITH RECURSIVE {_SQL_JACCARD_CTES},
+        edges AS (
+            SELECT id_a, id_b FROM jacc
+            UNION ALL
+            SELECT id_b, id_a FROM jacc
+        ),
+        reach(node, label) AS (
+            SELECT DISTINCT id_a, id_a FROM edges
+            UNION
+            SELECT e.id_a, r.label
+            FROM edges e JOIN reach r ON e.id_b = r.node
+        ),
+        labels AS (
+            SELECT node, min(label) AS label FROM reach GROUP BY node
+        )
+        SELECT label AS cluster_survivor,
+               count(*) AS n_members,
+               array_to_string(list_sort(list(node)), '|') AS members
+        FROM labels
+        GROUP BY label
+    """,
     tags=("dedup", "neardup", "clusters", "iterative"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,5 +472,105 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return labels.groupBy(F.col("label").alias("cluster_survivor")).agg(
         F.count("*").alias("n_members"),
-        F.sort_array(F.collect_list("node")).alias("members"),
+        # '|'-joined (not an array column): list-typed result columns
+        # aren't hashable by the driver's canonicalizer (see agg_collect)
+        F.array_join(F.sort_array(F.collect_list("node")), "|")
+        .alias("members"),
+    )
+
+
+@register(
+    "dedup_minhash_det",
+    # Engine-portable MinHash: hash function i = md5(i || '|' || shingle)
+    # (hex compares lexicographically the same in both engines), so the
+    # ENTIRE signature → band → candidate-pair pipeline is
+    # oracle-checked — unlike the spark.ml MinHashLSH variant, whose
+    # internal hash family is engine-private (rows-only check).
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS shingles
+            FROM t
+        ),
+        sig AS (
+            SELECT doc_id,
+                   list_min(list_transform(shingles, s -> md5('0|' || s))) AS h0,
+                   list_min(list_transform(shingles, s -> md5('1|' || s))) AS h1,
+                   list_min(list_transform(shingles, s -> md5('2|' || s))) AS h2,
+                   list_min(list_transform(shingles, s -> md5('3|' || s))) AS h3,
+                   list_min(list_transform(shingles, s -> md5('4|' || s))) AS h4,
+                   list_min(list_transform(shingles, s -> md5('5|' || s))) AS h5,
+                   list_min(list_transform(shingles, s -> md5('6|' || s))) AS h6,
+                   list_min(list_transform(shingles, s -> md5('7|' || s))) AS h7
+            FROM sh WHERE len(shingles) > 0
+        ),
+        bands AS (
+            SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+            UNION ALL
+            SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+            UNION ALL
+            SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+            UNION ALL
+            SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("dedup", "neardup", "minhash"),
+)
+def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with a DETERMINISTIC, engine-portable hash
+    family: h_i(doc) = min over shingles of md5(i || '|' || shingle),
+    8 hashes banded 4×2; docs sharing a band key are candidate pairs.
+
+    Structure at 100 TB (the textbook MinHash/LSH dataflow):
+    - Signatures are a PURE MAP STAGE — array HOFs over each doc's
+      shingle set, no explode, no shuffle; 8 fixed-width strings per
+      doc leave the scan regardless of document size.
+    - The only shuffle is the band-key self-join, and its key space is
+      already collision-compressed: each exchange row is
+      (band, 16-byte key, doc_id), never shingles or text.
+    - Recall/precision tune via (bands, rows-per-band) exactly as in
+      the LSH literature; the planted fixture near-dups (3-gram
+      Jaccard ≥ 0.8) surface with ≥1 shared band out of 4.
+
+    Zero-shingle docs are excluded BEFORE banding: their empty-set
+    signature is a constant, and md5-of-constant band keys would pair
+    every short doc with every other short doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(_toks()).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    def minhash(i: int):
+        return F.array_min(F.transform(
+            "sh", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))))
+
+    sig = sh.select(
+        "doc_id", *[minhash(i).alias(f"h{i}") for i in range(8)])
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"h{2*b}"), F.lit("|"), F.col(f"h{2*b+1}")))
+            .alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(bb, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
     )

@@ -74,7 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q1_pricing_summary", "tpch_q5_local_supplier_volume",
     "tpch_q21_waiting_suppliers",
     "contamination_5gram", "pack_sequences_offset",
-    "stream_tumbling_batch_twin",
+    "stream_partitioned_sink",
     # beyond the observed 50-query window, in case the cap is larger:
     "merge_upsert_customers", "scd2_event_intervals",
     "graph_triangle_count", "compact_keep_latest",
@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_bloom_semijoin", "agg_percentiles", "join_salted",
     "sql_recursive_hierarchy", "layout_zorder", "profile_lineitem",
     "sample_stratified_hash", "agg_filter_clause",
+    "dedup_minhash_det", "stream_tumbling_batch_twin", "layout_compact_files",
     "agg_mode_deterministic", "window_percent_rank",
     "source_csv_roundtrip", "source_json_roundtrip",
 )

@@ -567,3 +567,69 @@ if _has_protobuf():  # pragma: no cover — absent in this container
         oracle=None,  # streaming; batch-twin equality in tests
         tags=("streaming", "stateful", "transformWithState"),
     )(stream_transform_with_state)
+
+
+@register(
+    "stream_partitioned_sink",
+    # Deterministic under availableNow full replay, so this streaming
+    # query is fully oracle-checked — same oracle as the batch
+    # sink_partitioned_prune (operators/io_roundtrip.py).
+    oracle="""
+        SELECT user_id % 8 AS user_bucket,
+               count(*) AS n_events,
+               sum(user_id) AS sum_user,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id % 8
+    """,
+    tags=("streaming", "sink", "partitioning"),
+)
+def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a Hive-partitioned parquet store: the
+    events stream passes through (append mode, no pre-aggregation) into
+    ``writeStream.partitionBy(event_type)`` with exactly-once file
+    bookkeeping from the checkpoint, then the store is read BACK as a
+    pruned batch scan (PartitionFilters, like its batch twin
+    ``sink_partitioned_prune``). This is the standing shape of a
+    continuously-ingesting 100 TB corpus: the stream lays data out by
+    partition key at write time so every later batch reader prunes;
+    the checkpoint (not the sink) is what makes restarts exactly-once.
+    Result rows are materialized before the scratch dir is removed."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="mrwc_psink_")
+    store = os.path.join(tmp, "store")
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        with _stream_partitions(spark):
+            q = (
+                ev.writeStream.format("parquet")
+                .partitionBy("event_type")
+                .option("path", store)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        back = spark.read.parquet(store).filter(
+            F.col("event_type") == "purchase")
+        result = back.groupBy(
+            (F.col("user_id") % 8).alias("user_bucket"),
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum("user_id").alias("sum_user"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        rows = result.collect()  # materialize before tmp cleanup
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -93,3 +93,17 @@ def test_observe_metrics(spark, sf_dir):
     got = obs.get
     assert got["n_rows"] >= n > 0
     assert got["total_qty"] > 0
+
+
+def test_load_table_missing_file_raises_original(spark):
+    """The nanosAsLong retry is reserved for the ns-precision fixture;
+    a missing file must surface the ORIGINAL error, not mutate session
+    config and fail again confusingly (round-2 advice)."""
+    import pytest
+    from mapreducewordcounting_spark.catalog import load_table
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    with pytest.raises(Exception) as ei:
+        load_table(spark, "/root/testdata/does_not_exist", "events")
+    assert "PARQUET_TYPE_ILLEGAL" not in str(ei.value)
+    assert spark.conf.get(
+        "spark.sql.legacy.parquet.nanosAsLong", "false") == before

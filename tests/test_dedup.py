@@ -75,8 +75,9 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     clusters = dedup_clusters(spark, sf_dir).collect()
     member_to_cluster = {}
     for c in clusters:
-        assert c.cluster_survivor == min(c.members)
-        for m in c.members:
+        members = [int(m) for m in c.members.split("|")]
+        assert c.cluster_survivor == min(members)
+        for m in members:
             member_to_cluster[m] = c.cluster_survivor
     for p in pairs:
         assert member_to_cluster[p.id_a] == member_to_cluster[p.id_b]
@@ -97,3 +98,19 @@ def test_salted_join_correct_under_synthetic_skew(spark):
     salted = salted_join(big, small, "k", "sk", salt=8).select("k", "v", "name")
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect()))
+
+
+def test_minhash_det_recall_vs_exact_jaccard(spark, sf_dir):
+    """The deterministic 4x2-band MinHash must recover most pairs the
+    exact 3-gram Jaccard join finds at >= 0.8 (P(>=1 shared band | J=0.8)
+    ~ 0.98; the fixture's planted pairs are mostly J ~ 1 where it's ~1).
+    Deterministic per fixture — no RNG, so this is a fixed number."""
+    from mapreducewordcounting_spark.registry import all_queries
+    qs = all_queries()
+    exact = {(r["id_a"], r["id_b"])
+             for r in qs["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()}
+    cand = {(r["id_a"], r["id_b"])
+            for r in qs["dedup_minhash_det"].fn(spark, sf_dir).collect()}
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.7, (recall, len(exact), len(cand))
