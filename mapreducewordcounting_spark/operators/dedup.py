@@ -545,26 +545,57 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature is a constant, and md5-of-constant band keys would pair
     every short doc with every other short doc.
     """
+    import hashlib
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles(_toks()).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = docs.select("doc_id", shingles(_toks()).alias("sh"))
 
-    def minhash(i: int):
-        return F.array_min(F.transform(
-            "sh", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))))
+    # All 8 minhashes in ONE traversal: fold the shingle array with an
+    # elementwise-min accumulator of 8 hashes. The obvious per-hash
+    # ``array_min(transform(sh, ...))`` re-evaluates the entire
+    # tokenize→shingle expression 8× when CollapseProject inlines it
+    # into each lambda (the module's own zip_with note, measured here
+    # 9.5 s → 2.5 s at sf0.1); a single aggregate references ``sh``
+    # once. Init sentinel "g" sorts after every lowercase-hex md5, so
+    # it never survives a non-empty fold.
+    def hash8(s):
+        return F.array(*[F.md5(F.concat(F.lit(f"{i}|"), s))
+                         for i in range(8)])
 
-    sig = sh.select(
-        "doc_id", *[minhash(i).alias(f"h{i}") for i in range(8)])
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
+    sig_arr = F.aggregate(
+        "sh",
+        F.array(*[F.lit("g") for _ in range(8)]),
+        lambda acc, s: F.zip_with(acc, hash8(s), lambda x, y: F.least(x, y)),
+    )
+    # Project the signature to a CONCRETE column before fanning out to
+    # 8 element_at references: multi-use of a non-cheap alias stops
+    # CollapseProject from inlining the aggregate 8×. Bands then explode
+    # from one array (one scan) instead of a 4-way union (4 scans).
+    sig = sh.select("doc_id", sig_arr.alias("sig"))
+    h = [F.element_at("sig", i + 1) for i in range(8)]
+    band_arr = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"h{2*b}"), F.lit("|"), F.col(f"h{2*b+1}")))
-            .alias("bkey"),
+            F.md5(F.concat(h[2 * b], F.lit("|"), h[2 * b + 1])).alias("bkey"),
         )
-        bands = part if bands is None else bands.unionAll(part)
+        for b in range(4)
+    ])
+    # Zero-shingle docs fold to the all-"g" sentinel signature; their
+    # band key is the one constant md5("g|g"). Dropping them HERE (by
+    # that constant) instead of filter(size(sh) > 0) upstream saves a
+    # second evaluation of the whole tokenize→shingle pipeline (the
+    # predicate would be substituted through the projection).
+    empty_bkey = hashlib.md5(b"g|g").hexdigest()
+    bands = (
+        sig.select("doc_id", F.explode(band_arr).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"),
+                F.col("bs.bkey").alias("bkey"))
+        .filter(F.col("bkey") != empty_bkey)
+        # self-join below: without a lineage cut, both aliases re-derive
+        # the whole tokenize→shingle→signature pipeline (triangle-count
+        # lesson); the checkpoint is 4 tiny rows per doc
+        .localCheckpoint(eager=True)
+    )
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(bb, (F.col("a.band") == F.col("b.band"))
