@@ -210,3 +210,45 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+        SELECT o.o_orderstatus,
+               count(*) AS n_lines,
+               sum(l.l_orderkey) AS sum_key,
+               min(l.l_extendedprice) AS min_price,
+               max(l.l_extendedprice) AS max_price
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("source", "sink", "bucketing", "join"),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over PRE-BUCKETED managed tables: both sides are
+    stored hash-bucketed on the join key (``bucketBy`` + metastore), so
+    the sort-merge join reads co-located buckets with NO exchange on
+    either side — the layout a 100 TB star schema amortizes its shuffle
+    into at write time, paying the network once instead of per query
+    (exchange-free plan asserted in tests/test_bucketing.py; this
+    registration makes the end-to-end result itself oracle-checked).
+    Bucket count is stored policy: size so |fact| / n_buckets fits a
+    task; both sides MUST agree on it or the exchange returns."""
+    from mapreducewordcounting_spark.sources import write_bucketed
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    ot, lt = f"orders_jb_{sf_tag}", f"lineitem_jb_{sf_tag}"
+    write_bucketed(load_table(spark, sf_dir, "orders"), ot, "o_orderkey", 8)
+    write_bucketed(load_table(spark, sf_dir, "lineitem"), lt, "l_orderkey", 8)
+    o, li = spark.table(ot), spark.table(lt)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_orderkey").alias("sum_key"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )

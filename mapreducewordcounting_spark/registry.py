@@ -85,7 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_stratified_hash", "agg_filter_clause",
     "dedup_minhash_det", "stream_tumbling_batch_twin", "layout_compact_files",
     "agg_mode_deterministic", "window_percent_rank",
-    "source_csv_roundtrip", "source_json_roundtrip",
+    "source_csv_roundtrip", "source_json_roundtrip", "join_bucketed",
 )
 
 

@@ -86,6 +86,17 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     way on their join key join WITHOUT any exchange — the pre-shuffled
     layout a 100 TB star schema is stored in so the nightly joins never
     pay the network again."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    # A fresh session's in-memory metastore doesn't know tables written
+    # by a PREVIOUS session, but their warehouse directories survive —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop both.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
