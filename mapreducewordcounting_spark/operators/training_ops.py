@@ -473,3 +473,46 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), "doc_id")
         .limit(WEIGHTED_SAMPLE_K)
     )
+
+
+@register(
+    "sample_split_3way",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, n_chars,
+                   {_SQL_BUCKET.format(key='doc_id')} AS bucket
+            FROM documents)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               sum(doc_id) AS id_checksum
+        FROM b
+        GROUP BY 1
+    """,
+    tags=("training", "sampling", "split"),
+)
+def sample_split_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split on the md5-bucket of
+    doc_id — the split every training corpus needs, with the properties
+    RNG-based splitting can't give at scale: (a) any worker on any
+    cluster topology assigns the same doc to the same split (hash, not
+    sample()); (b) splits are DISJOINT and exhaustive by construction
+    (disjoint bucket ranges of one hash, not three independent
+    samples); (c) membership is recomputable from the id alone — no
+    split-assignment table to store or join at 100 TB. The id_checksum
+    pins the exact membership of each split, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _bucket_spark(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(split.alias("split"), "n_chars", "doc_id").groupBy(
+        "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
