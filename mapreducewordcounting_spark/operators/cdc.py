@@ -164,3 +164,52 @@ def compact_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "event_type",
                 F.unix_micros("ts").alias("ts_us"))
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               max(ts) AS latest_ts
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("cdc", "materialized-view", "incremental"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the stored view keeps
+    ALGEBRAIC partial states (count, decimal sum, max), so refreshing
+    on a delta batch is partial-agg(delta) ⊎ stored-states → re-agg on
+    the group key — the base facts are never rescanned. Here the fixture
+    plays both roles (event_id % 10 splits base from delta) and the
+    oracle aggregates the whole table, proving merged-states ==
+    recomputed-from-scratch. Every aggregate must be algebraic (sum,
+    count, min/max, or sum-of-parts forms like avg = Σv/Σn); holistic
+    aggregates (exact median/distinct) don't merge — store a sketch
+    (HLL/KLL partials union the same way) or pay the full rescan.
+    At 100 TB this is THE pattern behind hourly-refresh dashboards:
+    refresh cost tracks |delta|, not |history|; the merge shuffles
+    |groups| + |delta-groups| rows, nothing more. Decimal sums make the
+    merge order-insensitive (float partials would drift per topology)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.max("ts").alias("latest_ts"),
+        )
+
+    base = partials(ev.filter(F.col("event_id") % 10 != 0))   # stored view
+    delta = partials(ev.filter(F.col("event_id") % 10 == 0))  # new batch
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("total_value"),
+            F.max("latest_ts").alias("latest_ts"),
+        )
+    )
