@@ -252,3 +252,57 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "source_csv_permissive",
+    oracle="""
+        SELECT count(*) + 3 AS n_total,
+               3 AS n_corrupt,
+               count(*) AS n_valid,
+               sum(l_orderkey) AS sum_orderkey
+        FROM lineitem
+    """,
+    tags=("source", "csv", "robustness"),
+)
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row tolerance in the CSV source: three corrupt lines
+    (wrong types / wrong arity) are planted beside the clean export and
+    read back in PERMISSIVE mode with a ``columnNameOfCorruptRecord``
+    sidecar — bad rows surface as (nulls, raw-line) instead of killing
+    the job, the posture that lets a 100 TB ingest quarantine its bad
+    feed lines for replay instead of dying at hour nine on row three
+    (FAILFAST is for dev; DROPMALFORMED silently lies about counts).
+    The oracle states the exact quarantine arithmetic: clean-row count
+    and checksum survive, corrupt count is exactly the planted three.
+    (Spark requires materializing the parse to query the corrupt
+    column — hence the cache; at scale the quarantine split writes both
+    streams out instead of holding them.)"""
+    path = _io_path(sf_dir, "csv_permissive")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").csv(path)  # no header: schema is explicit
+    with open(os.path.join(path, "part-corrupt.csv"), "w") as f:
+        f.write("not_a_number,1.0,N\n")          # bad long
+        f.write("42,not_a_double,R\n")           # bad double
+        f.write("1,2.0\n")                       # wrong arity
+    schema = StructType([
+        StructField("l_orderkey", LongType()),
+        StructField("l_quantity", DoubleType()),
+        StructField("l_returnflag", StringType()),
+        StructField("_corrupt", StringType()),
+    ])
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()
+    )
+    return back.agg(
+        F.count("*").alias("n_total"),
+        F.count("_corrupt").alias("n_corrupt"),
+        F.count_if(F.col("_corrupt").isNull()).alias("n_valid"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("l_orderkey")))
+        .alias("sum_orderkey"),
+    )

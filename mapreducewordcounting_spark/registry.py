@@ -86,7 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_det", "stream_tumbling_batch_twin", "layout_compact_files",
     "agg_mode_deterministic", "window_percent_rank",
     "source_csv_roundtrip", "source_json_roundtrip", "join_bucketed",
-    "sample_split_3way", "mv_incremental_refresh",
+    "sample_split_3way", "mv_incremental_refresh", "source_csv_permissive",
 )
 
 
