@@ -116,7 +116,13 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_linestatus",
         F.col("l_shipdate").cast("date").alias("l_shipdate"),
     )
-    li.write.mode("overwrite").option("header", True).csv(path)
+    # write-side ignoreLeading/TrailingWhiteSpace default TRUE — they
+    # silently trim string data; off for an exact round-trip contract
+    # (cliff pinned in test_csv_quoting_edge_cases)
+    (li.write.mode("overwrite").option("header", True)
+     .option("ignoreLeadingWhiteSpace", False)
+     .option("ignoreTrailingWhiteSpace", False)
+     .csv(path))
     back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"),

@@ -68,3 +68,33 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     comp = glob.glob(os.path.join(io._io_path(sf_dir, "compacted_docs"),
                                   "*.parquet"))
     assert len(comp) <= 4 < len(frag)
+
+
+def test_csv_quoting_edge_cases(spark, tmp_path):
+    """CSV sink/source must round-trip hostile strings exactly. Two
+    documented cliffs pinned here: (a) embedded newlines require
+    multiLine=true on the READ (without it a quoted newline splits the
+    record); (b) the WRITE side defaults ignoreLeading/TrailingWhiteSpace
+    to TRUE — it silently trims data unless both are set false."""
+    hostile = [
+        'plain', 'comma,inside', 'quote"inside', '"fully quoted"',
+        'new\nline', 'crlf\r\n', 'uni: é中文', '', ' leading',
+        'trailing ', "apostrophe's", 'back\\slash', 'tab\there',
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(hostile)], "id LONG, s STRING")
+    path = str(tmp_path / "hostile_csv")
+    (df.write.mode("overwrite").option("header", True)
+       .option("ignoreLeadingWhiteSpace", False)
+       .option("ignoreTrailingWhiteSpace", False)
+       .csv(path))
+    back = (
+        spark.read.schema("id LONG, s STRING")
+        .option("header", True).option("multiLine", True)
+        .csv(path)
+    )
+    got = {r["id"]: r["s"] for r in back.collect()}
+    want = {i: (s if s != "" else None) for i, s in enumerate(hostile)}
+    # Spark's CSV writes empty string as empty field, which reads back
+    # as null — the one asymmetry, pinned here so it's a known contract.
+    assert got == want
