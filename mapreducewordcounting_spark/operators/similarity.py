@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.functions.text import tokenize_canonical
 from mapreducewordcounting_spark.functions.vectors import cosine_similarity
 from mapreducewordcounting_spark.registry import register
 
@@ -237,4 +238,125 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, v: acc + v).alias("sum_codes"),
         F.array_min("codes").alias("min_code"),
         F.array_max("codes").alias("max_code"),
+    )
+
+
+#: posting-list prune for the sparse cosine index: only terms appearing
+#: in at most this many documents enter the inverted index (the
+#: standard IR stop-term drop — hot terms contribute little cosine mass
+#: but dominate join fan-out).
+TFIDF_DF_CAP = 20
+TFIDF_COS_MIN = 0.3
+
+
+@register(
+    "similarity_tfidf_pairs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> regexp_replace(x, '[^a-z'']', '', 'g')),
+                       w -> length(w) > 0) AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1]
+                                       || ' ' || toks[i+2]) AS shingles
+            FROM t
+        ),
+        words AS (SELECT doc_id, unnest(shingles) AS word FROM sh),
+        tf AS (SELECT doc_id, word, count(*) AS tf
+               FROM words GROUP BY doc_id, word),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        w AS (
+            SELECT tf.doc_id, tf.word,
+                   tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS wt
+            FROM tf JOIN dfreq USING (word) CROSS JOIN n
+            WHERE dfreq.df <= {TFIDF_DF_CAP}
+        ),
+        norms AS (
+            SELECT doc_id, sqrt(sum(wt * wt)) AS nrm
+            FROM w GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   sum(a.wt * b.wt) AS dot
+            FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d.id_a, d.id_b,
+               round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM dots d
+        JOIN norms na ON d.id_a = na.doc_id
+        JOIN norms nb ON d.id_b = nb.doc_id
+        WHERE d.dot / (na.nrm * nb.nrm) >= {TFIDF_COS_MIN}
+    """,
+    tags=("similarity", "text", "sparse", "tfidf"),
+)
+def similarity_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse document cosine via an INVERTED INDEX — the IR-classic
+    complement to the dense-embedding operators: docs as tf-idf weight vectors over 3-gram shingle terms
+    (the fixture vocabulary is tiny, so unigrams are all stop-terms), pairwise dot products generated ONLY where a shared index
+    term exists (never the O(n²) pair space), normalized by per-doc
+    norms.
+
+    Scale structure:
+    - The posting-list prune (``df <= 20``) bounds the term
+      self-join's fan-out at df² per term — hot stop-terms, which
+      carry near-zero idf mass anyway, never enter the index. This is
+      the sparse analog of dedup_ngram_jaccard's prefix filter, and
+      the knob that keeps the join linear in true-similar density.
+    - tf → df → weights reuse one shuffle (df derives from tf, the
+      tfidf lesson); the df table broadcasts; norms join on doc_id
+      (doc-count-sized — AQE broadcasts it at these SFs).
+    - Cosine rounds to 6 digits on BOTH sides: double summation order
+      differs per engine/topology, and ln is only ulp-reproducible —
+      the same libm-parity contract as text_tfidf.
+    """
+    from mapreducewordcounting_spark.operators.dedup import _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _toks().alias("toks"))
+    m = F.greatest(F.size("toks") - 2, F.lit(0))
+    grams = F.zip_with(
+        F.zip_with(F.slice("toks", 1, m), F.slice("toks", 2, m),
+                   lambda x, y: F.concat(x, F.lit(" "), y)),
+        F.slice("toks", 3, m),
+        lambda xy, z: F.concat(xy, F.lit(" "), z),
+    )
+    words = toks.select("doc_id", F.explode(grams).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = tf.select(F.count_distinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfreq.filter(F.col("df") <= TFIDF_DF_CAP)), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "word",
+            (F.col("tf") * F.log((F.col("n_docs") + 1.0)
+                                 / (F.col("df") + 1.0))).alias("wt"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.word") == F.col("b.word"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nrm_b"))
+    cos = F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .filter(cos >= TFIDF_COS_MIN)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
     )
