@@ -66,6 +66,7 @@ HEADLINE = [
     "sink_partitioned_prune",   # partitioned parquet sink + pruned read
     "source_csv_roundtrip",     # CSV sink + explicit-schema source
     "dedup_minhash_det",        # map-stage MinHash signatures + band join
+    "similarity_tfidf_pairs",   # inverted-index sparse cosine
 ]
 
 
