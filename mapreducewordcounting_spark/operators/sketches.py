@@ -59,8 +59,14 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch over the word stream, then point
-    queries for the known vocabulary. The sketch is one aggregate blob
-    (eps=0.1%, conf=99%) — frequency tracking without a groupBy."""
+    queries for a BOUNDED probe set (top-100 words via TakeOrdered).
+    The sketch is one aggregate blob (eps=0.1%, conf=99%) — frequency
+    tracking without a groupBy. Driver state is the sketch bytes plus
+    100 probes, both O(1) in corpus size: a CMS answers point queries
+    for keys you already hold — enumerating the full vocabulary as the
+    query set (the previous form) is unbounded driver state at 100 TB,
+    and a job that wants every word's count should pay the exact
+    groupBy instead."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokenize_canonical("text")).alias("word"))
@@ -75,7 +81,11 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = spark.sparkContext
     jcms = sc._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         sc._jvm.java.io.ByteArrayInputStream(cms_bytes))
-    vocab = [r.word for r in words.select("word").distinct().collect()]
+    probes = (
+        words.groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word").limit(100)   # TakeOrdered — bounded
+    )
+    vocab = [r.word for r in probes.collect()]
     est = [(w, int(jcms.estimateCount(w))) for w in sorted(vocab)]
     return spark.createDataFrame(est, "word STRING, est_count LONG")
 

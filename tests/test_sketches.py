@@ -33,11 +33,12 @@ def test_hll_estimates_within_5pct(spark, sf_dir):
 def test_count_min_never_undercounts_and_is_close(spark, sf_dir):
     exact = {r.word: r.cnt for r in _exact_word_counts(spark, sf_dir).collect()}
     est = {r.word: r.est_count for r in sketch_count_min(spark, sf_dir).collect()}
-    assert set(est) == set(exact)
+    # probe set = top-100 words (bounded driver state), all known exactly
+    assert set(est) <= set(exact) and len(est) == min(100, len(exact))
     n_total = sum(exact.values())
-    for w, c in exact.items():
-        assert est[w] >= c, f"CMS undercounted {w}"  # one-sided error
-        assert est[w] - c <= 0.001 * n_total * 3, f"CMS overshoot on {w}"
+    for w, c in est.items():
+        assert c >= exact[w], f"CMS undercounted {w}"  # one-sided error
+        assert c - exact[w] <= 0.001 * n_total * 3, f"CMS overshoot on {w}"
 
 
 def test_approx_count_distinct_error_bounds(spark, sf_dir):
