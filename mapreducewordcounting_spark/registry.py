@@ -61,7 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_broadcast_dim", "join_fact_fact", "join_semi", "join_anti",
     "join_full_outer", "join_star_schema",
     "agg_suite", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_pivot", "agg_argminmax", "agg_collect",
+    "agg_argminmax", "dedup_minhash_det", "similarity_tfidf_pairs",
     "topk_global", "setop_except", "subquery_correlated",
     "window_topk_per_group", "window_running_total", "window_lag_lead",
     "window_range_frame",
@@ -82,8 +82,8 @@ _PRIORITY: tuple[str, ...] = (
     "udaf_median_per_brand", "udf_pandas_cosine",
     "sketch_bloom_semijoin", "agg_percentiles", "join_salted",
     "sql_recursive_hierarchy", "layout_zorder", "profile_lineitem",
-    "sample_stratified_hash", "agg_filter_clause",
-    "dedup_minhash_det", "stream_tumbling_batch_twin", "layout_compact_files",
+    "sample_stratified_hash", "agg_filter_clause", "agg_pivot",
+    "agg_collect", "stream_tumbling_batch_twin", "layout_compact_files",
     "agg_mode_deterministic", "window_percent_rank",
     "source_csv_roundtrip", "source_json_roundtrip", "join_bucketed",
     "sample_split_3way", "mv_incremental_refresh", "source_csv_permissive",
