@@ -312,3 +312,94 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt").isNull(), F.col("l_orderkey")))
         .alias("sum_orderkey"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_quality,
+               sum(CASE WHEN doc_id % 2 = 1
+                        THEN CAST(n_chars % 100 AS BIGINT) END) AS sum_quality
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("source", "schema-evolution", "parquet"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an early batch written
+    WITHOUT a column and a later batch WITH it (a deterministic
+    ``quality`` score) are read together under ``mergeSchema`` — the
+    unified schema backfills the missing column as NULL, so the table
+    keeps growing columns without rewriting history. This is how a
+    100 TB corpus actually evolves (new quality/provenance columns
+    appear mid-life); the alternative — rewriting every old file — is
+    a full-corpus pass per added column. mergeSchema costs a footer
+    read per file at planning (fine per-batch; at very high file counts
+    pin the schema in a catalog instead). The oracle recomputes both
+    batches' aggregates from the original table, proving no rows were
+    lost, duplicated, or mis-aligned across the two physical schemas."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1_dir = _io_path(sf_dir, "evo/batch1")
+    v2_dir = _io_path(sf_dir, "evo/batch2")
+    docs.filter(F.col("doc_id") % 2 == 0) \
+        .select("doc_id", "source", "n_chars") \
+        .write.mode("overwrite").parquet(v1_dir)
+    docs.filter(F.col("doc_id") % 2 == 1) \
+        .select("doc_id", "source", "n_chars",
+                (F.col("n_chars") % 100).cast("long").alias("quality")) \
+        .write.mode("overwrite").parquet(v2_dir)
+    back = spark.read.option("mergeSchema", True).parquet(v1_dir, v2_dir)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count("quality").alias("n_with_quality"),
+        F.sum("quality").alias("sum_quality"),
+    )
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle="""
+        WITH dim(event_type, weight) AS (
+            VALUES ('purchase', 1.5), ('click', 1.0), ('view', 0.5))
+        SELECT e.event_type,
+               count(*) AS n_events,
+               sum(e.user_id) AS sum_user,
+               max(d.weight) AS weight
+        FROM events e JOIN dim d USING (event_type)
+        WHERE d.weight > 1.2
+        GROUP BY e.event_type
+    """,
+    tags=("source", "partitioning", "dpp", "join"),
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact side is the Hive-partitioned
+    store, the filter lives on the DIM side (weight > 1.2) — so which
+    partitions survive is unknowable at plan time. Spark runs the dim
+    filter first and injects its join keys into the fact scan's
+    ``PartitionFilters`` as a runtime subquery
+    (``SubqueryAdaptiveBroadcast dynamicpruning`` — asserted in
+    tests/test_io_roundtrip.py). At 100 TB this is what makes
+    star-schema queries over partitioned facts cheap when the
+    restriction arrives through a dimension (date dim's "last quarter",
+    a tenant allowlist) rather than as a literal: without DPP the scan
+    reads every partition and the filter applies post-join."""
+    store = _io_path(sf_dir, "dpp_events")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(store)
+    fact = spark.read.parquet(store)
+    dim = spark.createDataFrame(
+        [("purchase", 1.5), ("click", 1.0), ("view", 0.5)],
+        "event_type STRING, weight DOUBLE")
+    return (
+        fact.join(dim.filter(F.col("weight") > 1.2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("user_id").alias("sum_user"),
+            F.max("weight").alias("weight"),
+        )
+    )

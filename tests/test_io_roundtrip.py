@@ -98,3 +98,12 @@ def test_csv_quoting_edge_cases(spark, tmp_path):
     # Spark's CSV writes empty string as empty field, which reads back
     # as null — the one asymmetry, pinned here so it's a known contract.
     assert got == want
+
+
+def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
+    """The dim-side filter must reach the partitioned fact scan as a
+    DYNAMIC pruning subquery — scanning all partitions and filtering
+    post-join is the failure mode this operator exists to avoid."""
+    df = all_queries()["join_dpp_partitioned"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
