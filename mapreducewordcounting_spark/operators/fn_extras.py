@@ -335,3 +335,37 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mode_priority"),
         F.max("n").alias("mode_count"),
     )
+
+
+@register(
+    "fn_array_quantifiers",
+    oracle="""
+        SELECT vec_id,
+               (len(list_filter(embedding, x -> x > 0.9)) > 0) AS any_hot,
+               (len(list_filter(embedding, x -> x >= -1.0)) = len(embedding))
+                   AS all_bounded,
+               COALESCE(list_position(embedding, list_max(embedding)), 0)
+                   AS argmax_pos,
+               len(flatten([embedding[1:3], embedding[-3:]])) AS ends_len
+        FROM embeddings
+    """,
+    tags=("fn", "array", "quantifiers"),
+)
+def fn_array_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array quantifier surface: ``exists`` / ``forall`` (codegen'd
+    short-circuit scans — the relational EXISTS/ALL over an array
+    column), ``array_position`` of the max element (argmax without an
+    explode+window — float64 equality is safe here because the probe IS
+    an element), and ``flatten`` over sliced ends. All stay inside
+    whole-stage codegen: no explode, no shuffle, no Python."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.exists(emb, lambda x: x > 0.9).alias("any_hot"),
+        F.forall(emb, lambda x: x >= -1.0).alias("all_bounded"),
+        F.array_position(emb, F.array_max(emb)).cast("bigint")
+        .alias("argmax_pos"),
+        F.size(F.flatten(F.array(F.slice(emb, 1, 3), F.slice(emb, -3, 3))))
+        .alias("ends_len"),
+    )
