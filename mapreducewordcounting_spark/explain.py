@@ -31,7 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     if name not in specs:
         print(f"unknown query {name!r}; --list shows all", file=sys.stderr)
         return 2
-    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    import os
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     from mapreducewordcounting_spark.session import get_spark
 

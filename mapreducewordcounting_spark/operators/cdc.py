@@ -172,7 +172,7 @@ def compact_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-               max(ts) AS latest_ts
+               epoch_us(max(ts)) AS latest_ts_us
         FROM events
         GROUP BY event_type
     """,
@@ -210,6 +210,6 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_events").alias("n_events"),
             F.sum("sum_value").cast("double").alias("total_value"),
-            F.max("latest_ts").alias("latest_ts"),
+            F.unix_micros(F.max("latest_ts")).alias("latest_ts_us"),
         )
     )

@@ -364,8 +364,10 @@ def fn_array_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.exists(emb, lambda x: x > 0.9).alias("any_hot"),
         F.forall(emb, lambda x: x >= -1.0).alias("all_bounded"),
-        F.array_position(emb, F.array_max(emb)).cast("bigint")
-        .alias("argmax_pos"),
+        # coalesce to 0 matches the oracle's COALESCE for empty/NULL
+        # vectors (array_max -> NULL -> position NULL otherwise)
+        F.coalesce(F.array_position(emb, F.array_max(emb)), F.lit(0))
+        .cast("bigint").alias("argmax_pos"),
         F.size(F.flatten(F.array(F.slice(emb, 1, 3), F.slice(emb, -3, 3))))
         .alias("ends_len"),
     )

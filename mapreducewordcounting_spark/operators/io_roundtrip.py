@@ -186,8 +186,8 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(user_id) AS sum_user,
                min(value) AS min_value,
                max(value) AS max_value,
-               min(ts) AS first_ts,
-               max(ts) AS last_ts
+               epoch_us(min(ts)) AS first_ts_us,
+               epoch_us(max(ts)) AS last_ts_us
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY user_id % 8
@@ -213,8 +213,10 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").alias("sum_user"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
+        # unix_micros, not raw timestamps: collect() converts TimestampType
+        # through the OS-local tz (repo convention, see compact_keep_latest)
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
     )
 
 
@@ -303,15 +305,18 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(path)
-        .cache()
+        .cache()  # Spark requires materializing the parse to query _corrupt
     )
-    return back.agg(
+    result = back.agg(
         F.count("*").alias("n_total"),
         F.count("_corrupt").alias("n_corrupt"),
         F.count_if(F.col("_corrupt").isNull()).alias("n_valid"),
         F.sum(F.when(F.col("_corrupt").isNull(), F.col("l_orderkey")))
         .alias("sum_orderkey"),
     )
+    rows = result.collect()   # materialize, then free the cache — repeated
+    back.unpersist()          # invocations must not accumulate entries
+    return spark.createDataFrame(rows, result.schema)
 
 
 @register(

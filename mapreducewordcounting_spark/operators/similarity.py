@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
-from mapreducewordcounting_spark.functions.text import tokenize_canonical
 from mapreducewordcounting_spark.functions.vectors import cosine_similarity
+from mapreducewordcounting_spark.operators.dedup import _SQL_TOKS as _SQL_TOKS_DEDUP
 from mapreducewordcounting_spark.registry import register
 
 K = 5
@@ -252,15 +252,7 @@ TFIDF_COS_MIN = 0.3
 @register(
     "similarity_tfidf_pairs",
     oracle=f"""
-        WITH t AS (
-            SELECT doc_id,
-                   list_filter(
-                       list_transform(
-                           regexp_split_to_array(lower(text), '\\s+'),
-                           x -> regexp_replace(x, '[^a-z'']', '', 'g')),
-                       w -> length(w) > 0) AS toks
-            FROM documents
-        ),
+        WITH t AS ({_SQL_TOKS_DEDUP}),
         sh AS (
             SELECT doc_id,
                    list_transform(range(1, len(toks) - 1),
@@ -294,7 +286,7 @@ TFIDF_COS_MIN = 0.3
         FROM dots d
         JOIN norms na ON d.id_a = na.doc_id
         JOIN norms nb ON d.id_b = nb.doc_id
-        WHERE d.dot / (na.nrm * nb.nrm) >= {TFIDF_COS_MIN}
+        WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {TFIDF_COS_MIN}
     """,
     tags=("similarity", "text", "sparse", "tfidf"),
 )
@@ -357,6 +349,9 @@ def similarity_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         dots.join(na, "id_a").join(nb, "id_b")
-        .filter(cos >= TFIDF_COS_MIN)
+        # threshold on the ROUNDED cosine: the raw double is summation-
+        # order- and libm-sensitive, so an unrounded >= could flip pair
+        # membership between engines at the boundary
+        .filter(F.round(cos, 6) >= TFIDF_COS_MIN)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
     )

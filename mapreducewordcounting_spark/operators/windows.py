@@ -239,7 +239,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT s_suppkey, s_nationkey,
                percent_rank() OVER w AS pct_rank,
-               CAST(floor(percent_rank() OVER w * 4) AS BIGINT) AS quartile
+               CAST(least(floor(percent_rank() OVER w * 4), 3) AS BIGINT) AS quartile
         FROM supplier
         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
     """,
@@ -257,5 +257,7 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "s_suppkey", "s_nationkey",
         pr.alias("pct_rank"),
-        F.floor(pr * 4).cast("long").alias("quartile"),
+        # least(..., 3): percent_rank hits exactly 1.0 on the max row,
+        # which floor(pr*4) would put in a phantom 5th bucket
+        F.least(F.floor(pr * 4), F.lit(3)).cast("long").alias("quartile"),
     )

@@ -87,7 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_mode_deterministic", "window_percent_rank",
     "source_csv_roundtrip", "source_json_roundtrip", "join_bucketed",
     "sample_split_3way", "mv_incremental_refresh", "source_csv_permissive",
-    "similarity_tfidf_pairs", "source_schema_evolution",
+    "source_schema_evolution",
     "join_dpp_partitioned", "fn_array_quantifiers",
 )
 

@@ -580,8 +580,8 @@ if _has_protobuf():  # pragma: no cover — absent in this container
                sum(user_id) AS sum_user,
                min(value) AS min_value,
                max(value) AS max_value,
-               min(ts) AS first_ts,
-               max(ts) AS last_ts
+               epoch_us(min(ts)) AS first_ts_us,
+               epoch_us(max(ts)) AS last_ts_us
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY user_id % 8
@@ -626,8 +626,8 @@ def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").alias("sum_user"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
-            F.min("ts").alias("first_ts"),
-            F.max("ts").alias("last_ts"),
+            F.unix_micros(F.min("ts")).alias("first_ts_us"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
         )
         rows = result.collect()  # materialize before tmp cleanup
         return spark.createDataFrame(rows, result.schema)
