@@ -94,8 +94,8 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ROWS UNBOUNDED PRECEDING) AS island
             FROM m)
         SELECT user_id, event_type, island,
-               min(ts_s) AS valid_from,
-               max(ts_s) AS valid_to,
+               epoch_us(min(ts_s)) AS valid_from_us,
+               epoch_us(max(ts_s)) AS valid_to_us,
                count(*)  AS n_events
         FROM i
         GROUP BY user_id, event_type, island
@@ -124,8 +124,8 @@ def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("chg", chg)
         .withColumn("island", F.sum("chg").over(run))
         .groupBy("user_id", "event_type", "island")
-        .agg(F.min("ts_s").alias("valid_from"),
-             F.max("ts_s").alias("valid_to"),
+        .agg(F.unix_micros(F.min("ts_s")).alias("valid_from_us"),
+             F.unix_micros(F.max("ts_s")).alias("valid_to_us"),
              F.count("*").alias("n_events"))
     )
 

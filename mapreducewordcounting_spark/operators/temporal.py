@@ -128,9 +128,10 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "time_rollup_multires",
     oracle="""
-        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day_us,
                CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
-                    THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour,
+                    THEN epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP))
+               END AS hour_us,
                count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
@@ -154,8 +155,9 @@ def time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     ).createOrReplaceTempView("ev_res")
     return spark.sql("""
-        SELECT day,
-               CASE WHEN GROUPING(hour) = 0 THEN hour END AS hour,
+        SELECT unix_micros(day) AS day_us,
+               CASE WHEN GROUPING(hour) = 0 THEN unix_micros(hour) END
+                   AS hour_us,
                count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM ev_res

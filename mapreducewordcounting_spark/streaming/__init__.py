@@ -142,7 +142,8 @@ def run_available_now(stream_df: DataFrame, name: str | None = None) -> DataFram
 @register(
     "stream_tumbling_batch_twin",
     oracle="""
-        SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS w_start,
+        SELECT epoch_us(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP))
+                   AS w_start_us,
                event_type,
                count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -162,8 +163,8 @@ def stream_tumbling_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
             .alias("total_value"),
         )
-        .select(F.col("w.start").alias("w_start"), "event_type",
-                "n_events", "total_value")
+        .select(F.unix_micros(F.col("w.start")).alias("w_start_us"),
+                "event_type", "n_events", "total_value")
     )
 
 
@@ -178,7 +179,7 @@ def stream_tumbling_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
                    value
             FROM events CROSS JOIN offsets
         )
-        SELECT w_start, count(*) AS n_events
+        SELECT epoch_us(w_start) AS w_start_us, count(*) AS n_events
         FROM bucketed
         GROUP BY w_start
     """,
@@ -192,7 +193,8 @@ def stream_sliding_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("w_start"), "n_events")
+        .select(F.unix_micros(F.col("w.start")).alias("w_start_us"),
+                "n_events")
     )
 
 
@@ -267,8 +269,8 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
             .alias("total_value"),
         )
-        .select(F.col("w.start").alias("w_start"), "event_type",
-                "n_events", "total_value")
+        .select(F.unix_micros(F.col("w.start")).alias("w_start_us"),
+                "event_type", "n_events", "total_value")
     )
     return run_available_now(agg)
 
