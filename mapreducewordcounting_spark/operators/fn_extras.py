@@ -371,3 +371,53 @@ def fn_array_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.flatten(F.array(F.slice(emb, 1, 3), F.slice(emb, -3, 3))))
         .alias("ends_len"),
     )
+
+
+@register(
+    "fn_map_hof",
+    # Oracle states expected values relationally (the fn_map trick):
+    # the Spark side routes them through map HOFs, proving the
+    # transforms compute the right thing without relying on map-type
+    # hashing parity between engines.
+    oracle="""
+        SELECT p_partkey,
+               p_size * 2 AS doubled_size,
+               CAST(round(p_retailprice, 0) AS BIGINT) AS rounded_price,
+               p_size + CAST(round(p_retailprice, 0) AS BIGINT) AS merged_sum,
+               2 AS n_entries,
+               'price,size' AS keys_sorted
+        FROM part
+    """,
+    tags=("fn", "map", "hof"),
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: ``transform_values`` (per-entry
+    recompute), ``map_zip_with`` (keywise merge of two maps — the
+    map-typed analog of a full-outer join on keys), ``map_filter``,
+    and ``str_to_map`` parsing a 'k:v,k:v' config string — all
+    codegen'd, no explode. Values are surfaced as scalars via
+    element_at so the check hashes engine-portably (maps themselves
+    hash engine-specifically; same strategy as fn_map)."""
+    p = load_table(spark, sf_dir, "part")
+    m1 = F.map_from_arrays(
+        F.array(F.lit("size"), F.lit("price")),
+        F.array(F.col("p_size").cast("long"),
+                F.round("p_retailprice", 0).cast("long")))
+    doubled = F.transform_values(m1, lambda k, v: v * 2)
+    merged = F.map_zip_with(
+        m1, m1, lambda k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)))
+    # str_to_map: parse a config string rendered from the same values
+    cfg = F.concat(F.lit("size:"), F.col("p_size").cast("string"),
+                   F.lit(",price:"),
+                   F.round("p_retailprice", 0).cast("long").cast("string"))
+    parsed = F.str_to_map(cfg, F.lit(","), F.lit(":"))
+    return p.select(
+        "p_partkey",
+        F.element_at(doubled, "size").alias("doubled_size"),
+        F.element_at(parsed, "price").cast("bigint").alias("rounded_price"),
+        (F.element_at(merged, "size") / 2
+         + F.element_at(merged, "price") / 2).cast("bigint")
+        .alias("merged_sum"),
+        F.size(F.map_filter(m1, lambda k, v: v.isNotNull())).alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m1)), ",").alias("keys_sorted"),
+    )

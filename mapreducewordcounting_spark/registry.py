@@ -88,7 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_csv_roundtrip", "source_json_roundtrip", "join_bucketed",
     "sample_split_3way", "mv_incremental_refresh", "source_csv_permissive",
     "source_schema_evolution",
-    "join_dpp_partitioned", "fn_array_quantifiers",
+    "join_dpp_partitioned", "fn_array_quantifiers", "fn_map_hof",
+    "pyds_sink_roundtrip",
 )
 
 

@@ -23,7 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from mapreducewordcounting_spark.functions.text import tokenize_canonical
 from mapreducewordcounting_spark.operators.wordcount import _ORACLE_WORDCOUNT
@@ -73,6 +79,9 @@ class DocCorpusDataSource(DataSource):
     def reader(self, schema) -> DocCorpusReader:
         return DocCorpusReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "DocCorpusWriter":
+        return DocCorpusWriter(self.options)
+
 
 def register_doc_corpus(spark: SparkSession) -> None:
     spark.dataSource.register(DocCorpusDataSource)
@@ -96,6 +105,104 @@ def pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select(F.explode(tokenize_canonical("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Writer half — the user-extensible *sink* connector surface
+# ---------------------------------------------------------------------------
+
+class _ShardCommit(WriterCommitMessage):
+    """Per-task commit message: which shard file, how many rows."""
+
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class DocCorpusWriter(DataSourceWriter):
+    """JSONL shard writer with a TWO-PHASE COMMIT: tasks write
+    uniquely-named shards and return commit messages; only `commit`
+    (driver, after every task succeeded) publishes the manifest naming
+    the valid shards. A reader that honors the manifest never sees
+    partial output from failed/speculative tasks — the exactly-once
+    contract the reference's sink lacks entirely (its per-thread
+    ``Rank_<r>_Thread_<t>.txt`` files have no commit protocol at all,
+    sendFileByFile.cpp:376-392)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fn = f"shard-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, fn), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(
+                    {"doc_id": row.doc_id, "text": row.text}) + "\n")
+                n += 1
+        return _ShardCommit(fn, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "shards": sorted(m.filename for m in messages),
+            "total_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+@register(
+    "pyds_sink_roundtrip",
+    oracle=_ORACLE_WORDCOUNT,
+    tags=("sink", "python-datasource", "flagship"),
+)
+def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → custom Python SINK (manifest-committed JSONL shards) →
+    JSON source → word count, sharing the flagship oracle: the whole
+    write path (per-task shards, two-phase manifest commit) must
+    preserve the word multiset bit-for-bit. Only manifest-listed shards
+    are read back — the atomicity the commit protocol buys."""
+    import json as _json
+    import os
+    import shutil
+
+    from mapreducewordcounting_spark.catalog import load_table
+    from mapreducewordcounting_spark.operators.io_roundtrip import _io_path
+
+    register_doc_corpus(spark)
+    out = _io_path(sf_dir, "pyds_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.format("doccorpus").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    shard_paths = [os.path.join(out, s) for s in manifest["shards"]]
+    back = spark.read.schema("doc_id long, text string").json(shard_paths)
+    return (
+        back.select(F.explode(tokenize_canonical("text")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))

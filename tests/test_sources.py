@@ -141,3 +141,30 @@ def test_training_shards_layout(spark, sf_dir, scratch):
     for f in glob.glob(os.path.join(out, "lang=*", "*.parquet")):
         n = spark.read.parquet(f).count()
         assert n <= 100, f
+
+
+def test_pyds_writer_two_phase_commit(tmp_path):
+    """White-box: task shards become visible only through commit's
+    manifest; abort removes the orphan shard files."""
+    import json
+    import os
+    from types import SimpleNamespace
+
+    from mapreducewordcounting_spark.sources.pyds import DocCorpusWriter
+
+    out = str(tmp_path / "sink")
+    w = DocCorpusWriter({"path": out})
+    rows = [SimpleNamespace(doc_id=i, text=f"doc {i}") for i in range(5)]
+    m1 = w.write(iter(rows[:3]))
+    m2 = w.write(iter(rows[3:]))
+    assert {m1.n_rows, m2.n_rows} == {3, 2}
+    # pre-commit: shards exist but no manifest — readers see nothing
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    w.commit([m1, m2])
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 5
+    assert sorted(manifest["shards"]) == manifest["shards"]
+    # abort path: a failed attempt's shard is removed
+    m3 = w.write(iter(rows[:1]))
+    w.abort([m3, None])
+    assert not os.path.exists(os.path.join(out, m3.filename))
