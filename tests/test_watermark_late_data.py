@@ -75,8 +75,11 @@ def test_late_rows_dropped_past_watermark(spark, stream_dir):
     write_batch("b3", [Row(ts=ts("23:00:00"), k="flush")])
     run_stream()
 
-    out = {(r.w_start.hour, r.k): r.n
-           for r in spark.read.parquet(out_dir).collect()}
+    # hour computed JVM-side (session tz): collect()'d datetimes convert
+    # through the OS-local tz and would shift the hour on non-UTC hosts
+    out = {(r.h, r.k): r.n
+           for r in spark.read.parquet(out_dir)
+           .select(F.hour("w_start").alias("h"), "k", "n").collect()}
     assert (11, "fresh") in out, f"fresh row missing: {out}"
     assert not any(k == "late" for _, k in out), f"late row not dropped: {out}"
     # on-time batch-1 rows all present
