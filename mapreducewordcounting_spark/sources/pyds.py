@@ -80,7 +80,7 @@ class DocCorpusDataSource(DataSource):
         return DocCorpusReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "DocCorpusWriter":
-        return DocCorpusWriter(self.options)
+        return DocCorpusWriter(self.options, overwrite)
 
 
 def register_doc_corpus(spark: SparkSession) -> None:
@@ -133,33 +133,56 @@ class DocCorpusWriter(DataSourceWriter):
     ``Rank_<r>_Thread_<t>.txt`` files have no commit protocol at all,
     sendFileByFile.cpp:376-392)."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
+        import os
+        import shutil
+
         self.path = options["path"]
+        if overwrite:
+            # overwrite semantics resolve HERE (driver, before any task
+            # writes): clear prior shards + manifest, so overwrite and
+            # append are genuinely different modes
+            shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator):
         import json
         import os
         import uuid
 
-        os.makedirs(self.path, exist_ok=True)
         fn = f"shard-{uuid.uuid4().hex}.jsonl"
+        # write under a .tmp name and rename on success: a task dying
+        # mid-write leaves only a *.tmp that neither the manifest nor a
+        # *.jsonl glob can see — partial shards are never ingested
+        tmp = os.path.join(self.path, fn + ".tmp")
         n = 0
-        with open(os.path.join(self.path, fn), "w") as f:
+        with open(tmp, "w") as f:
             for row in iterator:
                 f.write(json.dumps(
                     {"doc_id": row.doc_id, "text": row.text}) + "\n")
                 n += 1
+        os.rename(tmp, os.path.join(self.path, fn))
         return _ShardCommit(fn, n)
 
     def commit(self, messages):
         import json
         import os
 
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        # append semantics: merge previously committed shards — a commit
+        # that listed only this job's shards would make every earlier
+        # append invisible to manifest-honoring readers
+        prior = {"shards": [], "total_rows": 0}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = json.load(f)
         manifest = {
-            "shards": sorted(m.filename for m in messages),
-            "total_rows": sum(m.n_rows for m in messages),
+            "shards": sorted(set(prior["shards"])
+                             | {m.filename for m in messages}),
+            "total_rows": prior["total_rows"]
+                          + sum(m.n_rows for m in messages),
         }
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        with open(manifest_path, "w") as f:
             json.dump(manifest, f)
 
     def abort(self, messages):

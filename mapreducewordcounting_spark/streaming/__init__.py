@@ -257,9 +257,13 @@ def stream_session_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows with a 30-minute watermark over the
-    events *stream* (file source, AvailableNow). The watermark bounds
-    state: windows older than (max event time − 30 min) finalize and
-    evict — constant memory on an unbounded stream."""
+    events *stream* (file source, AvailableNow). Runs in COMPLETE output
+    mode so the memory-sink result deterministically equals the batch
+    twin — note complete mode retains all window state (the watermark
+    evicts nothing here). The bounded-state deployment shape is APPEND
+    mode, where the watermark finalizes + evicts closed windows and
+    drops late rows — exercised end-to-end in
+    tests/test_watermark_late_data.py."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "30 minutes")

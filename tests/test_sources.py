@@ -168,3 +168,43 @@ def test_pyds_writer_two_phase_commit(tmp_path):
     m3 = w.write(iter(rows[:1]))
     w.abort([m3, None])
     assert not os.path.exists(os.path.join(out, m3.filename))
+
+
+def test_pyds_writer_append_merges_and_overwrite_clears(tmp_path):
+    """append: a second job's commit merges the prior manifest (earlier
+    data stays visible); overwrite: prior shards + manifest are cleared;
+    a task dying mid-write leaves only an invisible .tmp."""
+    import json
+    import os
+    from types import SimpleNamespace
+
+    from mapreducewordcounting_spark.sources.pyds import DocCorpusWriter
+
+    out = str(tmp_path / "sink")
+    rows = [SimpleNamespace(doc_id=i, text=f"d{i}") for i in range(4)]
+
+    w1 = DocCorpusWriter({"path": out})
+    w1.commit([w1.write(iter(rows[:2]))])
+    w2 = DocCorpusWriter({"path": out})          # append job
+    w2.commit([w2.write(iter(rows[2:]))])
+    m = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert m["total_rows"] == 4 and len(m["shards"]) == 2
+
+    w3 = DocCorpusWriter({"path": out}, overwrite=True)
+    w3.commit([w3.write(iter(rows[:1]))])
+    m = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert m["total_rows"] == 1 and len(m["shards"]) == 1
+    on_disk = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert sorted(on_disk) == m["shards"]
+
+    # simulated mid-write death: iterator raises after the file opens
+    def dying():
+        yield rows[0]
+        raise RuntimeError("task died")
+    w4 = DocCorpusWriter({"path": out})
+    try:
+        w4.write(dying())
+    except RuntimeError:
+        pass
+    jsonl = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert sorted(jsonl) == m["shards"]  # no partial shard became visible
