@@ -67,6 +67,8 @@ HEADLINE = [
     "source_csv_roundtrip",     # CSV sink + explicit-schema source
     "dedup_minhash_det",        # map-stage MinHash signatures + band join
     "similarity_tfidf_pairs",   # inverted-index sparse cosine
+    "join_dpp_partitioned",     # runtime dynamic partition pruning
+    "mv_incremental_refresh",   # algebraic-state incremental MV merge
 ]
 
 
