@@ -334,6 +334,13 @@ def similarity_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  / (F.col("df") + 1.0))).alias("wt"),
         )
     )
+    # Three consumers (norms + both self-join sides) and AQE alias
+    # canonicalization defeats ReusedExchange here — without a lineage
+    # cut the tokenize→shingle→explode→tf pipeline executes up to 12×
+    # (12 Generate nodes in the uncut plan). This checkpoint protects
+    # the expensive subtree, unlike the jaccard prefix index (A/B'd
+    # the other way) — same discipline, opposite verdict.
+    w = w.localCheckpoint(eager=True)
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
     a, b = w.alias("a"), w.alias("b")
