@@ -208,8 +208,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     # df and N derive from tf, not the raw word stream: tf is already
     # one row per (doc, word), so df = count per word and N = distinct
-    # docs — ~20× less data into the second and third aggregations, and
-    # Spark can reuse tf's shuffle output for all three.
+    # docs — ~20× less data into the second and third aggregations.
+    # Checkpointed because exchange reuse does NOT fire across the
+    # three consumers (0 ReusedExchange, 3 Generate nodes = tokenize
+    # ran 3×; A/B 1.1-1.4 s → 0.9-1.2 s at sf0.1).
+    tf = tf.localCheckpoint(eager=True)
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = tf.select(F.count_distinct("doc_id").alias("n_docs"))
     return (
@@ -553,7 +556,9 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the window/limit operators."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
-    base = docs.select("doc_id", toks.alias("toks"))
+    # dl and tf both consume base: without a cut, each re-tokenizes
+    # the corpus (ReusedExchange does not fire across the branches)
+    base = docs.select("doc_id", toks.alias("toks")).localCheckpoint(eager=True)
     dl = base.select("doc_id", F.size("toks").alias("dl"))
     tf = (
         base.select("doc_id", F.explode("toks").alias("word"))
@@ -611,6 +616,9 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         docs.select(F.explode(toks).alias("word"))
         .groupBy("word").agg(F.count("*").alias("cnt"))
+        # consumed by the threshold scalar AND the filter scan; the
+        # cut keeps the corpus tokenize single-pass (|vocab| rows)
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("cnt").alias("total"))
     return (
@@ -661,6 +669,11 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins map-side. Deterministic top-K: ties broken by word."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    # ex is consumed by vocab AND per_doc (tokenize runs twice) but is
+    # deliberately NOT checkpointed: materializing corpus-sized token
+    # ROWS costs more than the second tokenize (A/B 1.3-1.8 s without
+    # vs 1.7-2.3 s with at sf0.1) — cuts pay on aggregated or
+    # array-compacted tables, not exploded fact-sized ones
     ex = docs.select("doc_id", "lang", F.explode(toks).alias("word"))
     vocab = (
         ex.groupBy("word").agg(F.count("*").alias("cnt"))
@@ -733,6 +746,9 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort(collect_list(struct(pos, id)))."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
+    # tok (posexploded, corpus-sized) is consumed twice but NOT
+    # checkpointed — same A/B verdict as text_vocab_coverage: exploded
+    # token-row materialization loses to re-tokenizing
     tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "word"))
     counts = tok.groupBy("word").agg(F.count("*").alias("cnt"))
     topk = counts.orderBy(F.desc("cnt"), "word").limit(TOKEN_ID_VOCAB_K)
