@@ -395,3 +395,74 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", "([a-z]+) (scan)", 1).alias("word_before_scan"),
         F.regexp_replace("text", "^the ", "THE ").alias("emphasized"),
     )
+
+
+@register(
+    "fn_trig",
+    oracle="""
+        SELECT s_suppkey,
+               round(sin(s_acctbal / 1000.0), 6) AS sin_v,
+               round(cos(s_acctbal / 1000.0), 6) AS cos_v,
+               round(atan2(s_acctbal, 1000.0), 6) AS angle,
+               round(degrees(atan2(s_acctbal, 1000.0)), 6) AS angle_deg,
+               round(exp(s_acctbal / 10000.0), 6) AS exp_v,
+               round(cbrt(abs(s_acctbal)), 6) AS cbrt_v,
+               sign(s_acctbal) AS bal_sign
+        FROM supplier
+    """,
+    tags=("scalar", "math", "trig"),
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / transcendental surface (sin, cos, atan2,
+    degrees, exp, cbrt, sign) — all rounded to 6 digits since libm
+    implementations are ulp-reproducible, not bit-reproducible, across
+    engines (the fn_math ln contract). Pure codegen, zero shuffle."""
+    s = load_table(spark, sf_dir, "supplier")
+    x = F.col("s_acctbal") / 1000.0
+    return s.select(
+        "s_suppkey",
+        F.round(F.sin(x), 6).alias("sin_v"),
+        F.round(F.cos(x), 6).alias("cos_v"),
+        F.round(F.atan2(F.col("s_acctbal"), F.lit(1000.0)), 6).alias("angle"),
+        F.round(F.degrees(F.atan2(F.col("s_acctbal"), F.lit(1000.0))), 6)
+        .alias("angle_deg"),
+        F.round(F.exp(F.col("s_acctbal") / 10000.0), 6).alias("exp_v"),
+        F.round(F.cbrt(F.abs("s_acctbal")), 6).alias("cbrt_v"),
+        F.signum("s_acctbal").alias("bal_sign"),
+    )
+
+
+@register(
+    "fn_binary_base64",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               base64(encode(text)) AS b64,
+               length(base64(encode(text))) AS b64_len,
+               CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT)
+                   AS first_byte
+        FROM documents
+        WHERE doc_id < 50
+    """,
+    tags=("scalar", "binary", "multimodal"),
+)
+def fn_binary_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface — the byte-level primitives under the
+    multimodal column family (operators/multimodal.py stores payloads
+    as binary): utf-8 encode, octet_length, base64 (the wire encoding
+    for binary-in-JSON interchange), and byte indexing. unbase64∘base64
+    identity is pinned by re-deriving n_bytes from the decoded copy."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    bin_ = F.encode("text", "utf-8")
+    # Spark's base64 is MIME (RFC 2045): CRLF-wrapped at 76 chars;
+    # DuckDB's is unwrapped RFC 4648. Strip the soft wraps so both
+    # engines speak the same canonical form (unbase64 accepts either).
+    b64 = F.replace(F.base64(bin_), F.lit("\r\n"), F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.unbase64(F.base64(bin_))).alias("n_bytes"),
+        b64.alias("b64"),
+        F.length(b64).alias("b64_len"),
+        F.conv(F.substring(F.hex(bin_), 1, 2), 16, 10).cast("int")
+        .alias("first_byte"),
+    )

@@ -89,7 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_split_3way", "mv_incremental_refresh", "source_csv_permissive",
     "source_schema_evolution",
     "join_dpp_partitioned", "fn_array_quantifiers", "fn_map_hof",
-    "pyds_sink_roundtrip",
+    "pyds_sink_roundtrip", "fn_trig", "fn_binary_base64",
 )
 
 
