@@ -421,3 +421,36 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_filter(m1, lambda k, v: v.isNotNull())).alias("n_entries"),
         F.array_join(F.array_sort(F.map_keys(m1)), ",").alias("keys_sorted"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus, o_orderpriority) AS agg_level,
+               GROUPING(o_orderstatus) AS status_rolled,
+               count(*) AS n_orders,
+               sum(o_orderkey) AS key_checksum
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("fn", "agg", "grouping-id"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id / grouping over a CUBE: the bitmask that tells a
+    consumer WHICH aggregation level each output row belongs to —
+    without it, a NULL group key is ambiguous between 'rolled up' and
+    'the key really was NULL'. DuckDB's composite GROUPING(a, b) is the
+    same bitmask as Spark's grouping_id(). Downstream, this is how one
+    cube materialization serves day/hour/total dashboards from a single
+    table: filter on agg_level instead of re-aggregating."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("agg_level"),
+            F.grouping("o_orderstatus").cast("bigint").alias("status_rolled"),
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+    )

@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_schema_evolution",
     "join_dpp_partitioned", "fn_array_quantifiers", "fn_map_hof",
     "pyds_sink_roundtrip", "fn_trig", "fn_binary_base64",
+    "agg_grouping_id",
 )
 
 
