@@ -611,3 +611,139 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic SimHash (oracle-checked twin of dedup_simhash)
+# ---------------------------------------------------------------------------
+
+_VHI = ",\n               ".join(
+    f"sum(((h_hi >> {b}) & 1) * 2 - 1) AS vhi{b}" for b in range(32))
+_VLO = ",\n               ".join(
+    f"sum(((h_lo >> {b}) & 1) * 2 - 1) AS vlo{b}" for b in range(32))
+_SIG_HI = " + ".join(
+    f"CASE WHEN vhi{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
+_SIG_LO = " + ".join(
+    f"CASE WHEN vlo{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
+
+
+@register(
+    "dedup_simhash_det",
+    # Engine-portable SimHash: the per-token 64-bit hash is the first
+    # 16 hex chars of md5 (bit-identical across engines), so signature,
+    # banding, AND hamming verification are all oracle-checked — the
+    # deterministic twin of dedup_simhash (whose xxhash64 family is
+    # Spark-private), exactly as dedup_minhash_det twins the spark.ml
+    # MinHashLSH. The 64 vote sums / bit-assembly / band predicates are
+    # generated, not hand-written, so both engines share one formula.
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        words AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(word), 1, 8)) AS UBIGINT)
+                        AS BIGINT) AS h_hi,
+                   CAST(CAST(('0x' || substr(md5(word), 9, 8)) AS UBIGINT)
+                        AS BIGINT) AS h_lo
+            FROM words),
+        votes AS (
+            SELECT doc_id,
+               {_VHI},
+               {_VLO}
+            FROM hashed GROUP BY doc_id),
+        sig AS (SELECT doc_id, {_SIG_HI} AS sig_hi, {_SIG_LO} AS sig_lo
+                FROM votes),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+                        + bit_count(xor(a.sig_lo, b.sig_lo)) AS BIGINT)
+                       AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+                 (a.sig_hi >> 16) = (b.sig_hi >> 16)
+              OR (a.sig_hi & 65535) = (b.sig_hi & 65535)
+              OR (a.sig_lo >> 16) = (b.sig_lo >> 16)
+              OR (a.sig_lo & 65535) = (b.sig_lo & 65535))
+        )
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+    tags=("dedup", "neardup", "simhash"),
+)
+def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS with a deterministic md5 hash family:
+    64-bit fingerprint per doc (±1 bit votes over token hashes,
+    majority → bit), Charikar-style banding on the four 16-bit chunks
+    (a pair within hamming ≤ 3 differs in ≤ 3 chunks, so at least one
+    chunk matches exactly — the pigeonhole guarantee), hamming
+    verified by two popcounts per candidate.
+
+    Dataflow at 100 TB:
+    - fingerprinting is explode + ONE 64-column sum aggregate — a
+      single shuffle keyed by doc_id with full map-side partial
+      aggregation (the reference's combiner pattern,
+      sendFileByFile.cpp:150-200, widened to 64 parallel sums);
+      8 bytes/doc leave the stage regardless of document length.
+    - the only other shuffle is the 4-way band self-join whose rows
+      are (band, 16-bit key, id, sig) — candidate volume is bounded
+      by band-key collisions, and verification is O(1) bit arithmetic
+      per candidate, never a token-level comparison.
+    - the DuckDB twin generates the same pair set from an OR-of-bands
+      join; Spark uses explode + equi-join (hash-joinable, the OR form
+      would force a nested-loop) — band-matched duplicates collapse
+      with distinct() there, by construction in the OR form.
+
+    Oracle-verified identical at sf0.001/0.01/0.1 (23 / 12 / 312
+    pairs — planted near-dups keep the threshold non-vacuous)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_toks()).alias("word"))
+    m = F.md5("word")
+    hashed = words.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h_lo"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.sum(F.shiftright("h_hi", b).bitwiseAND(F.lit(1)) * 2 - 1)
+          .alias(f"vhi{b}") for b in range(32)],
+        *[F.sum(F.shiftright("h_lo", b).bitwiseAND(F.lit(1)) * 2 - 1)
+          .alias(f"vlo{b}") for b in range(32)])
+
+    def assemble(pfx: str):
+        return reduce(
+            lambda acc, b: acc + (
+                F.when(F.col(f"{pfx}{b}") > 0, F.lit(1 << b))
+                 .otherwise(F.lit(0))),
+            range(32), F.lit(0)).cast("long")
+
+    sig = votes.select("doc_id", assemble("vhi").alias("sig_hi"),
+                       assemble("vlo").alias("sig_lo"))
+    band_arr = F.array(
+        F.struct(F.lit(0).alias("band"),
+                 F.shiftright("sig_hi", 16).alias("key")),
+        F.struct(F.lit(1).alias("band"),
+                 F.col("sig_hi").bitwiseAND(F.lit(65535)).alias("key")),
+        F.struct(F.lit(2).alias("band"),
+                 F.shiftright("sig_lo", 16).alias("key")),
+        F.struct(F.lit(3).alias("band"),
+                 F.col("sig_lo").bitwiseAND(F.lit(65535)).alias("key")),
+    )
+    # Lineage cut before the self-join (the module-wide lesson): both
+    # aliases would otherwise re-run explode + the 64-sum aggregate.
+    # What checkpoints is 4 rows of (band, key, id, 2×8-byte sig)/doc.
+    bands = (sig.select("doc_id", "sig_hi", "sig_lo",
+                        F.explode(band_arr).alias("bs"))
+             .select("doc_id", "sig_hi", "sig_lo",
+                     F.col("bs.band").alias("band"),
+                     F.col("bs.key").alias("key"))
+             .localCheckpoint(eager=True))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                (F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
+                 + F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo"))))
+                .cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )

@@ -90,7 +90,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_schema_evolution",
     "join_dpp_partitioned", "fn_array_quantifiers", "fn_map_hof",
     "pyds_sink_roundtrip", "fn_trig", "fn_binary_base64",
-    "agg_grouping_id",
+    "agg_grouping_id", "fn_struct", "fn_array_setops", "fn_string_format",
+    "fn_datetime_extras", "agg_percentile_disc", "dedup_simhash_det",
 )
 
 
@@ -139,6 +140,7 @@ def _load_all() -> None:
         stats,
         cdc,
         fn_extras,
+        fn_surface3,
         sql_surface,
         profiling,
         layout,
