@@ -69,6 +69,7 @@ HEADLINE = [
     "similarity_tfidf_pairs",   # inverted-index sparse cosine
     "join_dpp_partitioned",     # runtime dynamic partition pruning
     "mv_incremental_refresh",   # algebraic-state incremental MV merge
+    "dedup_simhash_det",        # md5 simhash: 64-sum fingerprint + band join
 ]
 
 

@@ -114,3 +114,118 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Count-Min (oracle-checked twin of sketch_count_min)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4       # hash rows
+_CMS_W = 8192    # counters per row
+
+_CMS_TOKS = """
+    SELECT list_filter(
+               list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> regexp_replace(t, '[^a-z'']', '', 'g')),
+               w -> length(w) > 0) AS toks
+    FROM documents
+"""
+
+
+def _cms_bucket_sql(word_expr: str, i_expr: str) -> str:
+    return (f"CAST(CAST(('0x' || substr(md5(CAST({i_expr} AS VARCHAR) "
+            f"|| '|' || {word_expr}), 1, 8)) AS UBIGINT) % {_CMS_W} "
+            f"AS BIGINT)")
+
+
+@register(
+    "sketch_count_min_det",
+    # Engine-portable CMS: hash row i maps word → first-32-md5-bits
+    # mod W. Every stage — sketch build, probe selection, point
+    # queries — is relational, so the WHOLE sketch is oracle-checked
+    # (the built-in count_min_sketch's murmur family is engine-private
+    # → rows-only). Same pattern as dedup_minhash_det/simhash_det.
+    oracle=f"""
+        WITH t AS ({_CMS_TOKS}),
+        words AS (SELECT unnest(toks) AS word FROM t),
+        keyed AS (
+            SELECT word, r.i,
+                   {_cms_bucket_sql('word', 'r.i')} AS bucket
+            FROM words, range({_CMS_D}) r(i)),
+        sketch AS (
+            SELECT i, bucket, count(*) AS c
+            FROM keyed GROUP BY i, bucket),
+        probes AS (
+            SELECT word, count(*) AS cnt
+            FROM words GROUP BY word
+            ORDER BY cnt DESC, word LIMIT 100),
+        probe_keys AS (
+            SELECT p.word, p.cnt, r.i,
+                   {_cms_bucket_sql('p.word', 'r.i')} AS bucket
+            FROM probes p, range({_CMS_D}) r(i))
+        SELECT p.word,
+               max(p.cnt) AS exact_count,
+               min(s.c)   AS est_count
+        FROM probe_keys p
+        JOIN sketch s ON p.i = s.i AND p.bucket = s.bucket
+        GROUP BY p.word
+    """,
+    tags=("sketch", "count-min", "deterministic"),
+)
+def sketch_count_min_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch with a DETERMINISTIC md5 hash family, built
+    and queried entirely relationally — no driver-side deserialization,
+    no engine-private hashing:
+
+    - **build**: each token fans out to d=4 (row, bucket) keys (one
+      generated array, one explode); the sketch IS the d×w counter
+      relation ``groupBy(row, bucket).count()`` — ≤ 32k rows total
+      regardless of corpus size, with full map-side partial
+      aggregation. Sharded sketches merge by summing counters — the
+      same algebraic-state merge as mv_incremental_refresh, which is
+      what makes CMS executor-local at 1000 executors.
+    - **probe**: the bounded top-100 probe set computes its 4 keys and
+      broadcast-joins the counter relation; estimate = min over rows.
+      One-sided error by construction (est ≥ exact — collisions only
+      ever ADD), verified row-by-row against the exact counts carried
+      alongside.
+
+    Width 8192 ≫ heavy-hitter count, so top-100 estimates are near
+    exact at fixture scale while light-tail collisions still exercise
+    the min-over-rows bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize_canonical("text")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+
+    def bucket(word_col):
+        return [
+            F.struct(
+                F.lit(i).alias("i"),
+                (F.conv(F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), word_col)), 1, 8),
+                    16, 10).cast("long") % _CMS_W).alias("bucket"),
+            )
+            for i in range(_CMS_D)
+        ]
+
+    sketch = (
+        words.select(F.explode(F.array(*bucket(F.col("word")))).alias("k"))
+        .groupBy(F.col("k.i").alias("i"), F.col("k.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        words.groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word").limit(100)
+    )
+    probe_keys = probes.select(
+        "word", "cnt", F.explode(F.array(*bucket(F.col("word")))).alias("k")
+    ).select("word", "cnt", F.col("k.i").alias("i"),
+             F.col("k.bucket").alias("bucket"))
+    return (
+        probe_keys.join(sketch, ["i", "bucket"])
+        .groupBy("word")
+        .agg(F.max("cnt").alias("exact_count"),
+             F.min("c").alias("est_count"))
+    )
