@@ -208,3 +208,98 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("p90"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "fn_csv_codec",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) || ',' || o_orderpriority || ','
+                   || o_orderstatus AS line,
+               o_orderkey AS key_rt,
+               o_orderpriority AS pri_rt,
+               o_orderstatus AS st_rt
+        FROM orders
+    """,
+    tags=("fn", "csv", "codec"),
+)
+def fn_csv_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-row CSV codec: ``to_csv(struct(...))`` renders each row to a
+    CSV line, ``from_csv`` parses it back against an explicit schema —
+    the scalar-function form of the CSV source/sink (source_csv_*),
+    used when CSV lives INSIDE a column (log payloads, export blobs)
+    rather than in files. The oracle rebuilds the line from string
+    concatenation and asserts the round-trip restores every field.
+    Columns here are ints/enum-strings with no quoting edge cases —
+    quoting/permissive-mode behavior is the file-level
+    source_csv_permissive's concern."""
+    o = load_table(spark, sf_dir, "orders")
+    line = F.to_csv(F.struct(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ))
+    parsed = F.from_csv(line, "k BIGINT, pri STRING, st STRING")
+    return o.select(
+        "o_orderkey",
+        line.alias("line"),
+        parsed.getField("k").alias("key_rt"),
+        parsed.getField("pri").alias("pri_rt"),
+        parsed.getField("st").alias("st_rt"),
+    )
+
+
+@register(
+    "fn_na_clean",
+    oracle="""
+        WITH dirty AS (
+            SELECT c_custkey,
+                   nullif(c_mktsegment, 'BUILDING') AS seg,
+                   CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+            FROM customer)
+        SELECT c_custkey,
+               CASE coalesce(seg, 'unknown')
+                    WHEN 'AUTOMOBILE' THEN 'auto'
+                    ELSE coalesce(seg, 'unknown') END AS seg_clean,
+               coalesce(bal, 0.0) AS bal_clean,
+               seg IS NULL AS was_seg_null,
+               bal IS NULL AS was_bal_null,
+               (SELECT count(*) FROM dirty
+                WHERE seg IS NOT NULL AND bal IS NOT NULL) AS n_complete
+        FROM dirty
+    """,
+    tags=("fn", "null", "na"),
+)
+def fn_na_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrameNaFunctions surface — na.fill / na.replace /
+    na.drop — over deterministically manufactured nulls (the fixtures
+    are null-free, so nullif/CASE inject them first; SURVEY.md §2.2's
+    null-semantics row is otherwise covered by test_null_semantics).
+    All three compile to plain projections/filters (Catalyst rewrites
+    fill→coalesce, replace→CASE, drop→IsNotNull filter — nothing
+    engine-side is 'special' about NA handling, which is the point:
+    it rides every pushdown/codegen path ordinary expressions do).
+    The na.drop arm is carried as a 1-row broadcast count joined onto
+    every row (the layout_zorder bounds pattern)."""
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("double"))
+         .otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    cleaned = (
+        dirty
+        .withColumn("was_seg_null", F.col("seg").isNull())
+        .withColumn("was_bal_null", F.col("bal").isNull())
+        .na.fill({"seg": "unknown", "bal": 0.0})
+        .na.replace("AUTOMOBILE", "auto", subset=["seg"])
+        .withColumnRenamed("seg", "seg_clean")
+        .withColumnRenamed("bal", "bal_clean")
+    )
+    n_complete = dirty.na.drop(how="any").agg(
+        F.count("*").alias("n_complete"))
+    return cleaned.crossJoin(F.broadcast(n_complete)).select(
+        "c_custkey", "seg_clean", "bal_clean",
+        "was_seg_null", "was_bal_null", "n_complete",
+    )
