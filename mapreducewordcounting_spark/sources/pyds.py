@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -230,3 +231,134 @@ def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming half — the user-extensible *streaming source* surface
+# ---------------------------------------------------------------------------
+
+class _RowRangePartition(InputPartition):
+    """One work unit = one row range [lo, hi) of the ledger file —
+    the intra-batch parallelism unit (a micro-batch fans out to
+    multiple of these, one per executor slot)."""
+
+    def __init__(self, path: str, lo: int, hi: int):
+        self.path = path
+        self.lo = lo
+        self.hi = hi
+
+
+class EventLedgerStreamReader(DataSourceStreamReader):
+    """Offset-tracked replay of an append-only event ledger (here: a
+    parquet file standing in for a log segment).
+
+    The streaming-source contract, mapped onto the reference's only
+    'streaming' idea (per-file punctuation sentinels that flush mapper
+    state, sendFileByFile.cpp:111-114, :168-172):
+
+    - ``initialOffset``/``latestOffset`` replace sentinel counting with
+      DURABLE offsets: progress is {"row": n}, checkpointed by the
+      engine, so a crashed query resumes where it left off — the
+      reference's protocol hangs forever if any rank dies mid-count.
+    - ``partitions(start, end)`` plans the micro-batch as row-range
+      splits (metadata only, driver-side); each range reads in a
+      parallel task — the pull-based dispatcher (:40-64) without the
+      polling.
+    - ``commit(end)`` is where a real segment store would truncate;
+      a ledger is immutable so it is a no-op here.
+
+    Scale posture: offsets are O(1) driver state; batch planning never
+    touches data; ranges map 1:1 onto executor tasks. For a multi-file
+    100 TB log the offset becomes (segment, row) and partitions() maps
+    ranges to whole segments — same protocol, no code-shape change.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.batch_rows = int(options.get("batch_rows", 4096))
+
+    def _total_rows(self) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self.path).metadata.num_rows
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        return {"row": self._total_rows()}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        return [
+            _RowRangePartition(self.path, a, min(a + self.batch_rows, hi))
+            for a in range(lo, hi, self.batch_rows)
+        ] or [_RowRangePartition(self.path, lo, lo)]
+
+    def read(self, partition: _RowRangePartition):
+        import pyarrow.parquet as pq
+
+        if partition.hi <= partition.lo:
+            return
+        tbl = pq.ParquetFile(partition.path).read(
+            columns=["event_id", "event_type", "user_id"])
+        sl = tbl.slice(partition.lo, partition.hi - partition.lo)
+        yield from zip(sl.column("event_id").to_pylist(),
+                       sl.column("event_type").to_pylist(),
+                       sl.column("user_id").to_pylist())
+
+    def commit(self, end: dict) -> None:
+        pass  # immutable ledger: nothing to truncate
+
+
+class EventLedgerDataSource(DataSource):
+    """``spark.readStream.format("eventledger").option("path", …)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eventledger"
+
+    def schema(self) -> str:
+        return "event_id long, event_type string, user_id long"
+
+    def streamReader(self, schema) -> EventLedgerStreamReader:
+        return EventLedgerStreamReader(self.options)
+
+
+@register(
+    "pyds_stream_ledger",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(user_id) AS sum_user,
+               min(event_id) AS min_id,
+               max(event_id) AS max_id
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "source", "python-datasource"),
+)
+def pyds_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom STREAMING source: the event ledger replays
+    through the offset/partition protocol under Trigger.AvailableNow,
+    aggregates in complete mode, and must reproduce the batch answer
+    exactly — the same batch-twin discipline as the file-based
+    streaming queries, but here the thing under test is the
+    user-extensible streaming connector itself (offset planning,
+    range-split reads, exactly-once replay)."""
+    from mapreducewordcounting_spark.streaming import run_available_now
+
+    spark.dataSource.register(EventLedgerDataSource)
+    stream = (
+        spark.readStream.format("eventledger")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batch_rows", 4096)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_id").alias("sum_user"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    return run_available_now(agg)
