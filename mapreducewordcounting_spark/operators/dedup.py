@@ -367,6 +367,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
     # the embedding matrix (n×dim floats) is broadcast state like LSH
     # models or k-means centroids — small by construction; the *pairs*
     # (n²) are never materialized anywhere.
+    if not rows:  # zero-row input: no pairs, stable schema
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)

@@ -205,7 +205,11 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _io_path(sf_dir, "part_events")
     ev = load_table(spark, sf_dir, "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    # Explicit schema on the read-back (the SCALING.md source rule): a
+    # zero-row write produces a partitionless store that schema
+    # inference rejects; the engine knows the schema it just wrote.
+    back = spark.read.schema(ev.schema).parquet(path) \
+        .filter(F.col("event_type") == "purchase")
     return back.groupBy(
         (F.col("user_id") % 8).alias("user_bucket"),
     ).agg(
@@ -395,7 +399,9 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _io_path(sf_dir, "dpp_events")
     ev = load_table(spark, sf_dir, "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(store)
-    fact = spark.read.parquet(store)
+    # explicit schema: survives a zero-row store (no partition dirs to
+    # infer from) and skips the inference file-listing pass
+    fact = spark.read.schema(ev.schema).parquet(store)
     dim = spark.createDataFrame(
         [("purchase", 1.5), ("click", 1.0), ("view", 0.5)],
         "event_type STRING, weight DOUBLE")

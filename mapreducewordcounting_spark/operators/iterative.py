@@ -53,6 +53,12 @@ def kmeans_fit(emb: DataFrame, k: int = K_DEFAULT,
     """Deterministic k-means (init = every ⌈n/k⌉-th vector by vec_id).
     Returns (final assignment DataFrame, per-iteration inertia)."""
     n = emb.count()
+    if n == 0:  # zero-row input: empty assignment, stable schema
+        empty = emb.select(
+            "vec_id", "embedding",
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(0.0).alias("sq_dist"))
+        return empty, []
     step = max(n // k, 1)
     centroids = [
         list(r.embedding)
@@ -103,6 +109,8 @@ def pagerank(edges: DataFrame, nodes: DataFrame,
     Spark job: the localCheckpoint that materializes the new ranks and
     bounds lineage growth. Driver never holds data."""
     n = nodes.count()
+    if n == 0:  # zero-node graph: empty ranks, stable schema
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     e_norm = (edges.join(out_w, "src")
               .select("src", "dst",

@@ -102,6 +102,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>"))
         .alias("vec"))
+    if emb.isEmpty():  # model fit is undefined on zero rows: empty
+        return spark.createDataFrame(  # result, stable schema
+            [], "query_id long, neighbor_id long, rank int, euclid double")
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=2.0,
         numHashTables=8, seed=42)

@@ -494,6 +494,9 @@ def text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(tokenize_canonical("text"),
                  lambda w: F.length(w) > 0).alias("toks"))
+    if toks.isEmpty():  # IDF fit is undefined on zero rows: empty
+        return spark.createDataFrame(  # result, stable schema
+            [], "doc_id long, max_weight double, n_terms int")
     tf = HashingTF(inputCol="toks", outputCol="tf",
                    numFeatures=1 << 18).transform(toks)
     model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)

@@ -623,7 +623,7 @@ def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        back = spark.read.parquet(store).filter(
+        back = spark.read.schema(ev.schema).parquet(store).filter(
             F.col("event_type") == "purchase")
         result = back.groupBy(
             (F.col("user_id") % 8).alias("user_bucket"),

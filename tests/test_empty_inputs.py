@@ -1,0 +1,44 @@
+"""Zero-row robustness gate: every registered query must run — and
+return its stable schema — against EMPTY fixture tables.
+
+At 100 TB this is not a corner case: an empty date-partition slice, a
+tenant with no data yet, or a filter that eliminates a whole source
+feeds every operator zero rows somewhere, and "crashes the job" is the
+wrong behavior for all of them. This gate drove real hardening
+(round 3): explicit-schema read-backs of partitioned stores (schema
+inference fails on a partitionless store), driver-side guards in the
+iterative operators (1/n seeds), empty-matrix guards in the BLAS
+cosine kernel, and empty-fit guards on the spark.ml wrappers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from mapreducewordcounting_spark.catalog import TABLES
+from mapreducewordcounting_spark.registry import all_queries
+
+from tests.conftest import SF_DIR
+
+_SPECS = all_queries()
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(tmp_path_factory) -> str:
+    """Fixture tables with the real schemas and zero rows."""
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        schema = pq.ParquetFile(
+            os.path.join(SF_DIR, f"{t}.parquet")).schema_arrow
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_runs_on_empty_input(name, spark, empty_sf_dir):
+    df = _SPECS[name].fn(spark, empty_sf_dir)
+    assert len(df.columns) > 0
+    df.collect()  # must execute, not just plan
