@@ -1,0 +1,119 @@
+"""Adversarial-distribution gate: the full registry, oracle-compared
+against DuckDB on a fixture deliberately rebuilt with pathological
+distributions —
+
+- **hot join/group keys**: 1/3 of lineitem on one supplier, 1/4 on one
+  part (the shape AQE skew-split and salting exist for);
+- **constant-heavy columns**: 70% of events on one user, 90% one type;
+- **duplicate-heavy corpus**: 25% of documents byte-identical, another
+  25% near-identical (one trailing phrase) — the worst case for
+  shingle/minhash/simhash candidate generation (hot shingles, huge
+  LSH buckets);
+- **repeated embeddings**: a third of vectors identical (ties in every
+  top-k and threshold comparison).
+
+Primary keys stay unique (a skewed world still has row identity), so
+every deterministic ordering in the queries remains a total order.
+This gate caught a real underdeterminism in round 3: a ROWS-frame
+window ordered by columns an earlier fixture transform had made
+non-unique — on tied orderings, frame contents are engine-dependent.
+The lesson stands as policy: ROWS frames must order by a key.
+
+Everything oracled must still match EXACTLY — same engine arithmetic,
+nastier data; rows-only queries must still complete.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from mapreducewordcounting_spark.registry import all_queries
+
+from tests.conftest import SF_DIR
+
+_SPECS = all_queries()
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="session")
+def adv_sf_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("sf_adversarial"))
+    con = duckdb.connect()
+    con.sql(f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE l_suppkey END
+                AS l_suppkey,
+            CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_partkey END
+                AS l_partkey)
+          FROM '{SF_DIR}/lineitem.parquet'
+        ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN event_id % 10 < 7 THEN 42 ELSE user_id END
+                AS user_id,
+            CASE WHEN event_id % 10 < 9 THEN 'click' ELSE event_type END
+                AS event_type)
+          FROM '{SF_DIR}/events.parquet'
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN doc_id % 4 = 1
+                   THEN (SELECT text FROM '{SF_DIR}/documents.parquet'
+                         ORDER BY doc_id LIMIT 1)
+                 WHEN doc_id % 4 = 2
+                   THEN (SELECT text FROM '{SF_DIR}/documents.parquet'
+                         ORDER BY doc_id LIMIT 1)
+                        || ' extra trailing words'
+                 ELSE text END AS text)
+          FROM '{SF_DIR}/documents.parquet'
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN vec_id % 3 = 1
+                   THEN (SELECT embedding FROM '{SF_DIR}/embeddings.parquet'
+                         ORDER BY vec_id LIMIT 1)
+                 ELSE embedding END AS embedding)
+          FROM '{SF_DIR}/embeddings.parquet'
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)""")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders"]:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{d}/{t}.parquet")
+
+    # non-vacuousness: the pathologies are actually present
+    hot = con.sql(f"""SELECT count(*) FILTER (l_suppkey = 1)::DOUBLE
+                      / count(*) FROM '{d}/lineitem.parquet'""").fetchone()[0]
+    assert hot > 0.3, hot
+    dup = con.sql(f"""SELECT max(c) FROM (SELECT count(*) AS c
+                      FROM '{d}/documents.parquet' GROUP BY text)""").fetchone()[0]
+    assert dup >= 2, dup
+    con.close()
+    return d
+
+
+@pytest.fixture(scope="session")
+def adv_duck(adv_sf_dir):
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{adv_sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_adversarial_oracle_match(name, spark, adv_sf_dir, adv_duck):
+    from tests.oracle_util import assert_matches_oracle
+
+    spec = _SPECS[name]
+    df = spec.fn(spark, adv_sf_dir)
+    if spec.oracle is not None:
+        assert_matches_oracle(df, adv_duck, spec.oracle)
+    else:
+        df.collect()
