@@ -695,7 +695,16 @@ def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
       with distinct() there, by construction in the OR form.
 
     Oracle-verified identical at sf0.001/0.01/0.1 (23 / 12 / 312
-    pairs — planted near-dups keep the threshold non-vacuous)."""
+    pairs — planted near-dups keep the threshold non-vacuous).
+
+    A/B'd against the minhash-style per-doc HOF fold (no explode, no
+    vote shuffle): the fold measured 5.3 s vs 1.9 s for this form at
+    sf0.1, identical output. 64 interpreted lambda evaluations building
+    a vote array per TOKEN lose to the codegen'd 64-sum hash aggregate
+    by far more than the (doc × 64-long) exchange costs — the explode
+    is the fast path here precisely because aggregate update stays in
+    whole-stage codegen; the opposite verdict from minhash, whose fold
+    replaces 8 full pipeline re-evaluations, not a shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(_toks()).alias("word"))
     m = F.md5("word")
