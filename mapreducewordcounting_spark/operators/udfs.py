@@ -298,8 +298,21 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "user_id": pd.array([], dtype="Int64"),
                  "purchase_us": pd.array([], dtype="Int64"),
                  "last_signup_us": pd.array([], dtype="Int64")})
+        if "ts" not in left.columns:  # left pruned to key (see below):
+            n = len(left)             # only cardinality can matter
+            null_i64 = pd.array([pd.NA] * n, dtype="Int64")
+            return pd.DataFrame({"event_id": null_i64, "user_id": null_i64,
+                                 "purchase_us": null_i64,
+                                 "last_signup_us": null_i64})
         left = left.sort_values("ts")
-        if right.empty:
+        # "ts" missing ⇒ Catalyst pruned the cogroup input to its
+        # grouping key: it does this when the plan consumes only the
+        # UDF's CARDINALITY (count()-style), never its values. Safe to
+        # treat as empty here because this operator's output row count
+        # is len(left) regardless of the right side (merge_asof
+        # backward keeps every left row) — under any plan where values
+        # matter, the full columns arrive.
+        if right.empty or "ts" not in right.columns:
             merged = left.assign(
                 ts_match=pd.Series(pd.NaT, index=left.index)
                 .astype(left["ts"].dtype))

@@ -74,3 +74,16 @@ def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
     kept_en = (sample_stratified_hash(spark, sf_dir)
                .filter(F.col("lang") == "en").count())
     assert 0.6 * n_en <= kept_en / 0.8 <= 1.4 * n_en
+
+
+def test_cogroup_asof_count_equals_collect(spark, sf_dir):
+    """Regression: under a count()-only plan, Catalyst prunes the
+    cogroup's input columns down to the grouping key (it knows only the
+    UDF's cardinality is consumed), so the pandas function receives
+    key-only frames. The UDF must tolerate that — cardinality here is
+    len(left) by construction — and both plans must agree."""
+    from mapreducewordcounting_spark.operators.udfs import cogroup_asof_pandas
+
+    n_count = cogroup_asof_pandas(spark, sf_dir).count()
+    n_collect = len(cogroup_asof_pandas(spark, sf_dir).collect())
+    assert n_count == n_collect > 0
