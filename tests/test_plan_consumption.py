@@ -1,0 +1,28 @@
+"""Plan-consumption consistency gate: for every registered query,
+``df.count()`` must equal ``len(df.collect())``.
+
+The two run DIFFERENT physical plans: under count(), Catalyst prunes
+away everything the cardinality doesn't need — including, for
+cogrouped/applyInPandas operators, the UDF's *input* data columns
+(only the grouping key survives). An operator whose Python function
+assumes its full input schema crashes (or worse, silently changes
+cardinality) under the pruned plan. This caught a real one in
+round 3: cogroup_asof_pandas KeyError'd on the key-only right frame
+under count() while every collect()-based gate stayed green.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducewordcounting_spark.registry import all_queries
+
+_SPECS = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_count_equals_collect(name, spark, sf_dir):
+    spec = _SPECS[name]
+    n_count = spec.fn(spark, sf_dir).count()
+    n_collect = len(spec.fn(spark, sf_dir).collect())
+    assert n_count == n_collect
