@@ -333,3 +333,116 @@ def sketch_bloom_det(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("n_false_positives"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (oracle-checked twin of sketch_hll_union)
+# ---------------------------------------------------------------------------
+
+_HLL_B = 10               # bucket bits
+_HLL_M = 1 << _HLL_B      # 1024 registers
+_HLL_REM = 32 - _HLL_B    # remainder bits
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # standard alpha_m, m >= 128
+
+
+@register(
+    "sketch_hll_det",
+    # Engine-portable HLL: 32-bit md5 prefix → (bucket, leading-zero
+    # rank via bin()-length — identical string semantics in both
+    # engines, no libm in the register path). The harmonic sum is
+    # EXACT float arithmetic despite running under arbitrary partition
+    # order: every term 2^-mx is a dyadic rational on the common
+    # denominator 2^(rem+1) and the total stays far below 2^53, so
+    # addition is associative here and the two engines cannot diverge.
+    # The only transcendental (ln, linear-counting branch) matched at
+    # 6 digits across libms everywhere it was probed (fn_trig's
+    # established parity).
+    oracle=f"""
+        WITH hashed AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                             1, 8)) AS UBIGINT) AS BIGINT)
+                       AS h
+            FROM orders),
+        slots AS (
+            SELECT grp, h >> {_HLL_REM} AS bucket,
+                   CASE WHEN (h & {(1 << _HLL_REM) - 1}) = 0
+                        THEN {_HLL_REM + 1}
+                        ELSE {_HLL_REM}
+                             - length(bin(h & {(1 << _HLL_REM) - 1})) + 1
+                   END AS rho
+            FROM hashed),
+        regs AS (
+            SELECT grp, bucket, max(rho) AS mx
+            FROM slots GROUP BY grp, bucket),
+        all_regs AS (
+            SELECT grp, bucket, mx FROM regs
+            UNION ALL
+            SELECT '__all__' AS grp, bucket, max(mx) AS mx
+            FROM regs GROUP BY bucket),
+        est AS (
+            SELECT grp, count(*) AS v_full,
+                   sum(power(2.0, -mx)) + ({_HLL_M} - count(*)) AS harm
+            FROM all_regs GROUP BY grp)
+        SELECT grp,
+               round(CASE WHEN CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M}
+                               * {_HLL_M} / harm <= 2.5 * {_HLL_M}
+                           AND v_full < {_HLL_M}
+                          THEN {_HLL_M} * ln({_HLL_M} /
+                               CAST({_HLL_M} - v_full AS DOUBLE))
+                          ELSE CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M}
+                               * {_HLL_M} / harm END, 6) AS est_customers
+        FROM est
+    """,
+    tags=("sketch", "hll", "deterministic"),
+)
+def sketch_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with a DETERMINISTIC md5 hash family, built, UNIONED
+    and estimated entirely relationally — the last engine-private
+    approximate structure (DataSketches HLL) gets its portable twin,
+    closing the set (minhash / simhash / count-min / bloom / hll):
+
+    - **registers ARE a relation**: (group, bucket, max-rank), ≤ m rows
+      per group, built by one partial/final max-aggregate — the sketch
+      never exists as a blob, so no driver round-trip and no
+      engine-private serialization anywhere.
+    - **union is elementwise register max** — one more groupBy over the
+      same relation yields the '__all__' merged sketch (the HLL
+      mergeability law, stated as SQL), exactly how 1000 executors'
+      shard sketches combine without re-shuffling raw keys.
+    - **estimation is order-independent float math**: the harmonic sum's
+      terms are dyadic rationals on one denominator (exact addition at
+      any partition order); the leading-zero rank comes from bin()
+      string length, not log2 (whose libm rounding differs per engine).
+      Both the raw-HLL and linear-counting branches are exercised and
+      oracle-matched across tiers (per-priority customers sit in the
+      linear regime at sf0.001, the '__all__' union crosses into the
+      raw regime as SF grows).
+
+    Estimates distinct customers per order priority + overall (the
+    5-way union), vs ~1.04/√1024 ≈ 3% expected HLL error."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+               16, 10).cast("long")
+    rem = h.bitwiseAND(F.lit((1 << _HLL_REM) - 1))
+    slots = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.shiftright(h, _HLL_REM).alias("bucket"),
+        F.when(rem == 0, F.lit(_HLL_REM + 1))
+         .otherwise(F.lit(_HLL_REM) - F.length(F.bin(rem)) + 1).alias("rho"))
+    regs = slots.groupBy("grp", "bucket").agg(F.max("rho").alias("mx"))
+    union_regs = (regs.groupBy("bucket").agg(F.max("mx").alias("mx"))
+                  .select(F.lit("__all__").alias("grp"), "bucket", "mx"))
+    all_regs = regs.unionByName(union_regs)
+    est = all_regs.groupBy("grp").agg(
+        F.count("*").alias("v_full"),
+        (F.sum(F.pow(F.lit(2.0), -F.col("mx")))
+         + (_HLL_M - F.count("*"))).alias("harm"))
+    raw = _HLL_ALPHA * _HLL_M * _HLL_M / F.col("harm")
+    return est.select(
+        "grp",
+        F.round(
+            F.when((raw <= 2.5 * _HLL_M) & (F.col("v_full") < _HLL_M),
+                   _HLL_M * F.log(
+                       _HLL_M / (_HLL_M - F.col("v_full")).cast("double")))
+            .otherwise(raw), 6).alias("est_customers"))

@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_grouping_id", "fn_struct", "fn_array_setops", "fn_string_format",
     "fn_datetime_extras", "agg_percentile_disc", "dedup_simhash_det",
     "sketch_count_min_det", "fn_csv_codec", "fn_na_clean",
-    "pyds_stream_ledger", "sketch_bloom_det",
+    "pyds_stream_ledger", "sketch_bloom_det", "sketch_hll_det",
 )
 
 

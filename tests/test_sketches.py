@@ -95,3 +95,31 @@ def test_count_min_det_one_sided_and_plan_safe(spark, sf_dir):
     assert all(r.est_count >= r.exact_count for r in rows)
     top = max(rows, key=lambda r: r.exact_count)
     assert top.est_count == top.exact_count
+
+
+def test_hll_det_error_bound_and_union_consistency(spark, sf_dir):
+    """Deterministic HLL: every estimate within 4× the theoretical
+    standard error (1.04/√m ≈ 3.2% at m=1024) of the exact distinct
+    count, and the '__all__' union row estimates the union cardinality
+    (not the sum of the groups)."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordcounting_spark.catalog import load_table
+    from mapreducewordcounting_spark.operators.sketches import (
+        _HLL_M,
+        sketch_hll_det,
+    )
+
+    est = {r.grp: r.est_customers
+           for r in sketch_hll_det(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    exact = {r.o_orderpriority: r.n for r in
+             o.groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").alias("n")).collect()}
+    exact["__all__"] = o.select("o_custkey").distinct().count()
+    tol = 4 * 1.04 / (_HLL_M ** 0.5)
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n <= tol, (g, est[g], n)
+    # union estimates the distinct-union, which is far below the sum
+    assert est["__all__"] < sum(v for g, v in est.items() if g != "__all__")
