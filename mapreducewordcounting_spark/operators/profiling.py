@@ -15,7 +15,7 @@ codegen'd bucket expression. No sorts, no self-joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
@@ -130,4 +130,104 @@ def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_orders"),
              F.sum(money("o_totalprice")).cast("double").alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-interpolated quantiles (portable twin of agg_percentile_approx)
+# ---------------------------------------------------------------------------
+
+_QH_NB = 64  # histogram bins per group
+
+
+@register(
+    "agg_quantile_hist_est",
+    # p arrives as an explicit DOUBLE list in both engines: a bare
+    # VALUES (0.5) would be DECIMAL in DuckDB and the p*n comparison
+    # arithmetic would diverge from Spark's double path.
+    oracle=f"""
+        WITH stats AS (
+            SELECT l_returnflag AS flag,
+                   min(l_extendedprice) AS lo,
+                   max(l_extendedprice) AS hi,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1),
+        keyed AS (
+            SELECT s.flag, s.lo, s.hi, s.n,
+                   CASE WHEN s.hi = s.lo THEN 0
+                        ELSE least(CAST(floor((l.l_extendedprice - s.lo)
+                                   / (s.hi - s.lo) * {_QH_NB}) AS BIGINT),
+                                   {_QH_NB - 1}) END AS k
+            FROM lineitem l JOIN stats s ON l.l_returnflag = s.flag),
+        bins AS (
+            SELECT flag, lo, hi, n, k, count(*) AS cnt
+            FROM keyed GROUP BY flag, lo, hi, n, k),
+        cum AS (
+            SELECT flag, lo, hi, n, k, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY k)
+                        AS BIGINT) AS cum
+            FROM bins),
+        ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                              CAST(0.99 AS DOUBLE)]) AS p)
+        SELECT flag, p,
+               round(lo + (k + (p * n - (cum - cnt)) / cnt)
+                          * (hi - lo) / {_QH_NB}, 6) AS est_price
+        FROM cum, ps
+        WHERE cum >= p * n AND cum - cnt < p * n
+    """,
+    tags=("agg", "percentile", "histogram", "deterministic"),
+)
+def agg_quantile_hist_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles from an equi-width histogram — the
+    engine-portable twin of agg_percentile_approx (whose KLL-style
+    sketch is engine-private, rows-only): p50/p90/p99 of extended
+    price per return flag, estimated by linear interpolation inside
+    the bucket where the cumulative count crosses p·n.
+
+    The mergeable-summary dataflow, same law as the other *_det
+    sketches: the histogram IS the (group, bucket, count) relation —
+    ≤ 64 rows per group at any input size, built with full map-side
+    partial aggregation, shards merge by count sum. Quantile
+    extraction touches only that tiny relation (one window cumsum +
+    a 3-row broadcast of probe fractions). Two passes over the data
+    (bounds, then counts) vs the sketch's one — the price of having
+    NO engine-private state; at 100 TB the bounds pass is often a
+    metadata read (parquet column min/max).
+
+    Error is bounded by one bin width by construction; the gate test
+    pins estimates against exact percentile_disc. hi == lo groups
+    degenerate to bucket 0 and estimate lo exactly. The crossing
+    bucket is unique (cum_prev < p·n ≤ cum), and every float step —
+    p·n, the interpolation — is written identically in both engines,
+    so the oracle match is exact at 6 digits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count("*").alias("n"))
+    keyed = li.join(
+        F.broadcast(stats), li.l_returnflag == stats.flag).select(
+        "flag", "lo", "hi", "n",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+         .otherwise(F.least(
+             F.floor((F.col("l_extendedprice") - F.col("lo"))
+                     / (F.col("hi") - F.col("lo")) * _QH_NB).cast("long"),
+             F.lit(_QH_NB - 1).cast("long"))).alias("k"))
+    bins = keyed.groupBy("flag", "lo", "hi", "n", "k").agg(
+        F.count("*").alias("cnt"))
+    w = Window.partitionBy("flag").orderBy("k")
+    cum = bins.withColumn("cum", F.sum("cnt").over(w))
+    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    t = F.col("p") * F.col("n")
+    return (
+        cum.crossJoin(F.broadcast(ps))
+        .filter((F.col("cum") >= t) & (F.col("cum") - F.col("cnt") < t))
+        .select(
+            "flag", "p",
+            F.round(
+                F.col("lo")
+                + (F.col("k") + (t - (F.col("cum") - F.col("cnt")))
+                   / F.col("cnt"))
+                * (F.col("hi") - F.col("lo")) / _QH_NB, 6)
+            .alias("est_price"))
     )

@@ -123,3 +123,31 @@ def test_hll_det_error_bound_and_union_consistency(spark, sf_dir):
         assert abs(est[g] - n) / n <= tol, (g, est[g], n)
     # union estimates the distinct-union, which is far below the sum
     assert est["__all__"] < sum(v for g, v in est.items() if g != "__all__")
+
+
+def test_quantile_hist_est_within_one_bin_of_exact(spark, sf_dir):
+    """Histogram-interpolated percentiles land within one bin width of
+    the exact discrete percentile — the estimator's structural error
+    bound."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordcounting_spark.catalog import load_table
+    from mapreducewordcounting_spark.operators.profiling import (
+        _QH_NB,
+        agg_quantile_hist_est,
+    )
+
+    est = {(r.flag, r.p): r.est_price
+           for r in agg_quantile_hist_est(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = {r.l_returnflag: (r.lo, r.hi) for r in li.groupBy("l_returnflag")
+             .agg(F.min("l_extendedprice").alias("lo"),
+                  F.max("l_extendedprice").alias("hi")).collect()}
+    for p in (0.5, 0.9, 0.99):
+        exact = {r.l_returnflag: r.q for r in li.groupBy("l_returnflag").agg(
+            F.expr(f"percentile_disc({p}) WITHIN GROUP "
+                   f"(ORDER BY l_extendedprice)").alias("q")).collect()}
+        for flag, q in exact.items():
+            lo, hi = stats[flag]
+            bin_w = (hi - lo) / _QH_NB
+            assert abs(est[(flag, p)] - q) <= bin_w + 1e-9, (flag, p)
