@@ -70,6 +70,10 @@ HEADLINE = [
     "join_dpp_partitioned",     # runtime dynamic partition pruning
     "mv_incremental_refresh",   # algebraic-state incremental MV merge
     "dedup_simhash_det",        # md5 simhash: 64-sum fingerprint + band join
+    "sketch_count_min_det",     # relational CMS: counter-relation build+probe
+    "sketch_bloom_det",         # relational bloom: bit relation + fp accounting
+    "sketch_hll_det",           # relational HLL: register relation + union
+    "agg_quantile_hist_est",    # histogram-interpolated percentiles
 ]
 
 
