@@ -397,7 +397,13 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tenant allowlist) rather than as a literal: without DPP the scan
     reads every partition and the filter applies post-join."""
     store = _io_path(sf_dir, "dpp_events")
-    ev = load_table(spark, sf_dir, "events")
+    # The store carries only the columns this fact table's consumers
+    # read (user_id, value + the partition key): the events `props`
+    # JSON string dominates raw bytes and never survives column
+    # pruning downstream anyway — a partitioned analytical store is
+    # projected at ingest, not a raw-log mirror.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", "event_type")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(store)
     # explicit schema: survives a zero-row store (no partition dirs to
     # infer from) and skips the inference file-listing pass

@@ -128,13 +128,19 @@ def decode_asset_features(a: DataFrame) -> DataFrame:
             feats = [_fake_decode(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"].values,
-                "kind": [m["kind"] for m in pdf["meta"]],
+                "kind": pdf["kind"].values,
                 "n_bytes": [f["n_bytes"] for f in feats],
                 "first_byte": [f["first_byte"] for f in feats],
                 "digest": [f["digest"] for f in feats],
             })
 
-    return a.select("asset_id", "meta", "payload").mapInPandas(decode, schema)
+    # Only the metadata field the decoder needs crosses the Arrow
+    # boundary, and as a FLAT column: a struct column arrives in pandas
+    # as a dict per row (no Arrow vectorization, per-row unpacking on
+    # the worker), while a flat string column stays a zero-copy Arrow
+    # array end to end.
+    return (a.select("asset_id", F.col("meta.kind").alias("kind"), "payload")
+            .mapInPandas(decode, schema))
 
 
 @register(

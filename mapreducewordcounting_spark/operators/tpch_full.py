@@ -591,17 +591,37 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed as two aggregates and joined back, instead of two extra
     self-joins of lineitem per probe row. One wide shuffle on orderkey
     dominates; everything dimensional broadcasts."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
-    late = (li.join(o, li.l_orderkey == o.o_orderkey)
-            .filter(F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-            .select("l_orderkey", "l_suppkey"))
-    n_supp = li.groupBy(F.col("l_orderkey").alias("sk")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"))
-    n_late = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
-        F.countDistinct("l_suppkey").alias("n_late_supp"))
+    # Single pass over the F-order lineitem: collapse to one row per
+    # (order, supplier) carrying its count of late rows, then read both
+    # EXISTS predicates off a window over the collapsed table —
+    # n_supp = suppliers on the order, n_late_supp = suppliers with a
+    # late row. The decorrelated two-countDistinct formulation this
+    # replaces aggregated the FULL lineitem twice and joined three
+    # tables back on orderkey; here the fact shuffles once into the
+    # (order, supplier) grain (~6× smaller) and the window runs over
+    # that grain, not raw rows. Counting late ROWS (sum n_late_rows)
+    # matches the oracle's count(*) over qualifying l1 rows.
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count_if(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).alias("n_late_rows"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_orderkey", "l_suppkey", "n_late_rows",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum((F.col("n_late_rows") > 0).cast("long")).over(w)
+        .alias("n_late_supp"),
+    )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -609,10 +629,10 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
            .select("s_suppkey", "s_name"))
     return (
-        late.join(n_supp, late.l_orderkey == F.col("sk"))
-        .join(n_late, late.l_orderkey == F.col("lk"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(eur), late.l_suppkey == eur.s_suppkey)
+        flagged.filter((F.col("n_late_rows") > 0)
+                       & (F.col("n_supp") >= 2)
+                       & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(eur), flagged.l_suppkey == eur.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
     )
