@@ -74,6 +74,7 @@ HEADLINE = [
     "sketch_bloom_det",         # relational bloom: bit relation + fp accounting
     "sketch_hll_det",           # relational HLL: register relation + union
     "agg_quantile_hist_est",    # histogram-interpolated percentiles
+    "similarity_ann_rp_det",    # md5-hyperplane LSH ANN + exact re-rank
 ]
 
 

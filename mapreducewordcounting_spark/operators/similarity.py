@@ -365,3 +365,166 @@ def similarity_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.round(cos, 6) >= TFIDF_COS_MIN)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-projection ANN — the oracle-checkable scale path
+# ---------------------------------------------------------------------------
+
+_RP_PLANES = 16   # sign hyperplanes = signature bits
+_RP_BANDS = 4     # 4 bands x 4 bits: any shared band => candidate
+_RP_DIM = 64      # fixture embedding dimensionality (FIXTURES.md)
+
+
+def _rp_signs() -> list[list[float]]:
+    """The +-1 hyperplane family, derived from md5 at import time — the
+    same engine-portable-hash discipline as the deterministic sketches
+    (sketches.py): no RNG, no seed, reproducible in any engine. md5 of
+    "rp:<plane>:<dim>", first hex nibble's parity -> sign."""
+    import hashlib
+
+    return [
+        [1.0 if int(hashlib.md5(f"rp:{p}:{d}".encode()).hexdigest()[0],
+                    16) % 2 == 0 else -1.0
+         for d in range(_RP_DIM)]
+        for p in range(_RP_PLANES)
+    ]
+
+
+def _rp_oracle() -> str:
+    """DuckDB twin of similarity_ann_rp_det, generated from the SAME
+    sign family: the literal +-1 lists are inlined into the SQL, so
+    both engines hash with identical hyperplanes and the approximate
+    result is exactly reproducible (same candidates, same ranks)."""
+    signs = _rp_signs()
+
+    def bit(p: int) -> str:
+        lst = "[" + ",".join(str(int(s)) for s in signs[p]) + "]"
+        return (f"(CASE WHEN list_sum(list_transform(range(1, {_RP_DIM + 1}), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({lst}[i]))) >= 0 "
+                f"THEN 1 ELSE 0 END)")
+
+    bands = []
+    for b in range(_RP_BANDS):
+        b0, b1, b2, b3 = (bit(4 * b + j) for j in range(4))
+        bands.append(f"{b0}*8 + {b1}*4 + {b2}*2 + {b3} AS band{b}")
+    band_cols = ",\n               ".join(bands)
+    band_union = "\n            UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band_idx, band{b} AS band_val "
+        f"FROM sig" for b in range(_RP_BANDS))
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+               {band_cols}
+            FROM embeddings
+        ),
+        bands AS (
+            {band_union}
+        ),
+        matched AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   q.embedding AS qe, c.embedding AS ce
+            FROM bands q
+            JOIN bands c ON q.band_idx = c.band_idx
+                        AND q.band_val = c.band_val
+            WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   list_sum(list_transform(range(1, {_RP_DIM + 1}),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(qe,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(ce,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS cos
+            FROM matched
+        ),
+        pairs AS (
+            SELECT query_id, neighbor_id, max(cos) AS cos
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        FROM (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM pairs)
+        WHERE rank <= {K}
+    """
+
+
+@register(
+    "similarity_ann_rp_det",
+    oracle=_rp_oracle(),
+    tags=("similarity", "ann", "lsh", "deterministic"),
+)
+def similarity_ann_rp_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via DETERMINISTIC random-hyperplane LSH — the engine-portable
+    twin of similarity_ann_lsh (whose spark.ml hash family is
+    seed-private, rows-only). 16 md5-derived +-1 hyperplanes give each
+    vector a 16-bit SimHash signature, banded 4x4: vectors sharing ANY
+    4-bit band with a query become candidates; candidates get an exact
+    cosine re-rank.
+
+    Scale structure (the reason this is the 100 TB path while
+    similarity_topk_bruteforce is the per-batch oracle):
+    - the signature is a MAP-ONLY stage — 16 codegen'd fold expressions
+      over the embedding array per row, no shuffle, no Python;
+    - candidate generation is a BROADCAST hash join on (band, value):
+      the query side explodes to |Q| x 4 tiny rows; the candidate side
+      is touched once and only bucket-collisions survive — never the
+      O(|Q| x n) pair space of the brute-force scan. At warehouse scale
+      band_val doubles as a partition key, making each probe a pruned
+      scan.
+    - re-rank + top-k run on the candidate set only (window per query).
+    Expected candidate rate for near-random vectors: P(4-bit band
+    match) ~ 4/16 = 25% of pairs — set the band width against the
+    corpus's similarity distribution; true near-dups (cos -> 1) match
+    with probability -> 1 (recall pinned vs brute force in
+    tests/test_similarity.py).
+    """
+    signs = _rp_signs()
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def bit(p: int):
+        arr = F.array(*[F.lit(s) for s in signs[p]])
+        dot = F.aggregate(
+            F.zip_with("embedding", arr,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    band_cols = [
+        (bit(4 * b) * 8 + bit(4 * b + 1) * 4
+         + bit(4 * b + 2) * 2 + bit(4 * b + 3)).alias(f"band{b}")
+        for b in range(_RP_BANDS)
+    ]
+    sig = emb.select("vec_id", "embedding", *band_cols)
+    banded = sig.select(
+        "vec_id", "embedding",
+        F.posexplode(F.array(*[f"band{b}" for b in range(_RP_BANDS)]))
+        .alias("band_idx", "band_val"))
+    q = (banded.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 "band_idx", "band_val"))
+    c = banded.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("c_emb"),
+                      "band_idx", "band_val")
+    matched = c.join(F.broadcast(q), ["band_idx", "band_val"]).filter(
+        F.col("query_id") != F.col("neighbor_id"))
+    scored = matched.select(
+        "query_id", "neighbor_id",
+        cosine_similarity("q_emb", "c_emb").alias("cos"))
+    # a pair matching in several bands appears once per band; the
+    # copies carry identical cosines, so max() collapses them
+    pairs = scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("cos").alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos", 6).alias("cosine"))
+    )

@@ -45,3 +45,23 @@ def test_ivf_recall_positive(spark, sf_dir):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     recall = hits / (len(exact) * K)
     assert recall >= 0.05, f"IVF recall {recall:.2f}"
+
+
+def test_rp_det_recall_and_determinism(spark, sf_dir):
+    """The md5-hyperplane ANN: (a) bucket collisions give usable recall
+    even on near-random vectors (25% expected pair rate at 4x4-bit
+    bands); (b) two runs are bit-identical — no seed, no RNG, the whole
+    point of the deterministic family."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_rp_det,
+    )
+
+    exact = _topk_sets(similarity_topk_bruteforce(spark, sf_dir))
+    approx = _topk_sets(similarity_ann_rp_det(spark, sf_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * K)
+    assert recall >= 0.3, f"rp-det recall {recall:.2f}"
+
+    r1 = sorted(map(tuple, similarity_ann_rp_det(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, similarity_ann_rp_det(spark, sf_dir).collect()))
+    assert r1 == r2
