@@ -231,3 +231,61 @@ def agg_quantile_hist_est(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("hi") - F.col("lo")) / _QH_NB, 6)
             .alias("est_price"))
     )
+
+
+@register(
+    "validate_table_fingerprint",
+    oracle="""
+        WITH rows_h AS (
+            SELECT l_returnflag,
+                   CAST(CAST(('0x' || substr(md5(concat_ws('|',
+                        CAST(l_orderkey AS VARCHAR),
+                        CAST(l_linenumber AS VARCHAR),
+                        l_returnflag, l_linestatus,
+                        CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+                        CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 15))
+                        AS UBIGINT) AS BIGINT) AS h
+            FROM lineitem)
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               CAST(sum(h) AS DECIMAL(38,0)) AS checksum
+        FROM rows_h
+        GROUP BY l_returnflag
+    """,
+    tags=("validation", "fingerprint", "checksum"),
+)
+def validate_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint — the anti-entropy check for
+    validating a copied/migrated/replicated table WITHOUT sorting it:
+    checksum = Σ md5-derived 60-bit row hashes, per group. Addition is
+    commutative, so the result is identical under any partitioning,
+    task order, or physical layout — two clusters each run one scan +
+    one tiny aggregate and compare |groups| rows, never exchanging or
+    ordering data. That is the only viable equality check at 100 TB
+    (a sort-merge diff would shuffle the full table on both sides).
+
+    Structure: the row canonicalization (pipe-joined, engine-portable
+    renderings — ints as digits, money as DECIMAL(12,2) strings, dates
+    as ISO) and the md5 hash are codegen'd map-side expressions; the
+    only exchange carries |groups| partial sums. Group-level checksums
+    (by l_returnflag here; by partition key in practice) localize a
+    mismatch to the partition that needs re-copy, turning "the copy is
+    wrong" into "re-ship partition 7034". Hash sums use 60-bit values
+    in DECIMAL(38,0) — headroom for 10^17 rows per group before the
+    sum could wrap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("decimal(12,2)").cast("string"),
+        F.col("l_shipdate").cast("date").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return (
+        li.select("l_returnflag", h.alias("h"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"))
+    )

@@ -151,3 +151,36 @@ def test_quantile_hist_est_within_one_bin_of_exact(spark, sf_dir):
             lo, hi = stats[flag]
             bin_w = (hi - lo) / _QH_NB
             assert abs(est[(flag, p)] - q) <= bin_w + 1e-9, (flag, p)
+
+
+def test_fingerprint_is_partition_order_independent(spark, sf_dir):
+    """The operator's whole claim: the checksum must not depend on
+    physical layout. Re-run over an adversarially repartitioned copy
+    of lineitem and compare exactly."""
+    from mapreducewordcounting_spark.catalog import load_table
+    from mapreducewordcounting_spark.operators.profiling import (
+        validate_table_fingerprint,
+    )
+
+    base = sorted(
+        map(tuple, validate_table_fingerprint(spark, sf_dir).collect()))
+    li = load_table(spark, sf_dir, "lineitem").repartition(13)
+    li.createOrReplaceTempView("_fp_repart")
+    # same pipeline over the shuffled layout
+    from pyspark.sql import functions as F
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("decimal(12,2)").cast("string"),
+        F.col("l_shipdate").cast("date").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    other = sorted(map(tuple, (
+        li.select("l_returnflag", h.alias("h"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"))
+    ).collect()))
+    assert base == other
