@@ -420,3 +420,71 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("weight").alias("weight"),
         )
     )
+
+
+@register(
+    "sink_tombstone_purge",
+    oracle="""
+        SELECT user_id % 8 AS bucket,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        WHERE user_id % 97 <> 0
+        GROUP BY 1
+    """,
+    tags=("sink", "purge", "partition-overwrite", "anti-join"),
+)
+def sink_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted row purge (right-to-be-forgotten) over a partitioned
+    store, rewriting ONLY the partitions that contain tombstoned rows —
+    at 100 TB the difference between re-shipping the table and
+    re-shipping ~|tombstoned users| / |users| of it:
+
+    1. the tombstone list (here: ``user_id % 97 = 0``, standing in for
+       a DSAR export) is control state — driver-sized by nature, like
+       k-means centroids; its distinct partition buckets prune the
+       rewrite scan AT PLAN TIME (``PartitionFilters``, asserted in
+       tests/test_io_roundtrip.py — untouched buckets are never
+       listed, read, or written);
+    2. the purge itself is a broadcast ANTI join on the pruned scan;
+    3. the write-back uses ``partitionOverwriteMode=dynamic``: only
+       partitions present in the written data are replaced — the
+       rewrite's blast radius equals the tombstones' bucket footprint.
+
+    Caveat a production purge must handle: a bucket whose rows are ALL
+    tombstoned yields no output rows, so dynamic overwrite would leave
+    its stale files in place — pair the purge with per-partition
+    delete markers (or a table format's transactional replaceWhere)
+    for that case. The oracle would catch any stale row here: the
+    read-back aggregate must equal the purged source exactly."""
+    store = _io_path(sf_dir, "purge_events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", (F.col("user_id") % 8).alias("bucket"))
+    ev.write.mode("overwrite").partitionBy("bucket").parquet(store)
+
+    tomb = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    buckets = [r.bucket for r in
+               tomb.select((F.col("user_id") % 8).alias("bucket"))
+               .distinct().collect()]
+
+    fact = spark.read.schema(ev.schema).parquet(store)
+    cleaned = (fact.filter(F.col("bucket").isin(buckets))
+               .join(F.broadcast(tomb), "user_id", "left_anti"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if buckets:  # no tombstones -> nothing to rewrite
+            cleaned.write.mode("overwrite").partitionBy("bucket") \
+                .parquet(store)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.schema(ev.schema).parquet(store)
+    return back.groupBy("bucket").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        .alias("total_value"),
+    )

@@ -95,7 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_count_min_det", "fn_csv_codec", "fn_na_clean",
     "pyds_stream_ledger", "sketch_bloom_det", "sketch_hll_det",
     "agg_quantile_hist_est", "similarity_ann_rp_det",
-    "validate_table_fingerprint",
+    "validate_table_fingerprint", "sink_tombstone_purge",
 )
 
 

