@@ -759,3 +759,58 @@ def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+@register(
+    "dedup_fuzzy_edit_distance",
+    oracle="""
+        WITH names AS (
+            SELECT p_name, count(*) AS n FROM part GROUP BY 1)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS dist,
+               a.n * b.n AS n_pairs
+        FROM names a JOIN names b
+          ON a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("dedup", "fuzzy", "levenshtein", "string-similarity"),
+)
+def dedup_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup JOIN — typo-level duplicates the
+    token-set operators can't see (jaccard/minhash treat "bolt"/"bole"
+    as disjoint). Structure is the low-cardinality-domain reduction:
+
+    1. collapse the fact to its DISTINCT string domain with
+       multiplicities (one shuffle, domain-sized output) — the
+       quadratic comparison then runs on |domain|², not |rows|², and
+       every fact row never moves again;
+    2. length band |len(a)-len(b)| <= k is a LOSSLESS prefilter (k
+       edits change length by at most k);
+    3. banded Levenshtein with the threshold argument
+       (``levenshtein(a, b, 2)`` — O(k·min(m,n)) early-exit DP, not
+       the full O(m·n) matrix; returns -1 above the threshold);
+    4. pair multiplicity = n_a · n_b recovers the row-level pair count
+       without ever materializing row-level pairs.
+
+    The self-join is broadcast nested-loop BY POLICY (SCALING.md:
+    theta joins are dim-only): the distinct domain here is vocabulary-
+    sized. When the domain outgrows broadcast, candidate generation
+    switches to PassJoin-style segment signatures (Li et al., VLDB
+    2011 — pigeonhole: of k+1 segments, two strings within k edits
+    share one exactly), which equi-joins on (segment_idx, segment,
+    position band) instead."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n"))
+    a = names.select(F.col("p_name").alias("name_a"), F.col("n").alias("n_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("n").alias("n_b"))
+    dist = F.levenshtein("name_a", "name_b", 2)
+    return (
+        a.join(F.broadcast(b),
+               (F.col("name_a") < F.col("name_b"))
+               & (F.abs(F.length("name_a") - F.length("name_b")) <= 2))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("name_a", "name_b", "dist",
+                (F.col("n_a") * F.col("n_b")).alias("n_pairs"))
+    )

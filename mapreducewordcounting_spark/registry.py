@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "pyds_stream_ledger", "sketch_bloom_det", "sketch_hll_det",
     "agg_quantile_hist_est", "similarity_ann_rp_det",
     "validate_table_fingerprint", "sink_tombstone_purge",
+    "dedup_fuzzy_edit_distance",
 )
 
 

@@ -132,3 +132,24 @@ def test_simhash_det_pairs_verified_and_ordered(spark, sf_dir):
         assert 0 <= r.hamming <= 3
         assert (r.id_a, r.id_b) not in seen
         seen.add((r.id_a, r.id_b))
+
+
+def test_fuzzy_edit_distance_matches_bruteforce(spark, sf_dir):
+    """The reduction's completeness claim: Σ n_pairs over the distinct-
+    domain result must equal the row-level brute-force pair count
+    (distinct-name pairs within 2 edits, weighted by multiplicity)."""
+    from mapreducewordcounting_spark.catalog import load_table
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_fuzzy_edit_distance,
+    )
+
+    got = (dedup_fuzzy_edit_distance(spark, sf_dir)
+           .agg(F.sum("n_pairs").alias("s")).collect()[0]["s"]) or 0
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb"))
+    brute = (a.crossJoin(b)
+             .filter((F.col("na") < F.col("nb"))
+                     & (F.levenshtein("na", "nb") <= 2))
+             .count())
+    assert got == brute
