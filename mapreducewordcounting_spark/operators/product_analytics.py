@@ -1,0 +1,126 @@
+"""Product-analytics operators: funnel conversion and cohort retention.
+
+The two canonical event-log questions a warehouse answers daily —
+"how many users progress view → click → purchase, in order?" and
+"of the users who first appeared in week W, how many were active in
+week W+k?". The reference has no temporal reasoning at all (no time
+type, SURVEY.md §1.2); these build on the `events` fixture.
+
+Scale posture (100 TB event logs):
+- Every per-user stage/cohort table is USER-dimension-sized (one row
+  per user), produced by one filtered aggregate over the fact — the
+  event fact never self-joins at event grain.
+- The funnel's stage chain re-joins each stage table onto a
+  TYPE-FILTERED fact scan (the filter is in PushedFilters, so stage k
+  reads only its event type's row groups); AQE broadcasts the
+  user-sized stage tables.
+- All three funnel aggregates hash-partition on user_id — on a
+  cluster, one `repartition(user_id)` upstream makes the chain reuse
+  a single exchange.
+- Retention's activity table is `distinct (user, week)` — bounded by
+  users × weeks, not events; the cohort join is user-keyed and the
+  final rollup is |weeks|² rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.registry import register
+
+
+@register(
+    "funnel_3step",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT '2_click', count(*) FROM s2
+        UNION ALL SELECT '3_purchase', count(*) FROM s3
+    """,
+    tags=("analytics", "funnel", "events"),
+)
+def funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: a user counts for stage k only with
+    a stage-k event STRICTLY AFTER their stage-(k-1) entry time (first
+    qualifying occurrence, the standard strict-ordering funnel). Each
+    stage is one filtered aggregate producing a user-sized table that
+    joins onto the next type-filtered fact scan — event-grain data is
+    aggregated before every join, so nothing larger than |users| ever
+    exchanges twice."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts")
+    s1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (ev.filter(F.col("event_type") == "click")
+          .join(s1, "user_id")
+          .filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id")
+          .filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (
+        s1.agg(F.count("*").alias("n_users"))
+        .select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(
+            s2.agg(F.count("*").alias("n_users"))
+            .select(F.lit("2_click").alias("stage"), "n_users"))
+        .unionByName(
+            s3.agg(F.count("*").alias("n_users"))
+            .select(F.lit("3_purchase").alias("stage"), "n_users"))
+    )
+
+
+@register(
+    "retention_cohort_weekly",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   date_trunc('week', min(ts)) AS cohort
+            FROM events GROUP BY 1),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events)
+        SELECT CAST(f.cohort AS DATE) AS cohort_week,
+               CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT)
+                   AS week_offset,
+               count(*) AS n_active
+        FROM activity a JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    tags=("analytics", "retention", "cohort", "events"),
+)
+def retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = ISO week of a user's
+    first event; n_active = cohort members with any event in cohort
+    week + offset. The activity table is `distinct (user, week)` —
+    bounded by |users| × |weeks| regardless of event volume — and the
+    cohort assignment is one min-aggregate, so the whole matrix costs
+    two user-keyed aggregates + one user-keyed join; the output is
+    |weeks|² rows. Both engines truncate weeks to ISO Monday, and
+    offsets divide exactly (both ends are week-truncated)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort"))
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("long")
+            .alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )

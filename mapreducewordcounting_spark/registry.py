@@ -96,7 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "pyds_stream_ledger", "sketch_bloom_det", "sketch_hll_det",
     "agg_quantile_hist_est", "similarity_ann_rp_det",
     "validate_table_fingerprint", "sink_tombstone_purge",
-    "dedup_fuzzy_edit_distance",
+    "dedup_fuzzy_edit_distance", "funnel_3step", "retention_cohort_weekly",
 )
 
 
@@ -150,6 +150,7 @@ def _load_all() -> None:
         profiling,
         layout,
         io_roundtrip,
+        product_analytics,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     from mapreducewordcounting_spark.sources import pyds  # noqa: F401
