@@ -201,3 +201,32 @@ def test_keep_latest_uses_window_group_limit(spark, sf_dir):
 
     plan = simple_plan(compact_keep_latest(spark, sf_dir))
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_ann_rp_det_plan_shape(spark, sf_dir):
+    """The deterministic ANN's scale contract: candidates come from a
+    BROADCAST bucket hash-join (never a cartesian/nested-loop pair
+    space), and the per-query top-k compiles to partial+final
+    WindowGroupLimit (map-side k-pruning before the exchange)."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_rp_det,
+    )
+
+    df = similarity_ann_rp_det(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_fingerprint_single_exchange_partial_agg(spark, sf_dir):
+    """The fingerprint must be one scan + map-side hash + partial/final
+    aggregate: exactly one exchange, carrying |groups| partial sums."""
+    from mapreducewordcounting_spark.operators.profiling import (
+        validate_table_fingerprint,
+    )
+
+    df = validate_table_fingerprint(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert n_exchanges(df) == 1
