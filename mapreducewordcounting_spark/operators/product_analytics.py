@@ -124,3 +124,81 @@ def retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"))
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@register(
+    "basket_pair_affinity",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        r AS (SELECT p_brand, count(*) AS n_br FROM items GROUP BY 1),
+        pc AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   count(*) AS n_pair
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2)
+        SELECT pc.brand_a, pc.brand_b, pc.n_pair,
+               round(CAST(pc.n_pair AS DOUBLE) * n.n_orders
+                     / (ra.n_br * rb.n_br), 6) AS lift
+        FROM pc
+        CROSS JOIN n
+        JOIN r ra ON ra.p_brand = pc.brand_a
+        JOIN r rb ON rb.p_brand = pc.brand_b
+    """,
+    tags=("analytics", "basket", "cooccurrence"),
+)
+def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — which brands ship on the
+    same order more often than independence predicts. The pair space is
+    generated MAP-SIDE from per-order item arrays (collect_set → sorted
+    array → within-array combinations via transform/slice HOFs), so:
+
+    - shuffle budget is 2 order-keyed aggregates (basket build, pair
+      count) — the distinct+self-join formulation (kept as the oracle's
+      semantic spec) would pay an extra exchange to co-locate both join
+      sides;
+    - fan-out is |basket|² per ORDER (bounded by basket size, ≤17 here
+      — a per-row property AQE handles), never |brand-frequency|² per
+      key the way an item-keyed inverted self-join would explode;
+    - brand rates and the order count are tiny broadcast aggregates;
+      lift's integer products are exact, the single division is IEEE-
+      identical in both engines, rounded at 6.
+    `brands` is a CONCRETE post-aggregation column, so referencing it
+    inside the pair lambdas is a cheap attribute read — not the
+    re-evaluated-expression HOF cliff (SCALING.md)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+             .select("l_orderkey", "p_brand").distinct())
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("brands"))
+    pair = F.explode(F.flatten(F.transform(
+        F.col("brands"),
+        lambda x, i: F.transform(
+            F.slice(F.col("brands"), i + 2,
+                    F.size(F.col("brands"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b"))))))
+    pc = (baskets.select(pair.alias("p"))
+          .groupBy(F.col("p.a").alias("brand_a"),
+                   F.col("p.b").alias("brand_b"))
+          .agg(F.count("*").alias("n_pair")))
+    n_orders = items.select(
+        F.count_distinct("l_orderkey").alias("n_orders"))
+    rates = items.groupBy("p_brand").agg(F.count("*").alias("n_br"))
+    ra = rates.select(F.col("p_brand").alias("brand_a"),
+                      F.col("n_br").alias("n_a"))
+    rb = rates.select(F.col("p_brand").alias("brand_b"),
+                      F.col("n_br").alias("n_b"))
+    return (
+        pc.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(ra), "brand_a")
+        .join(F.broadcast(rb), "brand_b")
+        .select(
+            "brand_a", "brand_b", "n_pair",
+            F.round(F.col("n_pair").cast("double") * F.col("n_orders")
+                    / (F.col("n_a") * F.col("n_b")), 6).alias("lift"))
+    )
