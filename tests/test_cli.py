@@ -78,3 +78,28 @@ def test_explain_list():
     from mapreducewordcounting_spark.explain import main
     assert main(["--list"]) == 0
     assert main(["no_such_query"]) == 2
+
+
+def test_cli_list():
+    r = _run_cli("list")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = dict(l.split("\t") for l in r.stdout.strip().splitlines())
+    assert lines["wordcount_canonical"] == "oracled"
+    assert len(lines) >= 200
+
+
+def test_cli_query_and_sql():
+    r = _run_cli("query", "topk_global",
+                 "--sf-dir", "/root/testdata/sf0.001")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "o_orderkey" in r.stdout  # schema header rendered
+
+    r2 = _run_cli(
+        "sql",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
+        "--sf-dir", "/root/testdata/sf0.001")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "l_returnflag" in r2.stdout
+
+    r3 = _run_cli("query", "no_such_query")
+    assert r3.returncode == 2
