@@ -97,7 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_quantile_hist_est", "similarity_ann_rp_det",
     "validate_table_fingerprint", "sink_tombstone_purge",
     "dedup_fuzzy_edit_distance", "funnel_3step", "retention_cohort_weekly",
-    "basket_pair_affinity",
+    "basket_pair_affinity", "stream_foreachbatch_compact",
 )
 
 

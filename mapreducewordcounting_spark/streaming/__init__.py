@@ -639,3 +639,87 @@ def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_foreachbatch_compact",
+    # Deterministic under availableNow replay: batch BOUNDARIES vary
+    # with file-split planning, but the union of all batch ledgers is
+    # exactly the source rows, and keep-latest is computed over that
+    # union — so the oracle is the batch keep-latest over events.
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM events)
+        SELECT event_type,
+               count(*) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS latest_value_sum
+        FROM ranked WHERE rn = 1
+        GROUP BY event_type
+    """,
+    tags=("streaming", "foreachBatch", "compaction"),
+)
+def stream_foreachbatch_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` — the micro-batch escape hatch that lets a
+    stream drive ARBITRARY batch sinks — in its canonical idempotent
+    shape: each micro-batch appends to a batch-id-keyed ledger
+    directory (``batch=<id>``; a replayed batch OVERWRITES its own
+    directory, so retries after crash never duplicate — idempotence
+    comes from the deterministic batch id, exactly-once from id +
+    overwrite), and consumers run MERGE-ON-READ keep-latest over the
+    ledger (the WindowGroupLimit compaction of ``compact_keep_latest``).
+
+    This is the parquet-only upsert pattern: without a transactional
+    table format a foreachBatch can't atomically rewrite a keyed store,
+    so the stream appends immutably and compaction moves to read time
+    (or a periodic ``layout_compact_files`` pass). State stays bounded:
+    the writer holds NO keyed state at all — the keep-latest state
+    lives in the ledger itself."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    tmp = tempfile.mkdtemp(prefix="mrwc_febatch_")
+    ledger = os.path.join(tmp, "ledger")
+    try:
+        ev = read_events_stream(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value")
+        schema = ev.schema
+
+        def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # overwrite-own-directory => idempotent on replay
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(ledger, f"batch={batch_id}"))
+
+        with _stream_partitions(spark):
+            q = (
+                ev.writeStream.foreachBatch(sink_batch)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        if not os.path.isdir(ledger):  # zero-row source: no batches ran
+            return spark.createDataFrame(
+                [], "event_type STRING, n_users BIGINT, "
+                    "latest_value_sum DOUBLE")
+        union = spark.read.schema(schema).option(
+            "recursiveFileLookup", True).parquet(ledger)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id"))
+        latest = (union.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1))
+        result = latest.groupBy("event_type").agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("latest_value_sum"))
+        rows = result.collect()  # materialize before tmp cleanup
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
