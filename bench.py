@@ -75,6 +75,12 @@ HEADLINE = [
     "sketch_hll_det",           # relational HLL: register relation + union
     "agg_quantile_hist_est",    # histogram-interpolated percentiles
     "similarity_ann_rp_det",    # md5-hyperplane LSH ANN + exact re-rank
+    "validate_table_fingerprint",  # order-independent replica checksum
+    "sink_tombstone_purge",     # partition-pruned RTBF rewrite
+    "dedup_fuzzy_edit_distance",  # distinct-domain banded Levenshtein join
+    "funnel_3step",             # strict-ordering funnel conversion
+    "retention_cohort_weekly",  # cohort retention matrix
+    "basket_pair_affinity",     # map-side basket pair generation + lift
 ]
 
 

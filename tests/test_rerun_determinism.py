@@ -1,0 +1,39 @@
+"""Rerun-determinism gate for the rows-only registry slice.
+
+Oracled queries get determinism for free (two engines must agree, so
+each engine must agree with itself). The rows-only queries carry no
+such external pin — yet their contracts claim determinism (seeded
+spark.ml models, md5-keyed sampling, fixed-iteration float loops).
+This gate runs each one TWICE in the same session and requires
+bit-identical results, catching the class of bug where an unordered
+intermediate (collect_set order, unstable sort ties, partition-order-
+dependent floats) leaks into the output.
+
+Streaming queries are excluded: availableNow batch boundaries may
+differ between runs, and their determinism-after-replay contracts are
+pinned by their own oracle/twin tests instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducewordcounting_spark.registry import all_queries
+
+_SPECS = all_queries()
+_ROWS_ONLY_BATCH = [
+    n for n, s in _SPECS.items()
+    if s.oracle is None and "streaming" not in s.tags and "stream" not in n
+]
+
+
+def _canon(df):
+    return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY_BATCH)
+def test_rerun_is_bit_identical(name, spark, sf_dir):
+    spec = _SPECS[name]
+    first = _canon(spec.fn(spark, sf_dir))
+    second = _canon(spec.fn(spark, sf_dir))
+    assert first == second, f"{name}: rerun diverged"
