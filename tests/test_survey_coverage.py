@@ -83,6 +83,14 @@ COVERAGE = {
     # transformWithState is protobuf-gated (streaming/__init__.py);
     # registered only where the dependency exists, so not listed here.
     "temporal_rollup": ["time_rollup_multires"],
+    "similarity_deterministic": ["similarity_ann_rp_det"],
+    "table_validation": ["validate_table_fingerprint"],
+    "targeted_purge": ["sink_tombstone_purge"],
+    "fuzzy_string_join": ["dedup_fuzzy_edit_distance"],
+    "dedup_containment": ["dedup_containment_pairs"],
+    "product_analytics": ["funnel_3step", "retention_cohort_weekly",
+                          "basket_pair_affinity"],
+    "streaming_foreachbatch": ["stream_foreachbatch_compact"],
     "pivot_unpivot": ["agg_pivot", "agg_unpivot"],
     "sampling": ["sample_seeded"],
     "streaming_joins": ["stream_static_join", "stream_stream_join"],
