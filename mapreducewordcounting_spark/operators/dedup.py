@@ -200,6 +200,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         # barrier — measured 2.8-3.6 s without vs 3.6-4.9 s with at
         # sf0.1. The expensive upstream (tokenize→shingle) is what the
         # ``sh`` checkpoint above protects.
+        # Also A/B'd: generating candidate pairs MAP-SIDE from
+        # per-shingle collect_list arrays (the basket_pair_affinity
+        # shape, one less exchange) measured 4.4 s vs 3.5 s warm for
+        # identical output — the per-shingle doc lists are too skewed
+        # for the array-combinations fan-out to beat the join.
     )
 
     a = prefix.alias("a")
