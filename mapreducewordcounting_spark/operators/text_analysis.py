@@ -824,3 +824,54 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("vocab_size"),
              (-F.sum(p * F.log2(p))).alias("entropy_bits"))
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        words AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        uni AS (SELECT word, count(*) AS c FROM words GROUP BY 1),
+        tot AS (SELECT count(*) AS n_total FROM words)
+        SELECT w.doc_id,
+               count(*) AS n_toks,
+               round(avg(ln(CAST(u.c AS DOUBLE) / tot.n_total)), 6)
+                   AS avg_logprob
+        FROM words w JOIN uni u USING (word) CROSS JOIN tot
+        GROUP BY w.doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring — the perplexity-style filter of
+    CCNet-lineage pretraining pipelines: score each document by its
+    mean token log-probability under a unigram model fit on the corpus
+    itself (low score = improbable token stream = boilerplate, noise,
+    or wrong-language text; threshold or quantile-bucket downstream).
+
+    Scale structure: the unigram model IS a (word, count) relation —
+    one map-side-combined aggregate over the exploded token stream —
+    and it is vocabulary-sized, so it BROADCASTS back onto the same
+    token stream (the tf-idf df-table lesson); the per-doc score is
+    then one doc-keyed aggregate. Two shuffles total, nothing larger
+    than the vocabulary is ever broadcast, and swapping the unigram
+    for a real LM just replaces the broadcast model relation with a
+    Pandas-UDF scoring stage. ln is ulp-stable across engines and the
+    mean is rounded at 6 (the libm-parity contract of text_tfidf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokenize_canonical("text")).alias("word")
+    ).filter(F.length("word") > 0)
+    uni = words.groupBy("word").agg(F.count("*").alias("c"))
+    tot = words.select(F.count("*").alias("n_total"))
+    return (
+        words.join(F.broadcast(uni), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.avg(F.log(F.col("c").cast("double")
+                                / F.col("n_total"))), 6)
+            .alias("avg_logprob"),
+        )
+    )

@@ -98,7 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "validate_table_fingerprint", "sink_tombstone_purge",
     "dedup_fuzzy_edit_distance", "funnel_3step", "retention_cohort_weekly",
     "basket_pair_affinity", "stream_foreachbatch_compact",
-    "dedup_containment_pairs",
+    "dedup_containment_pairs", "text_unigram_logprob",
 )
 
 

@@ -91,6 +91,7 @@ COVERAGE = {
     "product_analytics": ["funnel_3step", "retention_cohort_weekly",
                           "basket_pair_affinity"],
     "streaming_foreachbatch": ["stream_foreachbatch_compact"],
+    "lm_quality_scoring": ["text_unigram_logprob"],
     "pivot_unpivot": ["agg_pivot", "agg_unpivot"],
     "sampling": ["sample_seeded"],
     "streaming_joins": ["stream_static_join", "stream_stream_join"],
