@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
-from mapreducewordcounting_spark.functions.vectors import cosine_similarity
+from mapreducewordcounting_spark.functions.vectors import (
+    cosine_similarity,
+    l2_norm,
+)
 from mapreducewordcounting_spark.operators.dedup import _SQL_TOKS as _SQL_TOKS_DEDUP
 from mapreducewordcounting_spark.registry import register
 
@@ -527,4 +530,79 @@ def similarity_ann_rp_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K)
         .select("query_id", "neighbor_id", "rank",
                 F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_centroid_summary",
+    oracle=f"""
+        WITH pos AS (
+            SELECT label, t.i AS pos,
+                   avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+            FROM embeddings,
+                 (SELECT unnest(range(1, 65)) AS i) t
+            GROUP BY 1, 2),
+        cent AS (
+            SELECT label, list(m ORDER BY pos) AS centroid
+            FROM pos GROUP BY label),
+        scored AS (
+            SELECT e.label,
+                   list_sum(list_transform(range(1, {_RP_DIM + 1}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+                   / (sqrt(list_sum(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(c.centroid,
+                            x -> x * x)))) AS cos
+            FROM embeddings e JOIN cent c USING (label)),
+        norms AS (
+            SELECT label,
+                   sqrt(list_sum(list_transform(centroid, x -> x * x)))
+                       AS centroid_norm
+            FROM cent)
+        SELECT s.label,
+               count(*) AS n_vecs,
+               round(max(n.centroid_norm), 6) AS centroid_norm,
+               round(avg(s.cos), 6) AS avg_cos_to_centroid
+        FROM scored s JOIN norms n USING (label)
+        GROUP BY s.label
+    """,
+    tags=("similarity", "embedding-qa", "centroid"),
+)
+def embedding_centroid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding QA — centroid norm + mean member-to-centroid
+    cosine, the compactness summary that catches labeling problems
+    (a label whose members barely cohere around their centroid) and
+    collapsed embeddings (norms near zero) before training on them.
+
+    Scale structure: the centroid is computed RELATIONALLY —
+    posexplode to (label, pos, value), one partial/final avg aggregate
+    (shuffle bounded by |labels|×dims, not vectors), reassembled into
+    an array per label. The |labels|-row centroid table broadcasts
+    back onto a single scan of the embeddings for the cosine pass.
+    Two shuffles; the fact table is read twice and never self-joined.
+    Cosines/norms round at 6: the per-(label,pos) mean is float-
+    summation-order dependent in the last ulp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"]).alias("centroid"))
+    )
+    scored = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            cosine_similarity("embedding", "centroid").alias("cos"),
+            l2_norm("centroid").alias("centroid_norm"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.max("centroid_norm"), 6).alias("centroid_norm"),
+        F.round(F.avg("cos"), 6).alias("avg_cos_to_centroid"),
     )

@@ -875,3 +875,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_dup_ngram_coverage",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' '
+                                      || toks[i+2])) AS shingles
+            FROM t),
+        inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+                WHERE len(shingles) > 0),
+        df AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1)
+        SELECT i.doc_id,
+               count(*) AS n_shingles,
+               count(CASE WHEN d.df > 1 THEN 1 END) AS n_shared,
+               round(CAST(count(CASE WHEN d.df > 1 THEN 1 END) AS DOUBLE)
+                     / count(*), 6) AS dup_fraction
+        FROM inv i JOIN df d USING (shingle)
+        GROUP BY i.doc_id
+    """,
+    tags=("text", "dedup", "coverage", "memorization"),
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication rate: the fraction of a document's
+    distinct 3-gram shingles that appear in ANY other document — the
+    memorization-risk / dedup-prioritization metric (a doc at 0.9 is
+    mostly boilerplate the corpus already has; a doc at 0.05 is fresh
+    signal). Unlike the pairwise dedup operators this is a per-doc
+    AGGREGATE: no pair space at all, so it runs on corpora where even
+    candidate generation is too expensive, and its output ranks which
+    docs deserve the pairwise treatment.
+
+    Two shuffles: the shingle df table (map-side combined), then the
+    per-doc rollup. df > 1 over DISTINCT per-doc shingles is exactly
+    "appears in at least one other doc". The df table re-joins the
+    shingle stream the same way tf-idf's df table does — broadcast at
+    vocabulary scale, shuffle-join beyond."""
+    from mapreducewordcounting_spark.operators.dedup import _toks, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = (
+        docs.select("doc_id", _toks().alias("toks"))
+        .select("doc_id", F.explode(shingles(F.col("toks"))).alias("shingle"))
+    )
+    df_t = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        inv.join(F.broadcast(df_t), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count_if(F.col("df") > 1).alias("n_shared"),
+            F.round(F.count_if(F.col("df") > 1).cast("double")
+                    / F.count("*"), 6).alias("dup_fraction"),
+        )
+    )

@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_fuzzy_edit_distance", "funnel_3step", "retention_cohort_weekly",
     "basket_pair_affinity", "stream_foreachbatch_compact",
     "dedup_containment_pairs", "text_unigram_logprob",
+    "text_dup_ngram_coverage", "embedding_centroid_summary",
 )
 
 
