@@ -202,3 +202,85 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "time_resample_ffill",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events),
+        closes AS (SELECT user_id, day, value FROM daily WHERE rn = 1),
+        bounds AS (
+            SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS mn,
+                   CAST(max(date_trunc('day', ts)) AS DATE) AS mx
+            FROM events),
+        days AS (
+            SELECT CAST(unnest(generate_series(mn, mx,
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM bounds WHERE mn IS NOT NULL),
+        grid AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN days d)
+        SELECT g.user_id, g.day,
+               last_value(c.value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS close_value,
+               (c.value IS NULL) AS was_gap
+        FROM grid g
+        LEFT JOIN closes c ON g.user_id = c.user_id AND g.day = c.day
+    """,
+    tags=("temporal", "resample", "ffill", "gapfill"),
+)
+def time_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto a daily grid and
+    FORWARD-FILL gaps with the last observed daily close — the
+    time-series normalization every downstream join/model expects
+    (as-of joins, feature windows, charting). Distinct from
+    time_gapfill_weekly (which zero-fills counts): ffill carries the
+    last OBSERVATION through gaps, which needs the IGNORE NULLS
+    window frame, not coalesce.
+
+    Scale structure: daily closes come from the keep-latest idiom
+    (row_number = 1 per (user, day) — WindowGroupLimit map-side
+    pruning); the calendar is one 1-row bounds aggregate exploded to
+    |days| rows and broadcast against distinct users, so the grid is
+    |users|×|days| — a SIZE POLICY, independent of event volume. The
+    fill itself is one window pass over the grid with
+    ``last(value, ignorenulls=True)`` and a rows-unbounded-preceding
+    frame: per-partition streaming state of exactly one value. Days
+    before a user's first event stay NULL (nothing to carry)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id")
+    day = F.date_trunc("day", "ts").cast("date")
+    closes = (
+        ev.select("user_id", day.alias("day"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id", "day")
+            .orderBy(F.desc("ts"), F.desc("event_id"))))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    bounds = ev.agg(F.min(day).alias("mn"), F.max(day).alias("mx"))
+    days = bounds.filter(F.col("mn").isNotNull()).select(
+        F.explode(F.sequence("mn", "mx")).alias("day"))
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    fill_w = (Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(closes, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.last("value", ignorenulls=True).over(fill_w)
+            .alias("close_value"),
+            F.col("value").isNull().alias("was_gap"),
+        )
+    )

@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_pair_affinity", "stream_foreachbatch_compact",
     "dedup_containment_pairs", "text_unigram_logprob",
     "text_dup_ngram_coverage", "embedding_centroid_summary",
+    "time_resample_ffill",
 )
 
 

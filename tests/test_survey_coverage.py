@@ -93,6 +93,7 @@ COVERAGE = {
     "streaming_foreachbatch": ["stream_foreachbatch_compact"],
     "lm_quality_scoring": ["text_unigram_logprob"],
     "corpus_qa": ["text_dup_ngram_coverage", "embedding_centroid_summary"],
+    "resample_ffill": ["time_resample_ffill"],
     "pivot_unpivot": ["agg_pivot", "agg_unpivot"],
     "sampling": ["sample_seeded"],
     "streaming_joins": ["stream_static_join", "stream_stream_join"],

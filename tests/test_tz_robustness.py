@@ -25,7 +25,9 @@ _TEMPORAL_K = (
     "time_gapfill_weekly or scd2_event_intervals or compact_keep_latest or "
     "stream_tumbling_batch_twin or stream_sliding_batch_twin or "
     "stream_session_batch_twin or stream_partitioned_sink or "
-    "mv_incremental_refresh or join_dpp_partitioned or pyds_stream_ledger"
+    "mv_incremental_refresh or join_dpp_partitioned or pyds_stream_ledger "
+    "or time_resample_ffill or funnel_3step or retention_cohort_weekly or "
+    "stream_foreachbatch_compact or sink_tombstone_purge"
 )
 
 
