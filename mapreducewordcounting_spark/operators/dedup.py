@@ -912,3 +912,62 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str,
         .filter(cont >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        hashed AS (
+            SELECT t.doc_id, d.source,
+                   sha256(array_to_string(t.toks, ' ')) AS h
+            FROM t JOIN documents d USING (doc_id)),
+        corpus AS (SELECT DISTINCT h FROM hashed WHERE source = 'src0'),
+        batch AS (SELECT * FROM hashed WHERE source <> 'src0'),
+        fresh AS (
+            SELECT b.doc_id, b.source, b.h FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)),
+        kept AS (
+            SELECT h, source, min(doc_id) AS survivor_id,
+                   count(*) AS n_in_batch
+            FROM fresh GROUP BY h, source)
+        SELECT source,
+               count(*) AS n_unique_new,
+               sum(n_in_batch) AS n_rows_new,
+               min(survivor_id) AS first_survivor
+        FROM kept GROUP BY source
+    """,
+    tags=("dedup", "incremental", "anti-join"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape a continuously-ingesting corpus
+    actually runs: dedup the NEW batch (a) against the existing corpus
+    and (b) within itself, without ever re-deduping the corpus. Here
+    ``source='src0'`` stands in for the standing corpus and the other
+    sources are the arriving batch.
+
+    Scale structure: both sides reduce to content HASHES before any
+    join — the corpus side is a distinct 32-byte hash set (in practice
+    maintained as a bucketed hash table or Bloom pre-filter, appended
+    per batch, never rebuilt), and the batch side anti-joins it on the
+    hash (AQE broadcasts whichever is smaller; at equal scale it's a
+    hash-partitioned anti-join on 32-byte keys). Batch-internal dedup
+    is the usual min-survivor groupBy ON THE SAME hash key — the
+    anti-join's exchange partitioning is reused, so the whole operator
+    is ~one shuffle of hashes. Document text never moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source",
+        F.sha2(F.array_join(_toks(), " "), 256).alias("h"))
+    corpus = (hashed.filter(F.col("source") == "src0")
+              .select("h").distinct())
+    batch = hashed.filter(F.col("source") != "src0")
+    fresh = batch.join(corpus, "h", "left_anti")
+    kept = fresh.groupBy("h", "source").agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count("*").alias("n_in_batch"))
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_unique_new"),
+        F.sum("n_in_batch").alias("n_rows_new"),
+        F.min("survivor_id").alias("first_survivor"),
+    )

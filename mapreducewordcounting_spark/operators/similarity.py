@@ -606,3 +606,71 @@ def embedding_centroid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("centroid_norm"), 6).alias("centroid_norm"),
         F.round(F.avg("cos"), 6).alias("avg_cos_to_centroid"),
     )
+
+
+@register(
+    "contamination_embedding",
+    oracle=f"""
+        WITH bench AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        corpus AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+        scored AS (
+            SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+                   list_sum(list_transform(range(1, {_RP_DIM + 1}),
+                        i -> CAST(c.embedding[i] AS DOUBLE)
+                             * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS cos
+            FROM corpus c CROSS JOIN bench b),
+        best AS (
+            SELECT corpus_id, cos, bench_id,
+                   row_number() OVER (PARTITION BY corpus_id
+                                      ORDER BY cos DESC, bench_id) AS rn
+            FROM scored)
+        SELECT corpus_id, bench_id AS nearest_bench,
+               round(cos, 6) AS max_cos
+        FROM best
+        WHERE rn = 1 AND round(cos, 6) >= 0.35
+    """,
+    tags=("similarity", "contamination", "decontamination"),
+)
+def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    complement of contamination_5gram's exact-match screen: flag
+    corpus vectors whose max cosine to ANY benchmark vector clears a
+    threshold (paraphrases and translations that share no 5-gram slip
+    through the lexical check; they don't slip through this one).
+    Reported with the nearest benchmark item for audit.
+
+    Scale structure — identical to the brute-force similarity scan,
+    which is the RIGHT shape here because benchmark suites are small:
+    the benchmark side (~10³-10⁴ rows) broadcasts whole; the corpus
+    streams through ONE scan with the argmax kept as a running
+    row_number over (corpus_id) — no corpus self-join, no index build,
+    shuffle bounded by |corpus| candidate rows. The threshold rides
+    the ROUNDED cosine (engine-boundary discipline of
+    similarity_tfidf_pairs). Fixture vectors are near-random (max
+    pairwise cos ≈ 0.5), so the 0.35 bar is set to exercise both
+    outcomes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("b_emb"))
+    corpus = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_emb"))
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "corpus_id", "bench_id",
+        cosine_similarity("c_emb", "b_emb").alias("cos"))
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.desc("cos"), F.asc("bench_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.round("cos", 6) >= 0.35))
+        .select("corpus_id", F.col("bench_id").alias("nearest_bench"),
+                F.round("cos", 6).alias("max_cos"))
+    )

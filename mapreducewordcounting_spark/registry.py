@@ -100,7 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "basket_pair_affinity", "stream_foreachbatch_compact",
     "dedup_containment_pairs", "text_unigram_logprob",
     "text_dup_ngram_coverage", "embedding_centroid_summary",
-    "time_resample_ffill",
+    "time_resample_ffill", "dedup_incremental_batch",
+    "contamination_embedding",
 )
 
 

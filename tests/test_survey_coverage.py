@@ -94,6 +94,8 @@ COVERAGE = {
     "lm_quality_scoring": ["text_unigram_logprob"],
     "corpus_qa": ["text_dup_ngram_coverage", "embedding_centroid_summary"],
     "resample_ffill": ["time_resample_ffill"],
+    "dedup_incremental": ["dedup_incremental_batch"],
+    "decontamination": ["contamination_5gram", "contamination_embedding"],
     "pivot_unpivot": ["agg_pivot", "agg_unpivot"],
     "sampling": ["sample_seeded"],
     "streaming_joins": ["stream_static_join", "stream_stream_join"],
