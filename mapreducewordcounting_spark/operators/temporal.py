@@ -284,3 +284,59 @@ def time_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").isNull().alias("was_gap"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        SELECT e.event_id,
+               e.user_id,
+               epoch_us(e.ts) AS purchase_us,
+               (SELECT epoch_us(max(s.ts)) FROM events s
+                WHERE s.user_id = e.user_id
+                  AND s.event_type = 'signup'
+                  AND s.ts <= e.ts
+                  AND s.ts > e.ts - INTERVAL 24 HOUR) AS signup_within_24h_us
+        FROM events e
+        WHERE e.event_type = 'purchase'
+    """,
+    tags=("temporal", "join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND — the production variant of
+    join_asof: a match older than the tolerance (24 h here) is no
+    match at all (``merge_asof(tolerance=...)`` semantics). Joining
+    sensor readings, quotes, or feature snapshots without a bound
+    silently propagates arbitrarily stale state; with the bound, the
+    staleness policy is part of the operator, and the NULLs it emits
+    are the monitoring signal.
+
+    Same union-window single-exchange structure as join_asof — the
+    tolerance is ONE additional codegen'd comparison on the carried
+    timestamp, not a different join: still one shuffle on user_id,
+    per-key state still O(1)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side"))
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("side"))
+    tagged = purchases.unionByName(signups)
+    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = tagged.withColumn(
+        "last_signup_ts",
+        F.last(F.when(F.col("side") == 0, F.col("ts")),
+               ignorenulls=True).over(w))
+    within = (F.col("last_signup_ts")
+              > F.col("ts") - F.expr("INTERVAL 24 HOURS"))
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.when(within, F.unix_micros("last_signup_ts"))
+            .alias("signup_within_24h_us"),
+        )
+    )

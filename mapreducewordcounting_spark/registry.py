@@ -101,7 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs", "text_unigram_logprob",
     "text_dup_ngram_coverage", "embedding_centroid_summary",
     "time_resample_ffill", "dedup_incremental_batch",
-    "contamination_embedding",
+    "contamination_embedding", "join_asof_tolerance",
 )
 
 

@@ -27,7 +27,8 @@ _TEMPORAL_K = (
     "stream_session_batch_twin or stream_partitioned_sink or "
     "mv_incremental_refresh or join_dpp_partitioned or pyds_stream_ledger "
     "or time_resample_ffill or funnel_3step or retention_cohort_weekly or "
-    "stream_foreachbatch_compact or sink_tombstone_purge"
+    "stream_foreachbatch_compact or sink_tombstone_purge or "
+    "join_asof_tolerance"
 )
 
 
