@@ -24,7 +24,7 @@ Scale posture (100 TB event logs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
@@ -201,4 +201,58 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a", "brand_b", "n_pair",
             F.round(F.col("n_pair").cast("double") * F.col("n_orders")
                     / (F.col("n_a") * F.col("n_b")), 6).alias("lift"))
+    )
+
+
+@register(
+    "growth_accounting_daily",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', min(ts)) AS DATE) AS first_day
+            FROM events GROUP BY 1),
+        dau AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(DISTINCT user_id) AS n_active
+            FROM events GROUP BY 1),
+        news AS (
+            SELECT first_day AS day, count(*) AS n_new
+            FROM firsts GROUP BY 1)
+        SELECT d.day, d.n_active,
+               coalesce(n.n_new, 0) AS n_new,
+               sum(coalesce(n.n_new, 0)) OVER (
+                   ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_users
+        FROM dau d LEFT JOIN news n USING (day)
+    """,
+    tags=("analytics", "growth", "events"),
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users, new users, and
+    CUMULATIVE distinct users per day. The cumulative-distinct is the
+    textbook trap — a naive `count(distinct) over (order by day)`
+    window either doesn't exist or re-scans history per day. The
+    scalable identity: a user is counted exactly once, on their FIRST
+    day, so cumulative distinct = running SUM of daily first-timers —
+    one user-keyed min-aggregate plus a cumsum over the |days|-row
+    rollup. DAU rides its own day-keyed aggregate. The final window
+    runs over |days| rows on one partition — fine for a calendar
+    (thousands of rows), never applied to event grain."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.date_trunc("day", "ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new"))
+    dau = ev.groupBy(day.alias("day")).agg(
+        F.count_distinct("user_id").alias("n_active"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        dau.join(news, "day", "left")
+        .select(
+            "day", "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w))
     )
