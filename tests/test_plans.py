@@ -230,3 +230,28 @@ def test_fingerprint_single_exchange_partial_agg(spark, sf_dir):
     df = validate_table_fingerprint(spark, sf_dir)
     assert has_partial_aggregation(df)
     assert n_exchanges(df) == 1
+
+
+def test_funnel_broadcasts_stage_tables(spark, sf_dir):
+    """The funnel's contract: user-sized stage tables broadcast onto
+    the type-filtered fact scans — the event fact itself is never the
+    build side and never exchanges at event grain."""
+    from mapreducewordcounting_spark.operators.product_analytics import (
+        funnel_3step,
+    )
+
+    plan = simple_plan(funnel_3step(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_anti_join_on_hashes(spark, sf_dir):
+    """Incremental dedup must anti-join on content hashes with the
+    corpus hash set as the build side — document text never joins."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_incremental_batch,
+    )
+
+    plan = simple_plan(dedup_incremental_batch(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
