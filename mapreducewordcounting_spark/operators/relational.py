@@ -752,3 +752,64 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nations"),
         F.size(F.array_distinct(F.collect_list("n_name"))).alias("n_distinct"),
     )
+
+
+@register(
+    "join_runtime_bloom_smj",
+    oracle="""
+        SELECT l.l_returnflag,
+               count(*) AS n_rows,
+               sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 150000
+        GROUP BY l.l_returnflag
+    """,
+    tags=("join", "runtime-filter", "bloom", "smj"),
+)
+def join_runtime_bloom_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (``InjectRuntimeFilter``) —
+    the non-partition-column sibling of dynamic partition pruning:
+    when a selective dimension joins a fact on a NON-partition key in
+    a shuffle join, Spark builds a Bloom filter from the dim's join
+    keys at runtime (``bloom_filter_agg``) and pushes a
+    ``might_contain`` probe into the fact side BEFORE the exchange —
+    fact rows that cannot match are dropped pre-shuffle, cutting
+    exchange volume by the dim's selectivity. Broadcast joins don't
+    need this (the hash table itself filters); it is the SMJ path's
+    rescue, which is exactly the 100 TB fact⋈fact case.
+
+    The injection thresholds are sized for real clusters
+    (application side ≥ 10 GB scan by default), so this query scopes
+    them down for the fixture — the PLAN SHAPE (bloom build + probe
+    before exchange, asserted in tests/test_plans.py) is the
+    contract; the thresholds are the knob a deployment tunes."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.optimizer.runtime.bloomFilter."
+                  "applicationSideScanSizeThreshold",
+                  "spark.sql.autoBroadcastJoinThreshold")
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                   "applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 150000).select("o_orderkey")
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .alias("sum_qty"))
+        )
+        # Physical planning is lazy; force it INSIDE the conf scope so
+        # InjectRuntimeFilter sees the thresholds (the QueryExecution
+        # caches the planned result, so later actions reuse it).
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

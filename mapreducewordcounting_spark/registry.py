@@ -102,7 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_dup_ngram_coverage", "embedding_centroid_summary",
     "time_resample_ffill", "dedup_incremental_batch",
     "contamination_embedding", "join_asof_tolerance",
-    "growth_accounting_daily",
+    "growth_accounting_daily", "join_runtime_bloom_smj",
 )
 
 

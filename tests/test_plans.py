@@ -255,3 +255,18 @@ def test_incremental_dedup_anti_join_on_hashes(spark, sf_dir):
     plan = simple_plan(dedup_incremental_batch(spark, sf_dir))
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """The runtime-filter contract: a bloom_filter_agg builds from the
+    dim's join keys and a might_contain probe lands on the fact side
+    BEFORE its exchange — pre-shuffle row pruning on a non-partition
+    key (the DPP sibling for shuffle joins)."""
+    from mapreducewordcounting_spark.operators.relational import (
+        join_runtime_bloom_smj,
+    )
+
+    df = join_runtime_bloom_smj(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
