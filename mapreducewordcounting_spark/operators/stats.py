@@ -178,3 +178,60 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .otherwise(0)).alias("n_clipped_high"),
              F.avg(clipped).alias("winsorized_mean"))
     )
+
+
+@register(
+    "agg_weighted_stats",
+    oracle="""
+        WITH s AS (
+            SELECT p.p_brand,
+                   sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS w,
+                   sum(CAST(l.l_quantity AS DECIMAL(12,2))
+                       * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS wx,
+                   sum(CAST(l.l_quantity AS DECIMAL(12,2))
+                       * CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS wx2
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand)
+        SELECT p_brand,
+               CAST(w AS DOUBLE) AS total_weight,
+               round(CAST(wx AS DOUBLE) / CAST(w AS DOUBLE), 6)
+                   AS weighted_mean,
+               round(sqrt(CAST(wx2 AS DOUBLE) / CAST(w AS DOUBLE)
+                     - (CAST(wx AS DOUBLE) / CAST(w AS DOUBLE))
+                       * (CAST(wx AS DOUBLE) / CAST(w AS DOUBLE))), 6)
+                   AS weighted_std
+        FROM s
+    """,
+    tags=("stats", "weighted", "aggregation"),
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean and variance of price per brand — the
+    weighted moments every sampling-corrected or exposure-weighted
+    metric needs (plain avg() answers a different question when rows
+    carry unequal weight). The sufficient statistics (Σw, Σwx, Σwx²)
+    are EXACT DECIMAL sums — algebraic, order-independent, map-side
+    combined — so the whole aggregate is one shuffle of three decimals
+    per group and the only float ops are the final divisions and sqrt; the output is
+    the weighted STDDEV (price-scaled) because the raw variance's
+    ~1e9 magnitude exposes decimal-to-double conversion ulps at the
+    6-digit rounding contract, while the stddev's ~1e4 scale does not (the functions/numeric.py discipline applied to
+    second moments)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w = F.col("l_quantity").cast("decimal(12,2)")
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .groupBy("p_brand")
+         .agg(F.sum(w).alias("w"),
+              F.sum(w * x).alias("wx"),
+              F.sum(w * x * x).alias("wx2")))
+    dw = F.col("w").cast("double")
+    mean = F.col("wx").cast("double") / dw
+    return s.select(
+        "p_brand",
+        dw.alias("total_weight"),
+        F.round(mean, 6).alias("weighted_mean"),
+        F.round(F.sqrt(F.col("wx2").cast("double") / dw - mean * mean), 6)
+        .alias("weighted_std"),
+    )
