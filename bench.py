@@ -81,6 +81,9 @@ HEADLINE = [
     "funnel_3step",             # strict-ordering funnel conversion
     "retention_cohort_weekly",  # cohort retention matrix
     "basket_pair_affinity",     # map-side basket pair generation + lift
+    "text_unigram_logprob",     # LM (perplexity-style) quality scoring
+    "join_runtime_bloom_smj",   # runtime bloom-filter join pruning
+    "growth_accounting_daily",  # DAU / new / cumulative-unique rollup
 ]
 
 
