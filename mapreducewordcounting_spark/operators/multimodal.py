@@ -287,3 +287,65 @@ def mm_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.count_distinct("digest").alias("n_distinct_payloads"),
     )
+
+
+@register(
+    "mm_chunk_dedup_ratio",
+    oracle="""
+        WITH chunks AS (
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   md5(substring(text, i.i * 64 + 1, 64)) AS chunk_digest
+            FROM documents,
+                 (SELECT unnest(range(0, 512)) AS i) i
+            WHERE i.i * 64 < length(text)
+        )
+        SELECT kind,
+               count(*) AS n_chunks,
+               count(DISTINCT chunk_digest) AS n_distinct,
+               round(1.0 - CAST(count(DISTINCT chunk_digest) AS DOUBLE)
+                     / count(*), 6) AS dedup_ratio
+        FROM chunks
+        GROUP BY kind
+    """,
+    tags=("multimodal", "chunking", "dedup", "storage"),
+)
+def mm_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level content-addressed dedup economics — the STORAGE
+    dedup primitive (restic/borg/VAST-style): split each payload into
+    fixed 64-char chunks, digest each, and measure per-kind how much
+    of the chunk space is redundant (dedup_ratio = 1 − distinct/total).
+    This is the planning query run BEFORE adopting content-addressed
+    storage for a multimodal corpus: the ratio IS the storage savings.
+
+    Scale structure: chunk index explodes from a bounded ``sequence``
+    (here ≤64 chunks/doc — a real store keys chunk size off
+    ``octet_length`` the same way), the digest is map-side, and the
+    rollup shuffles (kind, digest) pairs ONCE for the distinct — at
+    petabyte scale the distinct goes through HLL
+    (`approx_count_distinct`) with zero structural change. Chunks are
+    char-based here because the engines must agree byte-for-byte on
+    slicing (the fixture payload is utf-8 text); a binary store chunks
+    bytes, same plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    n_chunks = F.ceil(F.length("text") / F.lit(64)).cast("int")
+    chunks = docs.select(
+        kind.alias("kind"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        "text",
+    ).select(
+        "kind",
+        F.md5(F.expr("substring(text, i * 64 + 1, 64)"))
+        .alias("chunk_digest"),
+    )
+    return chunks.groupBy("kind").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct("chunk_digest").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count_distinct("chunk_digest")
+                .cast("double") / F.count("*"), 6).alias("dedup_ratio"),
+    )
