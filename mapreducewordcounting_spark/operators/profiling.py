@@ -289,3 +289,70 @@ def validate_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"),
              F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"))
     )
+
+
+@register(
+    "dq_constraint_checks",
+    oracle="""
+        SELECT 'pk_unique_orders' AS constraint_name,
+               count(*) - count(DISTINCT o_orderkey) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'fk_lineitem_orders', count(*)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'range_quantity_1_100', count(*)
+        FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 100
+        UNION ALL
+        SELECT 'enum_returnflag', count(*)
+        FROM lineitem
+        WHERE l_returnflag NOT IN ('A', 'N', 'R')
+        UNION ALL
+        SELECT 'not_null_custkey', count(*) - count(c_custkey)
+        FROM customer
+    """,
+    tags=("validation", "data-quality", "constraints"),
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint gate — the dbt-test / Deequ-style checks
+    a pipeline runs before promoting a batch: primary-key uniqueness,
+    referential integrity (FK anti-join), value-range and enum-domain
+    membership, not-null. One row per constraint with its violation
+    COUNT (not a boolean — at 100 TB you triage by magnitude, and the
+    count is the alert threshold input).
+
+    Scale structure: each check is a single aggregate or anti-join —
+    uniqueness is count−count(distinct) on one exchange, referential
+    integrity is the hash anti-join (AQE broadcasts the smaller side),
+    range/enum/null checks are map-side count_ifs that can all fuse
+    into ONE scan per table when batched. A production gate pins this
+    query to the new partition only — constraints then cost one
+    partition scan, not a table scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    pk = o.agg((F.count("*") - F.count_distinct("o_orderkey"))
+               .alias("n_violations")).select(
+        F.lit("pk_unique_orders").alias("constraint_name"), "n_violations")
+    fk = (li.join(o.select("o_orderkey"),
+                  li.l_orderkey == F.col("o_orderkey"), "left_anti")
+          .agg(F.count("*").alias("n_violations"))
+          .select(F.lit("fk_lineitem_orders").alias("constraint_name"),
+                  "n_violations"))
+    rng = li.agg(F.count_if((F.col("l_quantity") < 1)
+                            | (F.col("l_quantity") > 100))
+                 .alias("n_violations")).select(
+        F.lit("range_quantity_1_100").alias("constraint_name"),
+        "n_violations")
+    enum = li.agg(F.count_if(~F.col("l_returnflag").isin("A", "N", "R"))
+                  .alias("n_violations")).select(
+        F.lit("enum_returnflag").alias("constraint_name"), "n_violations")
+    nn = c.agg((F.count("*") - F.count("c_custkey"))
+               .alias("n_violations")).select(
+        F.lit("not_null_custkey").alias("constraint_name"), "n_violations")
+    return pk.unionByName(fk).unionByName(rng).unionByName(enum) \
+        .unionByName(nn)

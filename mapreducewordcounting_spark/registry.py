@@ -103,7 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "time_resample_ffill", "dedup_incremental_batch",
     "contamination_embedding", "join_asof_tolerance",
     "growth_accounting_daily", "join_runtime_bloom_smj",
-    "agg_weighted_stats", "mm_chunk_dedup_ratio",
+    "agg_weighted_stats", "mm_chunk_dedup_ratio", "dq_constraint_checks",
 )
 
 

@@ -95,6 +95,13 @@ COVERAGE = {
     "corpus_qa": ["text_dup_ngram_coverage", "embedding_centroid_summary"],
     "resample_ffill": ["time_resample_ffill"],
     "dedup_incremental": ["dedup_incremental_batch"],
+    "data_quality_gate": ["dq_constraint_checks"],
+    "chunk_dedup": ["mm_chunk_dedup_ratio"],
+    "weighted_moments": ["agg_weighted_stats"],
+    "runtime_filters": ["join_runtime_bloom_smj"],
+    "growth_accounting": ["growth_accounting_daily"],
+    "asof_tolerance": ["join_asof_tolerance"],
+    "lm_logprob": ["text_unigram_logprob"],
     "decontamination": ["contamination_5gram", "contamination_embedding"],
     "pivot_unpivot": ["agg_pivot", "agg_unpivot"],
     "sampling": ["sample_seeded"],
