@@ -334,7 +334,11 @@ def mm_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
     n_chunks = F.ceil(F.length("text") / F.lit(64)).cast("int")
-    chunks = docs.select(
+    # empty docs contribute zero chunks; without the guard,
+    # sequence(0, -1) would INFER step -1 and yield [0, -1] — two
+    # phantom chunks of "" per empty doc (the oracle's
+    # `i*64 < length(text)` predicate excludes them)
+    chunks = docs.filter(F.length("text") > 0).select(
         kind.alias("kind"),
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
         "text",
