@@ -340,3 +340,56 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("signup_within_24h_us"),
         )
     )
+
+
+@register(
+    "window_rolling_zscore",
+    oracle="""
+        WITH framed AS (
+            SELECT event_id, user_id, value,
+                   row_number() OVER w AS rn,
+                   avg(value) OVER (w ROWS BETWEEN 20 PRECEDING
+                                    AND 1 PRECEDING) AS mu,
+                   stddev_samp(value) OVER (w ROWS BETWEEN 20 PRECEDING
+                                            AND 1 PRECEDING) AS sigma
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_id, user_id,
+               round((value - mu) / sigma, 6) AS zscore
+        FROM framed
+        WHERE rn > 20 AND sigma > 0
+          AND abs(round((value - mu) / sigma, 6)) > 2.0
+    """,
+    tags=("temporal", "anomaly", "window", "rolling"),
+)
+def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING anomaly detection: each event scored against its own
+    user's trailing 20 observations (exclusive of itself — the frame
+    ends at 1 PRECEDING, so the tested value never contaminates its
+    baseline). The global-stats variant (anomaly_zscore) misses
+    level-shifted users and regime changes; the rolling frame adapts
+    per key and is the streaming-adjacent form (the same frame becomes
+    bounded state in a stateful stream).
+
+    One shuffle on user_id; mean and std are frame-bounded window
+    aggregates (O(frame) state per key). Warm-up rows (rn ≤ 20) and
+    zero-variance frames emit nothing — a cold-start policy stated in
+    the operator, not left to NaN propagation. The >2σ cut applies to
+    the ROUNDED score (engine-boundary discipline: frame sums may
+    differ in the last ulp between engines' accumulation orders)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-20, -1)
+    scored = ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w).alias("rn"),
+        ((F.col("value") - F.avg("value").over(frame))
+         / F.stddev_samp("value").over(frame)).alias("z"),
+        F.stddev_samp("value").over(frame).alias("sigma"),
+    )
+    return (
+        scored.filter((F.col("rn") > 20) & (F.col("sigma") > 0)
+                      & (F.abs(F.round("z", 6)) > 2.0))
+        .select("event_id", "user_id", F.round("z", 6).alias("zscore"))
+    )
