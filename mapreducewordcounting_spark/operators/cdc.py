@@ -213,3 +213,75 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("latest_ts")).alias("latest_ts_us"),
         )
     )
+
+
+@register(
+    "join_pit_versioned_dim",
+    oracle="""
+        SELECT e.event_id, e.user_id,
+               CASE WHEN v.cnt = 0 THEN NULL ELSE v.cnt END AS version_no,
+               CASE WHEN v.cnt = 0 THEN NULL
+                    WHEN v.cnt = 1 THEN 'bronze'
+                    WHEN v.cnt = 2 THEN 'silver'
+                    ELSE 'gold' END AS tier,
+               (SELECT epoch_us(max(s.ts)) FROM events s
+                WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+                  AND s.ts <= e.ts) AS since_us
+        FROM events e,
+             LATERAL (SELECT count(*) AS cnt FROM events s
+                      WHERE s.user_id = e.user_id
+                        AND s.event_type = 'signup'
+                        AND s.ts <= e.ts) v
+        WHERE e.event_type = 'purchase'
+    """,
+    tags=("cdc", "join", "point-in-time", "feature-store"),
+)
+def join_pit_versioned_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against a versioned dimension — the
+    feature-store primitive that prevents training-label leakage: each
+    purchase reads the dimension version (here: a loyalty tier that
+    bumps on every signup event) that was valid AT ITS TIMESTAMP,
+    never a later one. join_asof carries one timestamp; this carries
+    the WHOLE version payload, by forward-filling a STRUCT through
+    the union-window: versions and probes union-tag, sort once per
+    user, and ``last(struct, ignorenulls)`` carries
+    (version_no, tier, since) — still ONE exchange on user_id however
+    many versions or probes a key has, where the naive form is a
+    per-probe correlated scan (the oracle) or an interval join.
+    Probes before any version get NULLs — the honest cold-start
+    answer, not a leaked future version."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ver = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("version_no", F.row_number().over(w_ver))
+        .select(
+            "user_id", "ts", "event_id", F.lit(0).alias("side"),
+            F.struct(
+                F.col("version_no"),
+                F.when(F.col("version_no") == 1, "bronze")
+                .when(F.col("version_no") == 2, "silver")
+                .otherwise("gold").alias("tier"),
+                F.unix_micros("ts").alias("since_us"),
+            ).alias("ver"),
+        )
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side"),
+        F.lit(None).cast(versions.schema["ver"].dataType).alias("ver"))
+    # side=0 sorts first at equal ts → a version effective exactly at
+    # the probe instant is visible (inclusive, matches the oracle's <=)
+    w = (Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = probes.unionByName(versions).withColumn(
+        "cur", F.last(F.when(F.col("side") == 0, F.col("ver")),
+                      ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "event_id", "user_id",
+            F.col("cur.version_no").alias("version_no"),
+            F.col("cur.tier").alias("tier"),
+            F.col("cur.since_us").alias("since_us"),
+        )
+    )

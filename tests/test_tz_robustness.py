@@ -28,7 +28,8 @@ _TEMPORAL_K = (
     "mv_incremental_refresh or join_dpp_partitioned or pyds_stream_ledger "
     "or time_resample_ffill or funnel_3step or retention_cohort_weekly or "
     "stream_foreachbatch_compact or sink_tombstone_purge or "
-    "join_asof_tolerance or growth_accounting_daily"
+    "join_asof_tolerance or growth_accounting_daily or "
+    "join_pit_versioned_dim or window_rolling_zscore"
 )
 
 
