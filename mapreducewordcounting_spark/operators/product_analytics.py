@@ -256,3 +256,75 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum_users", F.sum("n_new").over(w))
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+        WITH anchor AS (
+            SELECT max(CAST(o_orderdate AS DATE)) AS now_d FROM orders),
+        rfm AS (
+            SELECT o.o_custkey AS custkey,
+                   date_diff('day', max(CAST(o.o_orderdate AS DATE)),
+                             a.now_d) AS recency_days,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS monetary
+            FROM orders o CROSS JOIN anchor a
+            GROUP BY o.o_custkey, a.now_d),
+        scored AS (
+            SELECT custkey, recency_days, frequency, monetary,
+                   ntile(4) OVER (ORDER BY recency_days DESC, custkey)
+                       AS r_score,
+                   ntile(4) OVER (ORDER BY frequency, custkey) AS f_score,
+                   ntile(4) OVER (ORDER BY monetary, custkey) AS m_score
+            FROM rfm)
+        SELECT r_score, f_score, m_score,
+               count(*) AS n_customers,
+               round(avg(monetary), 6) AS avg_monetary
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "rfm", "segmentation"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quartiles, the warehouse-classic base for lifecycle marketing and
+    churn models. Each dimension quartiles independently (higher score
+    = better: recent, frequent, high-spend), customers roll up into
+    the 4×4×4 segment grid.
+
+    Determinism and scale: the anchor "now" is max(order date) — a
+    1-row broadcast aggregate, never wall-clock (wall-clock would make
+    the result unreproducible); per-customer RFM is one customer-keyed
+    aggregate with exact-decimal monetary; ntile orders carry a
+    custkey tiebreak because quartile boundaries on tied metrics are
+    otherwise engine-dependent. The three global ntiles sort the
+    CUSTOMER-grain table (not orders) — at extreme |customers| each
+    becomes a percentile-bucket join against approx quantile bounds,
+    same downstream grid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    anchor = o.agg(F.max("od").alias("now_d"))
+    rfm = (o.crossJoin(F.broadcast(anchor))
+           .groupBy("o_custkey", "now_d")
+           .agg(F.max("od").alias("last_od"),
+                F.count("*").alias("frequency"),
+                F.sum("price").cast("double").alias("monetary"))
+           .select(F.col("o_custkey").alias("custkey"),
+                   F.datediff("now_d", "last_od").alias("recency_days"),
+                   "frequency", "monetary"))
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+    m_w = Window.orderBy(F.asc("monetary"), F.asc("custkey"))
+    scored = rfm.select(
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
