@@ -971,3 +971,126 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_in_batch").alias("n_rows_new"),
         F.min("survivor_id").alias("first_survivor"),
     )
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' '
+                                      || toks[i+2])) AS shingles
+            FROM t),
+        sig AS (
+            SELECT doc_id, shingles,
+                   list_min(list_transform(shingles, s -> md5('0|' || s))) AS h0,
+                   list_min(list_transform(shingles, s -> md5('1|' || s))) AS h1,
+                   list_min(list_transform(shingles, s -> md5('2|' || s))) AS h2,
+                   list_min(list_transform(shingles, s -> md5('3|' || s))) AS h3,
+                   list_min(list_transform(shingles, s -> md5('4|' || s))) AS h4,
+                   list_min(list_transform(shingles, s -> md5('5|' || s))) AS h5,
+                   list_min(list_transform(shingles, s -> md5('6|' || s))) AS h6,
+                   list_min(list_transform(shingles, s -> md5('7|' || s))) AS h7
+            FROM sh WHERE len(shingles) > 0),
+        bands AS (
+            SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+            UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+            UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+            UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id)
+        SELECT c.id_a, c.id_b,
+               round(((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END)
+                    + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+                    + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END)
+                    + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END))
+                    / 8.0, 6) AS est_jaccard,
+               round(CAST(len(list_intersect(sa.shingles, sb.shingles))
+                          AS DOUBLE)
+                     / (len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles))),
+                     6) AS jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+    """,
+    tags=("dedup", "minhash", "estimator"),
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR itself, oracle-checked: for every LSH
+    candidate pair, the Jaccard estimate = fraction of agreeing
+    signature components (E[agree] = J, the defining property) beside
+    the EXACT Jaccard from the shingle sets. This is the query that
+    justifies trusting signature agreement instead of set intersection
+    at 100 TB — and because the hash family is the deterministic md5
+    one, the estimate is engine-portable and the whole estimator is
+    differential-tested, not just its plumbing (estimator quality is
+    additionally pinned in tests/test_sketches.py).
+
+    Plan shape inherits dedup_minhash_det (map-stage signatures, band
+    self-join on 16-byte keys); the estimate needs no extra pass —
+    signatures ride the candidate join — while the exact side joins
+    the checkpointed shingle table for candidates ONLY (never all
+    pairs), which is exactly the verify stage of the production LSH
+    pipeline."""
+    sh_tbl = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", shingles(_toks()).alias("sh"))
+        .withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+
+    def hash8(s):
+        return F.array(*[F.md5(F.concat(F.lit(f"{i}|"), s))
+                         for i in range(8)])
+
+    sig_arr = F.aggregate(
+        "sh", F.array(*[F.lit("g") for _ in range(8)]),
+        lambda acc, s: F.zip_with(acc, hash8(s),
+                                  lambda x, y: F.least(x, y)))
+    sig = sh_tbl.select("doc_id", "sh", "n_sh", sig_arr.alias("sig")) \
+        .localCheckpoint(eager=True)
+    h = [F.element_at("sig", i + 1) for i in range(8)]
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat(h[2 * b], F.lit("|"), h[2 * b + 1]))
+                 .alias("bkey"))
+        for b in range(4)
+    ])
+    bands = (sig.select("doc_id", F.explode(band_arr).alias("bs"))
+             .select("doc_id", "bs.band", "bs.bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b")).distinct())
+    sa = sig.select(F.col("doc_id").alias("id_a"),
+                    F.col("sig").alias("sig_a"),
+                    F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"),
+                    F.col("sig").alias("sig_b"),
+                    F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda v: v))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(agree / F.lit(8.0), 6).alias("est_jaccard"),
+            F.round(inter.cast("double")
+                    / (F.col("n_a") + F.col("n_b") - inter), 6)
+            .alias("jaccard"),
+        )
+    )

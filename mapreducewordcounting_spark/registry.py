@@ -105,7 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "growth_accounting_daily", "join_runtime_bloom_smj",
     "agg_weighted_stats", "mm_chunk_dedup_ratio", "dq_constraint_checks",
     "window_rolling_zscore", "join_pit_versioned_dim",
-    "rfm_segmentation",
+    "rfm_segmentation", "dedup_minhash_estimate",
 )
 
 

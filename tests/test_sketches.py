@@ -184,3 +184,18 @@ def test_fingerprint_is_partition_order_independent(spark, sf_dir):
              F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"))
     ).collect()))
     assert base == other
+
+
+def test_minhash_estimator_quality(spark, sf_dir):
+    """E[agreement fraction] = Jaccard: on the candidate pairs, the
+    8-component estimate must track the exact value within the
+    theoretical sampling noise (SD <= sqrt(J(1-J)/8) ~ 0.18; the mean
+    absolute error bound is set loose above it)."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_minhash_estimate,
+    )
+
+    rows = dedup_minhash_estimate(spark, sf_dir).collect()
+    assert rows, "no candidate pairs at this SF"
+    mae = sum(abs(r.est_jaccard - r.jaccard) for r in rows) / len(rows)
+    assert mae <= 0.25, f"estimator MAE {mae:.3f}"
