@@ -328,3 +328,54 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.avg("monetary"), 6).alias("avg_monetary"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events),
+        trans AS (
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2),
+        outs AS (
+            SELECT prev_type, sum(n) AS n_out FROM trans GROUP BY 1)
+        SELECT t.prev_type, t.next_type, t.n,
+               round(CAST(t.n AS DOUBLE) / o.n_out, 6) AS p
+        FROM trans t JOIN outs o USING (prev_type)
+    """,
+    tags=("analytics", "clickstream", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    P(next_type | prev_type) from each user's consecutive event pairs
+    — the clickstream model behind next-action prediction, funnel
+    drop-off diagnosis, and bot detection (bots have degenerate rows).
+
+    One window pass per user (lag over the (ts, event_id) order — the
+    same user-keyed sort every sessionization query reuses), then a
+    |types|²-bounded aggregate; the row-normalizing totals join is
+    |types|-sized and broadcast. The transition COUNTS are exact
+    integers; only the final normalizing division is float, identical
+    in both engines, rounded at 6."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    outs = trans.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outs), "prev_type")
+        .select("prev_type", "next_type", "n",
+                F.round(F.col("n").cast("double") / F.col("n_out"), 6)
+                .alias("p"))
+    )
