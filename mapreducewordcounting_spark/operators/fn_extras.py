@@ -454,3 +454,62 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_checksum"),
         )
     )
+
+
+@register(
+    "fn_surrogate_keys",
+    oracle="""
+        WITH minted AS (
+            SELECT source,
+                   substring(md5('doc|' || source || '|'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8)
+                   || '-' ||
+                   substring(md5('doc|' || source || '|'
+                                 || CAST(doc_id AS VARCHAR)), 9, 4)
+                   || '-' ||
+                   substring(md5('doc|' || source || '|'
+                                 || CAST(doc_id AS VARCHAR)), 13, 4)
+                   || '-' ||
+                   substring(md5('doc|' || source || '|'
+                                 || CAST(doc_id AS VARCHAR)), 17, 4)
+                   || '-' ||
+                   substring(md5('doc|' || source || '|'
+                                 || CAST(doc_id AS VARCHAR)), 21, 12)
+                       AS sk
+            FROM documents)
+        SELECT source,
+               count(*) AS n_rows,
+               count(DISTINCT sk) AS n_distinct_keys,
+               min(sk) AS min_key
+        FROM minted GROUP BY source
+    """,
+    tags=("fn", "surrogate-key", "id-minting"),
+)
+def fn_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting — UUID-formatted md5 of the
+    namespaced business key (UUIDv5's construction, md5 namespace-
+    hashing, minus the version bits): the ID primitive for joining
+    entities ACROSS systems and reruns. ``uuid()`` /
+    ``monotonically_increasing_id()`` mint different ids per run and
+    per partition layout — useless as stable join keys; hashing the
+    business key makes the id a pure function of the data, so any
+    engine, any rerun, any backfill mints the SAME key (which is why
+    this is oracle-checkable at all). The collision audit rides the
+    same aggregate: n_distinct_keys must equal n_rows for a unique
+    business key (pinned per group). Map-side mint, one shuffle for
+    the audit rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("doc|"), F.col("source"), F.lit("|"),
+                       F.col("doc_id").cast("string")))
+    sk = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4),
+        F.substring(h, 13, 4), F.substring(h, 17, 4),
+        F.substring(h, 21, 12))
+    return (
+        docs.select("source", sk.alias("sk"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_rows"),
+             F.count_distinct("sk").alias("n_distinct_keys"),
+             F.min("sk").alias("min_key"))
+    )

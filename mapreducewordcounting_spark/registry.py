@@ -106,7 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_weighted_stats", "mm_chunk_dedup_ratio", "dq_constraint_checks",
     "window_rolling_zscore", "join_pit_versioned_dim",
     "rfm_segmentation", "dedup_minhash_estimate",
-    "event_transition_matrix",
+    "event_transition_matrix", "fn_surrogate_keys",
 )
 
 
