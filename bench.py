@@ -5,9 +5,13 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Timing = full materialization via the noop sink (forces every operator
-to execute; nothing short-circuits like count() can). One untimed
-warmup of the flagship absorbs JVM/codegen startup so the numbers
-measure the queries, not the JIT.
+to execute; nothing short-circuits like count() can). Warmup contract
+(VERDICT r3 item 8): besides the one-time JVM + Python-worker warmup,
+EVERY headline query first runs once untimed at sf0.001 — that absorbs
+its own codegen compilation, shuffle-service init, and any
+family-specific first-use cost (the r2 mm_decode 8.4 s artifact), so
+the timed sf0.1 number measures the query, not whichever query
+happened to run first. Numbers must be stable to ±20% across runs.
 """
 
 from __future__ import annotations
@@ -23,6 +27,9 @@ from mapreducewordcounting_spark import registry
 from mapreducewordcounting_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: tiny fixture for per-query untimed warmups (codegen/JIT, not data)
+WARM_SF_DIR = os.environ.get("SPARK_GRAFT_WARM_SF_DIR",
+                             "/root/testdata/sf0.001")
 
 #: headline set: the flagship + one representative per operator family.
 #: (streaming + spark.ml LSH excluded: their setup cost measures model
@@ -113,6 +120,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # untimed per-query warmup at sf0.001: compiles this query's
+        # codegen stages / UDF workers without touching the timed data
+        materialize(qs[name](spark, WARM_SF_DIR))
         t0 = time.perf_counter()
         materialize(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -186,8 +186,10 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(user_id) AS sum_user,
                min(value) AS min_value,
                max(value) AS max_value,
-               epoch_us(min(ts)) AS first_ts_us,
-               epoch_us(max(ts)) AS last_ts_us
+               CAST(extract(epoch FROM date_trunc('second', min(ts))) AS BIGINT)
+                   AS first_ts_s,
+               CAST(extract(epoch FROM date_trunc('second', max(ts))) AS BIGINT)
+                   AS last_ts_s
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY user_id % 8
@@ -217,10 +219,16 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").alias("sum_user"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
-        # unix_micros, not raw timestamps: collect() converts TimestampType
-        # through the OS-local tz (repo convention, see compact_keep_latest)
-        F.unix_micros(F.min("ts")).alias("first_ts_us"),
-        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        # Second-truncated epoch integers, not raw-µs timestamps: the
+        # SURVEY §7.3 convention. Sub-second encoding differs across
+        # fixture generations and engines (ns fixtures floored ns→µs
+        # here, rounded by some DuckDB builds), so a raw-µs comparison
+        # is encoding-sensitive while second truncation is stable —
+        # and the prune semantics under test don't live in the µs.
+        F.unix_timestamp(F.date_trunc("second", F.min("ts")))
+            .alias("first_ts_s"),
+        F.unix_timestamp(F.date_trunc("second", F.max("ts")))
+            .alias("last_ts_s"),
     )
 
 

@@ -783,33 +783,28 @@ def join_runtime_bloom_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
     (application side ≥ 10 GB scan by default), so this query scopes
     them down for the fixture — the PLAN SHAPE (bloom build + probe
     before exchange, asserted in tests/test_plans.py) is the
-    contract; the thresholds are the knob a deployment tunes."""
-    saved = {
-        k: spark.conf.get(k)
-        for k in ("spark.sql.optimizer.runtime.bloomFilter."
-                  "applicationSideScanSizeThreshold",
-                  "spark.sql.autoBroadcastJoinThreshold")
-    }
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
-                   "applicationSideScanSizeThreshold", "0")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_returnflag", "l_quantity")
-        o = load_table(spark, sf_dir, "orders").filter(
-            F.col("o_totalprice") > 150000).select("o_orderkey")
-        out = (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .groupBy("l_returnflag")
-            .agg(F.count("*").alias("n_rows"),
-                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                 .alias("sum_qty"))
-        )
-        # Physical planning is lazy; force it INSIDE the conf scope so
-        # InjectRuntimeFilter sees the thresholds (the QueryExecution
-        # caches the planned result, so later actions reuse it).
-        out._jdf.queryExecution().executedPlan()
-        return out
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+    contract; the thresholds are the knob a deployment tunes.
+
+    Conf isolation: the overrides live in a ``newSession()`` — same
+    SparkContext, PRIVATE SQLConf — so a concurrently planned query in
+    the caller's session can never lose its broadcast joins to this
+    query's ``autoBroadcastJoinThreshold=-1`` window, and a later
+    re-plan of the returned DataFrame (which belongs to the private
+    session) still sees the bloom thresholds. This replaces the
+    earlier set/finally-restore on the shared session, which was a
+    cross-query leak under concurrency."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+               "applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load_table(s, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity")
+    o = load_table(s, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000).select("o_orderkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .alias("sum_qty"))
+    )

@@ -502,15 +502,26 @@ def text_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     out = model.transform(tf)
 
-    @F.udf("double")
-    def vec_max(v):
-        return float(max(v.values)) if v.values.size else 0.0
+    import pandas as pd
 
-    return out.select(
-        "doc_id",
-        F.round(vec_max("tfidf"), 6).alias("max_weight"),
-        F.udf(lambda v: int(v.values.size), "int")("tfidf").alias("n_terms"),
-    )
+    # Arrow-batched pandas UDF over the VectorUDT struct — NOT
+    # vector_to_array + array_max: that materializes a dense 2^18
+    # doubles (2 MB) per document, while the Arrow transfer of the
+    # sparse struct moves only the nnz values. The struct's `values`
+    # field is the stored (nonzero-pattern) entries for sparse
+    # vectors and the full array for dense, so max/size match the
+    # vector's own .values semantics in both layouts.
+    @F.pandas_udf("max_weight double, n_terms int")
+    def vec_stats(v):  # struct input arrives as pd.DataFrame (SCALAR)
+        vals = v["values"]
+        return pd.DataFrame({
+            "max_weight": vals.apply(
+                lambda a: round(float(max(a)), 6) if len(a) else 0.0),
+            "n_terms": vals.apply(len).astype("int32"),
+        })
+
+    return out.select("doc_id", vec_stats("tfidf").alias("s")) \
+        .select("doc_id", "s.max_weight", "s.n_terms")
 
 
 #: fixed query terms for the BM25 ranking demo (mid-frequency fixture words)

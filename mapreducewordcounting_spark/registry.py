@@ -44,69 +44,102 @@ def register(name: str, oracle: str | None = None,
 
 
 # The driver's per-round CORRECTNESS artifact samples the first ~50
-# entries of ``queries()`` in dict order; raw registration order would
-# spend that whole window on the basic relational/scalar block
-# (rounds 1-2 checked the identical first-50). This priority list
-# fronts one-or-two representatives of EVERY operator family — joins,
-# agg modifiers, windows, scalar fns, text/LLM-pipeline ops, dedup,
-# similarity, temporal joins, TPC-H, training ops, streaming twins —
-# so the externally recorded check spans the engine's breadth. Every
-# name here is oracle-backed and green in the local sf0.001 gate
-# (test_registry_oracle.py); remaining queries follow in registration
-# order and stay covered by that local gate.
+# entries of ``queries()`` in dict order. Rounds 1-3 re-checked
+# largely the same front window, so external evidence had plateaued
+# at 73 distinct queries; VERDICT r3 item 4 asks the window to ROTATE.
+# Round-4 order: (1) the two queries whose r3 driver hash mismatch was
+# fixed this round (second-truncated ts oracle) lead, so the fix
+# re-lands in the driver window; (2) then a breadth round-robin (one
+# query per operator family per pass) over the 138 oracled queries
+# NEVER externally sampled in r1-r3; (3) then the remaining
+# never-sampled oracled queries; (4) then previously-sampled oracled
+# queries; (5) rows-only queries last — a rows-only driver check is
+# strictly weaker than the local oracle gate those queries already
+# pass. Every listed name stays green in the local sf0.001 gate
+# (test_registry_oracle.py) and the full sf0.01 driver simulation
+# (tools/verify_full.py -> CORRECTNESS_local_full.json).
 _PRIORITY: tuple[str, ...] = (
-    "wordcount_canonical", "wordcount_rdd",
-    "filter_project",
-    "source_text_dir_wordcount", "sink_partitioned_prune",
-    "join_broadcast_dim", "join_fact_fact", "join_semi", "join_anti",
-    "join_full_outer", "join_star_schema",
-    "agg_suite", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_argminmax", "dedup_minhash_det", "similarity_tfidf_pairs",
-    "topk_global", "setop_except", "subquery_correlated",
-    "window_topk_per_group", "window_running_total", "window_lag_lead",
-    "window_range_frame",
-    "fn_string", "fn_date", "fn_math", "fn_array", "fn_json",
-    "text_doc_stats", "text_tfidf", "text_bm25", "text_lang_id",
-    "text_quality_score", "text_fingerprint",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "similarity_topk_bruteforce", "embedding_quantize_int8",
-    "join_asof", "join_range", "time_rollup_multires",
-    "tpch_q1_pricing_summary", "tpch_q5_local_supplier_volume",
-    "tpch_q21_waiting_suppliers",
-    "contamination_5gram", "pack_sequences_offset",
-    "stream_partitioned_sink",
-    # beyond the observed 50-query window, in case the cap is larger:
-    "merge_upsert_customers", "scd2_event_intervals",
-    "graph_triangle_count", "compact_keep_latest",
-    "mm_metadata_stats", "mm_decode_features",
-    "udaf_median_per_brand", "udf_pandas_cosine",
-    "sketch_bloom_semijoin", "agg_percentiles", "join_salted",
-    "sql_recursive_hierarchy", "layout_zorder", "profile_lineitem",
-    "sample_stratified_hash", "agg_filter_clause", "agg_pivot",
-    "agg_collect", "stream_tumbling_batch_twin", "layout_compact_files",
-    "agg_mode_deterministic", "window_percent_rank",
-    "source_csv_roundtrip", "source_json_roundtrip", "join_bucketed",
-    "sample_split_3way", "mv_incremental_refresh", "source_csv_permissive",
-    "source_schema_evolution",
+    "sink_partitioned_prune", "stream_partitioned_sink",
+    "merge_upsert_customers", "graph_triangle_count", "mm_metadata_stats",
+    "udaf_median_per_brand", "sketch_bloom_semijoin", "agg_percentiles",
+    "join_salted", "sql_recursive_hierarchy", "layout_zorder",
+    "profile_lineitem", "sample_stratified_hash", "agg_filter_clause",
+    "stream_tumbling_batch_twin", "window_percent_rank",
+    "source_csv_roundtrip", "pyds_sink_roundtrip", "fn_trig",
+    "dedup_simhash_det", "similarity_ann_rp_det",
+    "validate_table_fingerprint", "funnel_3step", "text_unigram_logprob",
+    "time_resample_ffill", "join_runtime_bloom_smj", "agg_weighted_stats",
+    "tpch_q3_shipping_priority", "sample_per_group", "fn_xml_roundtrip",
+    "json_variant_extract", "web_url_host_stats", "scd2_event_intervals",
+    "mm_decode_features", "udf_pandas_cosine", "sketch_count_min_det",
+    "agg_percentile_disc", "skew_key_histogram", "sql_scalar_udf_charge",
+    "layout_compact_files", "agg_histogram_prices", "sample_split_3way",
+    "agg_mode_deterministic", "pyds_stream_ledger", "window_cume_dist",
+    "source_json_roundtrip", "sink_tombstone_purge", "fn_binary_base64",
+    "dedup_fuzzy_edit_distance", "embedding_centroid_summary",
+    "compact_keep_latest", "join_bucketed", "mv_incremental_refresh",
+    "source_csv_permissive", "source_schema_evolution",
     "join_dpp_partitioned", "fn_array_quantifiers", "fn_map_hof",
-    "pyds_sink_roundtrip", "fn_trig", "fn_binary_base64",
     "agg_grouping_id", "fn_struct", "fn_array_setops", "fn_string_format",
-    "fn_datetime_extras", "agg_percentile_disc", "dedup_simhash_det",
-    "sketch_count_min_det", "fn_csv_codec", "fn_na_clean",
-    "pyds_stream_ledger", "sketch_bloom_det", "sketch_hll_det",
-    "agg_quantile_hist_est", "similarity_ann_rp_det",
-    "validate_table_fingerprint", "sink_tombstone_purge",
-    "dedup_fuzzy_edit_distance", "funnel_3step", "retention_cohort_weekly",
-    "basket_pair_affinity", "stream_foreachbatch_compact",
-    "dedup_containment_pairs", "text_unigram_logprob",
-    "text_dup_ngram_coverage", "embedding_centroid_summary",
-    "time_resample_ffill", "dedup_incremental_batch",
+    "fn_datetime_extras", "fn_csv_codec", "fn_na_clean",
+    "sketch_bloom_det", "sketch_hll_det", "agg_quantile_hist_est",
+    "retention_cohort_weekly", "basket_pair_affinity",
+    "stream_foreachbatch_compact", "dedup_containment_pairs",
+    "text_dup_ngram_coverage", "dedup_incremental_batch",
     "contamination_embedding", "join_asof_tolerance",
-    "growth_accounting_daily", "join_runtime_bloom_smj",
-    "agg_weighted_stats", "mm_chunk_dedup_ratio", "dq_constraint_checks",
-    "window_rolling_zscore", "join_pit_versioned_dim",
-    "rfm_segmentation", "dedup_minhash_estimate",
+    "growth_accounting_daily", "mm_chunk_dedup_ratio",
+    "dq_constraint_checks", "window_rolling_zscore",
+    "join_pit_versioned_dim", "rfm_segmentation", "dedup_minhash_estimate",
     "event_transition_matrix", "fn_surrogate_keys",
+    "text_topk_words_per_source", "text_vocab_per_lang",
+    "text_stopword_topk", "text_token_count_bpe", "text_lang_stats",
+    "pipeline_training_data", "text_heavy_hitters", "text_vocab_coverage",
+    "text_token_ids", "text_token_entropy", "dedup_clusters",
+    "mm_frame_sample", "mm_resize_stub", "mm_decode_arrow",
+    "udtf_explode_bigrams", "udtf_python_tokenize", "cogroup_asof_pandas",
+    "anomaly_zscore", "tpch_q10_returned_items", "tpch_q18_large_orders",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts", "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers", "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "tpch_q12_late_lines_by_flag", "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue", "tpch_q20_dominant_suppliers",
+    "chunk_documents", "pii_redact", "text_repetition_signals",
+    "sample_weighted_priority", "agg_stats_moments", "agg_regression",
+    "agg_higher_moments", "agg_winsorized_mean", "fn_fuzzy_string",
+    "fn_hash_digests", "fn_bitwise", "fn_explode_variants",
+    "fn_try_arithmetic", "fn_collation_group", "time_gapfill_weekly",
+    "sql_table_udf_trigrams", "stream_sliding_batch_twin",
+    "stream_session_batch_twin", "pyds_wordcount", "wordcount_canonical",
+    "wordcount_rdd", "filter_project", "source_text_dir_wordcount",
+    "join_broadcast_dim", "join_fact_fact", "join_semi", "join_anti",
+    "join_full_outer", "join_star_schema", "agg_suite", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_argminmax", "dedup_minhash_det",
+    "similarity_tfidf_pairs", "topk_global", "setop_except",
+    "subquery_correlated", "window_topk_per_group", "window_running_total",
+    "window_lag_lead", "window_range_frame", "fn_string", "fn_date",
+    "fn_math", "fn_array", "fn_json", "text_doc_stats", "text_tfidf",
+    "text_bm25", "text_lang_id", "text_quality_score", "text_fingerprint",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "similarity_topk_bruteforce", "embedding_quantize_int8", "join_asof",
+    "join_range", "time_rollup_multires", "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume", "tpch_q21_waiting_suppliers",
+    "contamination_5gram", "pack_sequences_offset", "agg_pivot",
+    "agg_collect", "wordcount_fidelity", "join_left_outer", "join_theta",
+    "agg_distinct", "setop_union", "setop_intersect", "join_cross",
+    "sort_multi_key", "agg_unpivot", "agg_boolean", "fn_conditional",
+    "fn_map", "fn_time_events", "fn_array_ops", "fn_date_arith",
+    "fn_regex", "window_rank_ntile", "window_moving_frame",
+    "window_first_last", "agg_approx_distinct", "sample_seeded",
+    "text_vocab_approx", "text_tfidf_ml", "dedup_minhash_lsh",
+    "dedup_simhash", "similarity_ann_lsh", "similarity_ann_ivf",
+    "agg_percentile_approx", "sketch_hll_union", "sketch_count_min",
+    "pagerank_nation_trade", "kmeans_embeddings", "pack_sequences_greedy",
+    "stream_tumbling", "stream_dedup", "stream_stateful_counter",
+    "stream_static_join", "stream_stream_join",
+    "stream_incremental_ingest",
 )
 
 

@@ -586,8 +586,10 @@ if _has_protobuf():  # pragma: no cover — absent in this container
                sum(user_id) AS sum_user,
                min(value) AS min_value,
                max(value) AS max_value,
-               epoch_us(min(ts)) AS first_ts_us,
-               epoch_us(max(ts)) AS last_ts_us
+               CAST(extract(epoch FROM date_trunc('second', min(ts))) AS BIGINT)
+                   AS first_ts_s,
+               CAST(extract(epoch FROM date_trunc('second', max(ts))) AS BIGINT)
+                   AS last_ts_s
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY user_id % 8
@@ -632,8 +634,14 @@ def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").alias("sum_user"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
-            F.unix_micros(F.min("ts")).alias("first_ts_us"),
-            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+            # Second-truncated epoch integers (SURVEY §7.3): raw-µs
+            # comparison is encoding-sensitive across engines/fixture
+            # generations; second truncation is stable and the sink
+            # semantics under test don't live in the µs.
+            F.unix_timestamp(F.date_trunc("second", F.min("ts")))
+                .alias("first_ts_s"),
+            F.unix_timestamp(F.date_trunc("second", F.max("ts")))
+                .alias("last_ts_s"),
         )
         rows = result.collect()  # materialize before tmp cleanup
         return spark.createDataFrame(rows, result.schema)
