@@ -9,9 +9,13 @@ to execute; nothing short-circuits like count() can). Warmup contract
 (VERDICT r3 item 8): besides the one-time JVM + Python-worker warmup,
 EVERY headline query first runs once untimed at sf0.001 — that absorbs
 its own codegen compilation, shuffle-service init, and any
-family-specific first-use cost (the r2 mm_decode 8.4 s artifact), so
-the timed sf0.1 number measures the query, not whichever query
-happened to run first. Numbers must be stable to ±20% across runs.
+family-specific first-use cost (the r2 mm_decode 8.4 s artifact), and
+the recorded number is the MEDIAN of 3 timed sf0.1 runs — a single
+run occasionally absorbs a transient (GC pause, OS scheduling): a
+clean A/B showed dedup_simhash_det at 2.6 s vs 7.7 s across two
+otherwise-identical suite runs while 4 isolated runs sat at 2.2-2.7 s.
+The median discards exactly that kind of sample. Numbers must be
+stable to ±20% across suite runs.
 """
 
 from __future__ import annotations
@@ -91,6 +95,11 @@ HEADLINE = [
     "text_unigram_logprob",     # LM (perplexity-style) quality scoring
     "join_runtime_bloom_smj",   # runtime bloom-filter join pruning
     "growth_accounting_daily",  # DAU / new / cumulative-unique rollup
+    "drift_psi_value",          # PSI drift monitor (bucket-grid math)
+    "shard_mix_entropy",        # shard source-mix entropy
+    "text_bpe_pair_counts",     # BPE merge-step pair count
+    "lang_temperature_sampling",  # language-balance sampling rates
+    "dedup_embedding_cosine",   # distributed block-matrix cosine
 ]
 
 
@@ -123,9 +132,12 @@ def main() -> None:
         # untimed per-query warmup at sf0.001: compiles this query's
         # codegen stages / UDF workers without touching the timed data
         materialize(qs[name](spark, WARM_SF_DIR))
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[1], 3)  # median of 3
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

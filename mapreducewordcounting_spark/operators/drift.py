@@ -1,0 +1,197 @@
+"""Corpus / feature drift monitoring (north-star extension, no
+reference counterpart — the reference is a single word-count query,
+sendFileByFile.cpp:447-498; these are the monitoring queries a
+continuously-ingesting 100 TB training corpus runs to detect when the
+data feeding the pipeline has shifted).
+
+Scale posture: every operator here reduces event/document grain to a
+(group × fixed-bucket) grid in ONE keyed aggregate, then does all
+divergence math on the grid (|groups|·|buckets| rows — thousands,
+never data-sized). No driver-side state, no second scan of the input.
+
+Determinism posture: bucket edges are computed from the data with
+closed-form arithmetic (equal-width over the reference window's
+min/max), never engine-private quantile sketches, and the time split
+uses second-truncated epochs (SURVEY §7.3) — so the whole monitor is
+exactly reproducible on any engine and fully DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.registry import register
+
+#: PSI bucket count (industry-standard 10 equal-width buckets)
+PSI_BUCKETS = 10
+#: additive smoothing so empty buckets don't blow up ln(p/q); the
+#: +0.5/+B·0.5 form (Jeffreys) keeps probabilities strictly positive
+#: and is the same closed form on both engines.
+PSI_ALPHA = 0.5
+
+#: shard fan for the mix-entropy monitor
+N_SHARDS = 16
+
+_SQL_SHARD = ("CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+              f"AS BIGINT) % {N_SHARDS}")
+
+
+@register(
+    "drift_psi_value",
+    oracle=f"""
+        WITH se AS (
+            SELECT event_type, value,
+                   CAST(extract(epoch FROM date_trunc('second', ts))
+                        AS BIGINT) AS s
+            FROM events),
+        split AS (SELECT (min(s) + max(s)) // 2 AS mid FROM se),
+        lab AS (
+            SELECT event_type, value, s <= (SELECT mid FROM split) AS is_ref
+            FROM se),
+        stats AS (
+            SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+                   count(*) AS n_ref
+            FROM lab WHERE is_ref GROUP BY 1),
+        cur_n AS (
+            SELECT event_type, count(*) AS n_cur
+            FROM lab WHERE NOT is_ref GROUP BY 1),
+        bkt AS (
+            SELECT l.event_type, l.is_ref,
+                   CASE WHEN s.vmax > s.vmin THEN
+                       least({PSI_BUCKETS - 1}, greatest(0,
+                           CAST(floor((l.value - s.vmin)
+                                / ((s.vmax - s.vmin) / {PSI_BUCKETS}.0))
+                               AS BIGINT)))
+                   ELSE 0 END AS bucket
+            FROM lab l JOIN stats s USING (event_type)),
+        grid AS (
+            SELECT s.event_type, s.n_ref, c.n_cur, u.range AS bucket
+            FROM stats s JOIN cur_n c USING (event_type),
+                 range(0, {PSI_BUCKETS}) AS u),
+        cnt AS (
+            SELECT event_type, bucket,
+                   count(*) FILTER (WHERE is_ref) AS c_ref,
+                   count(*) FILTER (WHERE NOT is_ref) AS c_cur
+            FROM bkt GROUP BY 1, 2)
+        SELECT g.event_type, g.n_ref, g.n_cur,
+               round(sum(
+                   ((coalesce(c.c_cur, 0) + {PSI_ALPHA})
+                        / (g.n_cur + {PSI_BUCKETS} * {PSI_ALPHA})
+                    - (coalesce(c.c_ref, 0) + {PSI_ALPHA})
+                        / (g.n_ref + {PSI_BUCKETS} * {PSI_ALPHA}))
+                   * ln(((coalesce(c.c_cur, 0) + {PSI_ALPHA})
+                            / (g.n_cur + {PSI_BUCKETS} * {PSI_ALPHA}))
+                        / ((coalesce(c.c_ref, 0) + {PSI_ALPHA})
+                            / (g.n_ref + {PSI_BUCKETS} * {PSI_ALPHA})))),
+                   6) AS psi
+        FROM grid g LEFT JOIN cnt c
+             ON g.event_type = c.event_type AND g.bucket = c.bucket
+        GROUP BY 1, 2, 3
+    """,
+    tags=("drift", "monitoring", "psi", "events"),
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the `value` distribution per
+    event type — first half of the time range (reference window) vs
+    second half (current window), the standard "did the feature
+    distribution move under me" monitor for models and for training
+    corpora alike (PSI > 0.2 is the classic retrain trigger).
+
+    Bucketing is 10 EQUAL-WIDTH bins over the reference window's
+    [min, max] per type (current values clamp into the edge bins) —
+    closed-form, engine-portable edges, unlike quantile-sketch edges
+    which are engine-private. Jeffreys smoothing (+0.5 per bucket)
+    keeps ln(p/q) finite when a bin is empty.
+
+    Shape at scale: one pass labels each event ref/current against a
+    broadcast 1-row split point, one keyed aggregate produces the
+    (type × 10)-bucket grid, and all PSI math runs on that grid —
+    |types|·10 rows. Two scans of events total (stats + counts), both
+    column-pruned to (event_type, value, ts)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("s"))
+    split = ev.agg(F.expr("(min(s) + max(s)) div 2").alias("mid"))
+    lab = (ev.crossJoin(F.broadcast(split))
+           .select("event_type", "value",
+                   (F.col("s") <= F.col("mid")).alias("is_ref")))
+    stats = (lab.filter("is_ref").groupBy("event_type")
+             .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+                  F.count("*").alias("n_ref")))
+    cur_n = (lab.filter(~F.col("is_ref")).groupBy("event_type")
+             .agg(F.count("*").alias("n_cur")))
+    width = (F.col("vmax") - F.col("vmin")) / float(PSI_BUCKETS)
+    bucket = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.least(F.lit(PSI_BUCKETS - 1), F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - F.col("vmin")) / width)
+            .cast("bigint")))).otherwise(0)
+    bkt = (lab.join(F.broadcast(stats), "event_type")
+           .select("event_type", "is_ref", bucket.alias("bucket")))
+    cnt = bkt.groupBy("event_type", "bucket").agg(
+        F.count_if("is_ref").alias("c_ref"),
+        F.count_if(~F.col("is_ref")).alias("c_cur"))
+    grid = (stats.select("event_type", "n_ref")
+            .join(F.broadcast(cur_n), "event_type")
+            .select("event_type", "n_ref", "n_cur",
+                    F.explode(F.sequence(
+                        F.lit(0), F.lit(PSI_BUCKETS - 1))).alias("bucket")))
+    denom_r = F.col("n_ref") + PSI_BUCKETS * PSI_ALPHA
+    denom_c = F.col("n_cur") + PSI_BUCKETS * PSI_ALPHA
+    p_ref = (F.coalesce("c_ref", F.lit(0)) + PSI_ALPHA) / denom_r
+    p_cur = (F.coalesce("c_cur", F.lit(0)) + PSI_ALPHA) / denom_c
+    return (grid.join(cnt, ["event_type", "bucket"], "left")
+            .groupBy("event_type", "n_ref", "n_cur")
+            .agg(F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6)
+                 .alias("psi")))
+
+
+@register(
+    "shard_mix_entropy",
+    oracle=f"""
+        WITH s AS (
+            SELECT {_SQL_SHARD} AS shard, source FROM documents),
+        c AS (
+            SELECT shard, source, count(*) AS n
+            FROM s GROUP BY 1, 2),
+        p AS (
+            SELECT shard, n,
+                   n * 1.0 / sum(n) OVER (PARTITION BY shard) AS frac
+            FROM c)
+        SELECT shard,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               count(*) AS n_sources,
+               round(-sum(frac * ln(frac)), 6) AS entropy
+        FROM p
+        GROUP BY shard
+    """,
+    tags=("drift", "monitoring", "entropy", "sharding"),
+)
+def shard_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix entropy per training shard: hash documents into
+    {N_SHARDS} shards (the deterministic md5 bucket every sampling op
+    here uses) and measure the Shannon entropy of each shard's source
+    distribution. A healthy shuffle gives every shard near-identical,
+    near-maximal entropy; a low-entropy shard means source-correlated
+    placement — the silent failure mode that makes training batches
+    non-IID (loss spikes on shard boundaries).
+
+    One shuffle to (shard, source) count grain, then all entropy math
+    on the |shards|·|sources| grid via a shard-partitioned window —
+    never a second pass over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("bigint") % N_SHARDS)
+    c = (docs.select(shard.alias("shard"), "source")
+         .groupBy("shard", "source").agg(F.count("*").alias("n")))
+    from pyspark.sql import Window
+    tot = F.sum("n").over(Window.partitionBy("shard"))
+    p = F.col("n") * F.lit(1.0) / tot
+    return (c.select("shard", "n", (p * F.log(p)).alias("plogp"))
+            .groupBy("shard")
+            .agg(F.sum("n").cast("bigint").alias("n_docs"),
+                 F.count("*").alias("n_sources"),
+                 F.round(-F.sum("plogp"), 6).alias("entropy")))

@@ -466,7 +466,18 @@ def sink_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     its stale files in place — pair the purge with per-partition
     delete markers (or a table format's transactional replaceWhere)
     for that case. The oracle would catch any stale row here: the
-    read-back aggregate must equal the purged source exactly."""
+    read-back aggregate must equal the purged source exactly.
+
+    Atomicity: the rewrite reads the store and overwrites the same
+    path in one job, so ``cleaned`` is materialized (localCheckpoint)
+    BEFORE the overwrite touches any file — otherwise a mid-commit
+    task retry could re-read a bucket the job already replaced. Even
+    so, a driver/executor crash BETWEEN partition commits leaves some
+    buckets rewritten and some not (dynamic overwrite commits per
+    partition, not per table); crash-atomic in-place purge needs a
+    transactional table format (Iceberg/Delta ``replaceWhere``) — the
+    plan shape here (prune → anti-join → dynamic overwrite) carries
+    over to those formats unchanged."""
     store = _io_path(sf_dir, "purge_events")
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "value", (F.col("user_id") % 8).alias("bucket"))
@@ -484,6 +495,10 @@ def sink_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         if buckets:  # no tombstones -> nothing to rewrite
+            # Materialize before overwriting the path being read: a
+            # task retry during the write must replay from checkpointed
+            # blocks, never re-scan files the job already replaced.
+            cleaned = cleaned.localCheckpoint(eager=True)
             cleaned.write.mode("overwrite").partitionBy("bucket") \
                 .parquet(store)
     finally:

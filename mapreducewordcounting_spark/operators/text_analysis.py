@@ -944,3 +944,50 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.count("*"), 6).alias("dup_fraction"),
         )
     )
+
+
+#: how many top pairs the BPE-step query keeps
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+        WITH t AS ({{_SQL_TOKS}}),
+        w AS (SELECT unnest(toks) AS word FROM t),
+        p AS (
+            SELECT unnest(list_transform(range(1, length(word)),
+                                         i -> substr(word, i, 2))) AS pair
+            FROM w WHERE length(word) >= 2)
+        SELECT pair, count(*) AS n
+        FROM p
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT {BPE_TOP_PAIRS}
+    """.format(_SQL_TOKS=_SQL_TOKS),
+    tags=("text", "bpe", "tokenizer-training"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge step of BPE tokenizer training at corpus scale: count
+    every adjacent character pair inside every (canonical) token and
+    return the top {BPE_TOP_PAIRS} — the argmax of this count is
+    exactly the pair BPE merges next. Training a tokenizer on a
+    100 TB corpus runs THIS query (over the current symbol sequence)
+    once per merge; everything else in BPE is bookkeeping.
+
+    Shape at scale: pair generation is a map-side explode bounded by
+    total corpus characters; the count shuffles on `pair`, whose
+    domain is bounded by |alphabet|² (<1.5k for [a-z']) — so the
+    aggregate output is tiny regardless of corpus size and the limit
+    runs as TakeOrderedAndProject, never a global sort of data. Ties
+    break on the pair string so the top-k set is deterministic and
+    engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.filter(tokenize_canonical("text"),
+                           lambda w: F.length(w) >= 2)).alias("word"))
+    pairs = words.select(F.explode(F.expr(
+        "transform(sequence(1, length(word) - 1),"
+        " i -> substring(word, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "pair").limit(BPE_TOP_PAIRS))

@@ -516,3 +516,61 @@ def sample_split_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+#: temperature for language-balanced sampling (mT5/UNIMAX-style);
+#: alpha=0.3 upweights tail languages without swamping the head.
+LANG_SAMPLE_ALPHA = 0.3
+
+
+@register(
+    "lang_temperature_sampling",
+    oracle=f"""
+        WITH t AS ({{_SQL_TOKS}}),
+        n AS (
+            SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+            FROM t GROUP BY lang),
+        tot AS (
+            SELECT sum(n_tokens) AS total,
+                   sum(pow(n_tokens, {LANG_SAMPLE_ALPHA})) AS total_a
+            FROM n)
+        SELECT n.lang, n.n_tokens,
+               round(n.n_tokens / tot.total, 6) AS p_raw,
+               round(pow(n.n_tokens, {LANG_SAMPLE_ALPHA}) / tot.total_a, 6)
+                   AS p_sample,
+               round((pow(n.n_tokens, {LANG_SAMPLE_ALPHA}) / tot.total_a)
+                     / (n.n_tokens / tot.total), 6) AS oversample_factor
+        FROM n CROSS JOIN tot
+    """.format(_SQL_TOKS=_SQL_TOKS),
+    tags=("training", "sampling", "language-balance"),
+)
+def lang_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling rates (the mT5 / XLM-R
+    recipe): sampling probability p_l proportional to (token share)^a
+    with a = 0.3, so low-resource languages are oversampled relative
+    to their raw share and the head language can't monopolize the
+    batch mix. Emits, per language: exact token count, raw corpus
+    share, temperature-smoothed sampling probability, and the
+    oversample factor the data loader applies.
+
+    The whole computation is one |langs|-row aggregate (token counts
+    ride the same map-side-combined sum every token-count query uses)
+    plus a broadcast 1-row total — nothing here grows with corpus
+    size, which is why this policy query runs per-epoch in practice.
+    pow() on doubles is IEEE-identical across engines for these
+    magnitudes; outputs round at 6 per repo convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = (docs.select("lang",
+                     F.size(words_canonical("text")).alias("k"))
+         .groupBy("lang")
+         .agg(F.sum("k").cast("bigint").alias("n_tokens")))
+    tot = n.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.pow("n_tokens", F.lit(LANG_SAMPLE_ALPHA))).alias("total_a"))
+    p_raw = F.col("n_tokens") / F.col("total")
+    p_sample = F.pow("n_tokens", F.lit(LANG_SAMPLE_ALPHA)) / F.col("total_a")
+    return (n.crossJoin(F.broadcast(tot))
+            .select("lang", "n_tokens",
+                    F.round(p_raw, 6).alias("p_raw"),
+                    F.round(p_sample, 6).alias("p_sample"),
+                    F.round(p_sample / p_raw, 6).alias("oversample_factor")))

@@ -77,6 +77,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_mode_deterministic", "pyds_stream_ledger", "window_cume_dist",
     "source_json_roundtrip", "sink_tombstone_purge", "fn_binary_base64",
     "dedup_fuzzy_edit_distance", "embedding_centroid_summary",
+    # round-4 additions (never yet externally sampled):
+    "drift_psi_value", "shard_mix_entropy",
+    "text_bpe_pair_counts", "lang_temperature_sampling",
     "compact_keep_latest", "join_bucketed", "mv_incremental_refresh",
     "source_csv_permissive", "source_schema_evolution",
     "join_dpp_partitioned", "fn_array_quantifiers", "fn_map_hof",
@@ -194,6 +197,7 @@ def _load_all() -> None:
         layout,
         io_roundtrip,
         product_analytics,
+        drift,
     )
     from mapreducewordcounting_spark import streaming  # noqa: F401
     from mapreducewordcounting_spark.sources import pyds  # noqa: F401

@@ -270,3 +270,70 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     plan = simple_plan(df)
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_drift_psi_scan_pruned_and_grid_broadcast(spark, sf_dir):
+    """The PSI monitor's 100 TB contract: the events scan reads ONLY
+    (event_type, value, ts), the split point / per-type stats attach
+    as broadcasts (they are 1-row / |types|-row relations), and all
+    divergence math runs post-aggregate on the bucket grid."""
+    from mapreducewordcounting_spark.operators.drift import drift_psi_value
+
+    df = drift_psi_value(spark, sf_dir)
+    plan = simple_plan(df)
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"event_type", "value", "ts"}
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_bpe_pair_counts_takeordered(spark, sf_dir):
+    """Top-k over the alphabet²-bounded pair counts must be
+    TakeOrderedAndProject — never a global sort of the pair stream."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_bpe_pair_counts,
+    )
+
+    df = text_bpe_pair_counts(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_shard_entropy_single_data_shuffle(spark, sf_dir):
+    """Entropy math runs on the (shard, source) count grid: one data
+    exchange to that grain, then shard-local window + rollup (the
+    grid exchanges are |shards|·|sources|-sized, not data-sized)."""
+    from mapreducewordcounting_spark.operators.drift import shard_mix_entropy
+
+    df = shard_mix_entropy(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert n_exchanges(df) <= 3  # count grain, window grain, final rollup
+
+
+def test_lang_temperature_sampling_broadcast_total(spark, sf_dir):
+    """The 1-row totals relation joins back by broadcast — the
+    |langs|-row policy table never shuffles for it."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        lang_temperature_sampling,
+    )
+
+    df = lang_temperature_sampling(spark, sf_dir)
+    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in simple_plan(df)
+    assert has_partial_aggregation(df)
+
+
+def test_embedding_cosine_block_plan(spark, sf_dir):
+    """The distributed block-matmul shape: executor-side pack
+    (FlatMapGroupsInPandas), tiny block-pair broadcast NLJ, Arrow
+    tile stage (MapInPandas) — and NO CartesianProduct anywhere (the
+    n² pair space must never appear as a join of row streams)."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    plan = simple_plan(dedup_embedding_cosine(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
