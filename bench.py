@@ -100,6 +100,8 @@ HEADLINE = [
     "text_bpe_pair_counts",     # BPE merge-step pair count
     "lang_temperature_sampling",  # language-balance sampling rates
     "dedup_embedding_cosine",   # distributed block-matrix cosine
+    "join_interval_overlap",    # equi-key + residual interval join
+    "interval_max_concurrency",  # +1/-1 boundary sweep
 ]
 
 

@@ -393,3 +393,155 @@ def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.abs(F.round("z", 6)) > 2.0))
         .select("event_id", "user_id", F.round("z", 6).alias("zscore"))
     )
+
+
+#: deterministic synthetic transit time (days) for shipment intervals:
+#: the fixture lineitem has no receipt date, so the interval end is a
+#: pure function of the row (1 + quantity mod 14), reproducible on any
+#: engine — which is what keeps the interval operators oracle-checkable.
+_TRANSIT_SQL = "(1 + CAST(l_quantity AS INT) % 14)"
+
+
+def _intervals_sql(key: str) -> str:
+    return f"""
+        SELECT {key},
+               l_orderkey, l_linenumber,
+               CAST(l_shipdate AS DATE) AS s,
+               CAST(l_shipdate AS DATE) + to_days({_TRANSIT_SQL}) AS e
+        FROM lineitem
+    """
+
+
+def _intervals_spark(li, key: str):
+    dur = (F.lit(1) + F.col("l_quantity").cast("int") % 14)
+    s = F.col("l_shipdate").cast("date")
+    return li.select(
+        key, "l_orderkey", "l_linenumber",
+        s.alias("s"), F.date_add(s, dur).alias("e"))
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+        WITH iv AS ({_intervals_sql('l_partkey')}),
+        pairs AS (
+            SELECT a.l_partkey,
+                   date_diff('day',
+                             greatest(a.s, b.s), least(a.e, b.e)) + 1
+                       AS overlap_days
+            FROM iv a JOIN iv b
+              ON a.l_partkey = b.l_partkey
+             AND (a.l_orderkey < b.l_orderkey
+                  OR (a.l_orderkey = b.l_orderkey
+                      AND a.l_linenumber < b.l_linenumber))
+             AND a.s <= b.e AND b.s <= a.e)
+        SELECT l_partkey % 100 AS part_bucket,
+               count(*) AS n_pairs,
+               CAST(sum(overlap_days) AS BIGINT) AS total_overlap_days,
+               CAST(max(overlap_days) AS BIGINT) AS max_overlap_days
+        FROM pairs
+        GROUP BY 1
+    """,
+    tags=("join", "interval", "temporal"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join — the join shape Spark has no native
+    operator for: find shipment windows of the SAME part that were
+    in flight simultaneously (inclusive overlap: a.s <= b.e AND
+    b.s <= a.e), the competing-shipments / double-booking query.
+
+    Scalable form: the equality key (l_partkey) IS the bucketing — an
+    equi sort-merge join with the overlap test as a RESIDUAL
+    predicate, so the pair space is Σ(per-key rows²), a bounded
+    per-key property (≤49² here), never |table|². The lexicographic
+    (orderkey, linenumber) tie-break emits each unordered pair exactly
+    once — no distinct pass. When a single equality key's history is
+    unbounded, sub-bucket by coarse time cell exactly like
+    ``join_range`` (each interval lands in O(span/cell) cells); the
+    residual predicate is unchanged.
+
+    Interval ends are synthesized (ship date + quantity-derived
+    transit days) because the fixture carries no receipt date —
+    deterministic, so the whole join is oracle-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = _intervals_spark(li, "l_partkey")
+    a, b = iv.alias("a"), iv.alias("b")
+    lex = (F.col("a.l_orderkey") < F.col("b.l_orderkey")) | (
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")))
+    pairs = a.join(
+        b,
+        (F.col("a.l_partkey") == F.col("b.l_partkey")) & lex
+        & (F.col("a.s") <= F.col("b.e")) & (F.col("b.s") <= F.col("a.e")))
+    overlap = F.datediff(
+        F.least(F.col("a.e"), F.col("b.e")),
+        F.greatest(F.col("a.s"), F.col("b.s"))) + 1
+    return (pairs
+            .select((F.col("a.l_partkey") % 100).alias("part_bucket"),
+                    overlap.alias("overlap_days"))
+            .groupBy("part_bucket")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum("overlap_days").cast("bigint")
+                 .alias("total_overlap_days"),
+                 F.max("overlap_days").cast("bigint")
+                 .alias("max_overlap_days")))
+
+
+@register(
+    "interval_max_concurrency",
+    oracle=f"""
+        WITH iv AS ({_intervals_sql('l_suppkey')}),
+        ev AS (
+            SELECT l_suppkey, s AS d, 1 AS delta FROM iv
+            UNION ALL
+            SELECT l_suppkey, e + to_days(1), -1 FROM iv),
+        run AS (
+            SELECT l_suppkey,
+                   sum(delta) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY d, delta DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS inflight
+            FROM ev),
+        mx AS (
+            SELECT l_suppkey, CAST(max(inflight) AS BIGINT) AS max_inflight
+            FROM run GROUP BY 1),
+        n AS (SELECT l_suppkey, count(*) AS n_shipments FROM iv GROUP BY 1)
+        SELECT n.l_suppkey AS suppkey, n.n_shipments, mx.max_inflight
+        FROM n JOIN mx USING (l_suppkey)
+    """,
+    tags=("interval", "temporal", "window"),
+)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrent intervals per supplier (peak shipments in
+    flight) via the +1/−1 boundary sweep — the O(n log n) answer to a
+    question whose naive form is an interval self-join (O(n²) per
+    key). Each interval contributes two boundary events; a per-key
+    running sum ordered by (date, delta DESC — starts before ends on
+    the same day, making overlap inclusive) traces the concurrency
+    curve, and its max is the answer. The max is tie-order-invariant:
+    within a run of equal (date, delta) events the running sum is
+    monotonic, so group order cannot change the peak.
+
+    One shuffle on l_suppkey (events are 2 rows per shipment, window
+    state is O(1)); the supplier-grain rollup and the count table
+    reuse the same exchange. At 100 TB this is the occupancy /
+    capacity-planning query (peak concurrent sessions, warehouse
+    load, GPU-job overlap) — same sweep, any interval source."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = _intervals_spark(li, "l_suppkey")
+    ev = (iv.select("l_suppkey", F.col("s").alias("d"),
+                    F.lit(1).alias("delta"))
+          .unionAll(iv.select("l_suppkey",
+                              F.date_add("e", 1).alias("d"),
+                              F.lit(-1).alias("delta"))))
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy(F.col("d"), F.col("delta").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = ev.select("l_suppkey", F.sum("delta").over(w).alias("inflight"))
+    mx = run.groupBy("l_suppkey").agg(
+        F.max("inflight").cast("bigint").alias("max_inflight"))
+    n = iv.groupBy("l_suppkey").agg(F.count("*").alias("n_shipments"))
+    return (n.join(mx, "l_suppkey")
+            .select(F.col("l_suppkey").alias("suppkey"),
+                    "n_shipments", "max_inflight"))

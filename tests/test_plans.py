@@ -337,3 +337,31 @@ def test_embedding_cosine_block_plan(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_equi_join_not_cartesian(spark, sf_dir):
+    """The interval join must ride the equality key (partkey) with the
+    overlap test as a residual — a CartesianProduct or non-equi NLJ
+    over the fact table would be the O(n·m) plan that dies at scale.
+    (At fixture size the planner picks broadcast-hash; at scale the
+    same equi-key degrades gracefully to sort-merge.)"""
+    from mapreducewordcounting_spark.operators.temporal import (
+        join_interval_overlap,
+    )
+
+    plan = simple_plan(join_interval_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_max_concurrency_single_fact_shuffle(spark, sf_dir):
+    """The boundary sweep shuffles the 2-rows-per-interval event table
+    once on the key; rollup and count table reuse supplier grain."""
+    from mapreducewordcounting_spark.operators.temporal import (
+        interval_max_concurrency,
+    )
+
+    df = interval_max_concurrency(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert n_exchanges(df) <= 4

@@ -29,7 +29,8 @@ _TEMPORAL_K = (
     "or time_resample_ffill or funnel_3step or retention_cohort_weekly or "
     "stream_foreachbatch_compact or sink_tombstone_purge or "
     "join_asof_tolerance or growth_accounting_daily or "
-    "join_pit_versioned_dim or window_rolling_zscore or drift_psi_value"
+    "join_pit_versioned_dim or window_rolling_zscore or drift_psi_value "
+    "or join_interval_overlap or interval_max_concurrency"
 )
 
 
