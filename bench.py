@@ -102,6 +102,8 @@ HEADLINE = [
     "dedup_embedding_cosine",   # distributed block-matrix cosine
     "join_interval_overlap",    # equi-key + residual interval join
     "interval_max_concurrency",  # +1/-1 boundary sweep
+    "quality_filter_report",    # corpus-cleaning waterfall report
+    "join_spatial_neighbors",   # grid-bucketed radius join
 ]
 
 

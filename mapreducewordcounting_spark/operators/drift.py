@@ -107,8 +107,10 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: one pass labels each event ref/current against a
     broadcast 1-row split point, one keyed aggregate produces the
-    (type × 10)-bucket grid, and all PSI math runs on that grid —
-    |types|·10 rows. Two scans of events total (stats + counts), both
+    (type × 10)-bucket count grid, and EVERYTHING else — per-window
+    totals, the dense bucket grid, the PSI sum — derives from that
+    grid (|types|·10 rows), never from a re-scan. Two scans of events
+    total (reference min/max/stats + the bucket counts), both
     column-pruned to (event_type, value, ts)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value",
@@ -118,10 +120,7 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("event_type", "value",
                    (F.col("s") <= F.col("mid")).alias("is_ref")))
     stats = (lab.filter("is_ref").groupBy("event_type")
-             .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"),
-                  F.count("*").alias("n_ref")))
-    cur_n = (lab.filter(~F.col("is_ref")).groupBy("event_type")
-             .agg(F.count("*").alias("n_cur")))
+             .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax")))
     width = (F.col("vmax") - F.col("vmin")) / float(PSI_BUCKETS)
     bucket = F.when(
         F.col("vmax") > F.col("vmin"),
@@ -129,16 +128,34 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
             F.floor((F.col("value") - F.col("vmin")) / width)
             .cast("bigint")))).otherwise(0)
-    bkt = (lab.join(F.broadcast(stats), "event_type")
-           .select("event_type", "is_ref", bucket.alias("bucket")))
-    cnt = bkt.groupBy("event_type", "bucket").agg(
-        F.count_if("is_ref").alias("c_ref"),
-        F.count_if(~F.col("is_ref")).alias("c_cur"))
-    grid = (stats.select("event_type", "n_ref")
-            .join(F.broadcast(cur_n), "event_type")
-            .select("event_type", "n_ref", "n_cur",
-                    F.explode(F.sequence(
-                        F.lit(0), F.lit(PSI_BUCKETS - 1))).alias("bucket")))
+    # scan 2: one keyed aggregate to the (type, bucket) grid; window
+    # totals (n_ref / n_cur) are grid sums, NOT a third event scan.
+    cnt = (lab.join(F.broadcast(stats), "event_type")
+           .select("event_type", "is_ref", bucket.alias("bucket"))
+           .groupBy("event_type", "bucket")
+           .agg(F.count_if("is_ref").alias("c_ref"),
+                F.count_if(~F.col("is_ref")).alias("c_cur"))
+           # The grid feeds three consumers (totals, the dense-bucket
+           # explode, the left join); without a materialization
+           # barrier each consumer re-derives it — re-SCANNING the
+           # fact table per branch (8 scans observed at plan level,
+           # no ReusedExchange in the static plan). Checkpointing
+           # |types|·10 rows pins the fact scans at two. A/B at
+           # sf0.1 (median of 3): eager 1.21 s, lazy 1.59 s,
+           # no checkpoint 1.68 s — eager wins AND is the only form
+           # whose scan count is structural rather than AQE-dependent.
+           .localCheckpoint(eager=True))
+    totals = (cnt.groupBy("event_type")
+              .agg(F.sum("c_ref").alias("n_ref"),
+                   F.sum("c_cur").alias("n_cur"))
+              # PSI needs both windows populated (the oracle's inner
+              # joins state the same): a type absent from either
+              # window has no divergence to measure.
+              .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0)))
+    grid = totals.select(
+        "event_type", "n_ref", "n_cur",
+        F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1)))
+        .alias("bucket"))
     denom_r = F.col("n_ref") + PSI_BUCKETS * PSI_ALPHA
     denom_c = F.col("n_cur") + PSI_BUCKETS * PSI_ALPHA
     p_ref = (F.coalesce("c_ref", F.lit(0)) + PSI_ALPHA) / denom_r

@@ -808,3 +808,97 @@ def join_runtime_bloom_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("l_quantity").cast("decimal(18,2)"))
              .alias("sum_qty"))
     )
+
+
+#: spatial neighbor-join geometry: synthetic unit-square coordinates
+#: (md5 of the user id — deterministic on any engine), neighbor radius
+#: 0.1, grid cell = radius so 9 cells cover every possible neighbor.
+SPATIAL_RADIUS = 0.1
+
+_SQL_COORD = ("(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) "
+              "|| ':{axis}'), 1, 8)) AS BIGINT) % 10000) / 10000.0")
+
+
+@register(
+    "join_spatial_neighbors",
+    oracle=f"""
+        WITH pts AS (
+            SELECT DISTINCT user_id,
+                   {_SQL_COORD.format(axis='x')} AS x,
+                   {_SQL_COORD.format(axis='y')} AS y
+            FROM events),
+        pairs AS (
+            SELECT a.user_id AS ua, a.x AS ax, a.y AS ay,
+                   (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) AS d2
+            FROM pts a JOIN pts b
+              ON a.user_id < b.user_id
+             AND (a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)
+                 < {SPATIAL_RADIUS} * {SPATIAL_RADIUS})
+        SELECT CAST(floor(ax / {SPATIAL_RADIUS}) AS BIGINT) AS cell_x,
+               count(*) AS n_pairs,
+               round(min(sqrt(d2)), 6) AS min_dist,
+               round(avg(sqrt(d2)), 6) AS avg_dist
+        FROM pairs
+        GROUP BY 1
+    """,
+    tags=("join", "spatial", "grid"),
+)
+def join_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join (all point pairs within radius r) — like
+    as-of, range, and interval joins, a shape Spark has no native
+    operator for, and the third member of this repo's bucket-join
+    family. The naive form is the distance theta-join (the oracle):
+    O(n²) comparisons. The scalable form snaps points to an r-sized
+    grid; one side keeps its OWN cell, the other explodes to the 3×3
+    neighborhood, and an EQUI join on the cell key produces only
+    candidates that can possibly be within r — expected candidates
+    O(n · density · 9 cells), never n². Each unordered pair surfaces
+    exactly once: the probe's 9 cells meet the build's unique home
+    cell, and the user_id < user_id orientation filter kills the
+    mirror. Exact distance is a residual predicate.
+
+    Coordinates are md5-synthesized into the unit square (the fixture
+    has no geo columns) — deterministic, so the whole join is
+    DuckDB-oracled. At real scale the same plan serves geohash
+    proximity, embedding-grid blocking, and collision detection; cell
+    size stays = r and only the hash becomes a real geohash."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def coord(axis: str):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"),
+                           F.lit(f":{axis}"))), 1, 8), 16, 10)
+            .cast("bigint") % 10000) / 10000.0
+
+    pts = ev.select("user_id").distinct().select(
+        "user_id", coord("x").alias("x"), coord("y").alias("y"))
+    r = SPATIAL_RADIUS
+    cell = pts.select(
+        "user_id", "x", "y",
+        F.floor(F.col("x") / r).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / r).cast("bigint").alias("cy"))
+    probe = cell.select(
+        F.col("user_id").alias("ua"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(F.expr(
+            "flatten(transform(sequence(-1, 1), dx -> "
+            "transform(sequence(-1, 1), dy -> "
+            "struct(cx + dx AS cx, cy + dy AS cy))))")).alias("nb"))
+    build = cell.select(
+        F.col("user_id").alias("ub"), F.col("x").alias("bx"),
+        F.col("y").alias("by"), "cx", "cy")
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    pairs = (probe.join(
+        build,
+        (F.col("nb.cx") == F.col("cx")) & (F.col("nb.cy") == F.col("cy"))
+        & (F.col("ua") < F.col("ub")))
+        .select("ua", "ax", d2.alias("d2"))
+        .filter(F.col("d2") < r * r))
+    return (pairs.groupBy(
+        F.floor(F.col("ax") / r).cast("bigint").alias("cell_x"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.round(F.min(F.sqrt("d2")), 6).alias("min_dist"),
+             F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist")))

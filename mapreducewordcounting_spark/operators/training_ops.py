@@ -574,3 +574,95 @@ def lang_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(p_raw, 6).alias("p_raw"),
                     F.round(p_sample, 6).alias("p_sample"),
                     F.round(p_sample / p_raw, 6).alias("oversample_factor")))
+
+
+#: quality-waterfall thresholds (data-driven against the fixture so
+#: every rule is non-vacuous at sf0.01; see operator docstring)
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 90
+QF_WL_LO, QF_WL_HI = 4.0, 5.0
+QF_TOPF = 0.15
+QF_MIN_DISTINCT_RATIO = 0.40
+
+
+@register(
+    "quality_filter_report",
+    oracle=f"""
+        WITH t AS ({{_SQL_TOKS}}),
+        base AS (
+            SELECT doc_id, len(toks) AS n,
+                   list_sum(list_transform(toks, w -> length(w))) * 1.0
+                       / nullif(len(toks), 0) AS wl,
+                   len(list_distinct(toks)) * 1.0
+                       / nullif(len(toks), 0) AS dr
+            FROM t),
+        tf AS (
+            SELECT doc_id, max(c) * 1.0 / any_value(n) AS topf
+            FROM (SELECT t.doc_id, u.w, count(*) AS c,
+                         any_value(len(t.toks)) AS n
+                  FROM t, unnest(t.toks) AS u(w)
+                  GROUP BY t.doc_id, u.w)
+            GROUP BY doc_id),
+        lab AS (
+            SELECT CASE
+                WHEN b.n < {QF_MIN_TOKENS} THEN 'too_short'
+                WHEN b.n > {QF_MAX_TOKENS} THEN 'too_long'
+                WHEN b.wl < {QF_WL_LO} OR b.wl > {QF_WL_HI}
+                    THEN 'word_len'
+                WHEN tf.topf > {QF_TOPF} THEN 'repetition'
+                WHEN b.dr < {QF_MIN_DISTINCT_RATIO} THEN 'low_diversity'
+                ELSE 'pass' END AS rule
+            FROM base b LEFT JOIN tf USING (doc_id)),
+        tot AS (SELECT count(*) AS total FROM lab)
+        SELECT rule, count(*) AS n_docs,
+               round(count(*) * 1.0 / any_value(tot.total), 6) AS pct
+        FROM lab CROSS JOIN tot
+        GROUP BY rule
+    """.format(_SQL_TOKS=_SQL_TOKS),
+    tags=("training", "quality", "filter-report"),
+)
+def quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style corpus-cleaning WATERFALL report: every document
+    is claimed by the FIRST rule it fails (too short → too long →
+    mean-word-length band → top-word repetition → low distinct ratio)
+    or lands in 'pass'. The per-rule rejection counts are the
+    filter-pipeline dashboard — the number a data engineer reads
+    before and after every threshold change, and sequential (not
+    marginal) attribution is what makes the counts sum to the corpus.
+
+    Thresholds are fixture-calibrated so every rule fires at sf0.01
+    (43 / 43 / ~13 / ~39 / rest of 500) — a report where rules never
+    fire verifies nothing. Shape at scale: token metrics are array
+    HOFs on the doc row (map-side); the only data-sized exchange is
+    the (doc, word) tf aggregate feeding the repetition rule; the
+    report itself is a |rules|-row rollup with a broadcast total."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words_canonical("text")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        (F.aggregate("toks", F.lit(0).cast("long"),
+                     lambda a, w: a + F.length(w)).cast("double")
+         / F.nullif(F.size("toks"), F.lit(0))).alias("wl"),
+        (F.size(F.array_distinct("toks")).cast("double")
+         / F.nullif(F.size("toks"), F.lit(0))).alias("dr"))
+    tf = (docs.select("doc_id", F.explode(toks).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+          .groupBy("doc_id").agg(F.max("c").alias("mx"),
+                                 F.sum("c").alias("nt")))
+    lab = (base.join(tf, "doc_id", "left")
+           .select(F.when(F.col("n") < QF_MIN_TOKENS, "too_short")
+                   .when(F.col("n") > QF_MAX_TOKENS, "too_long")
+                   .when((F.col("wl") < QF_WL_LO)
+                         | (F.col("wl") > QF_WL_HI), "word_len")
+                   .when(F.col("mx").cast("double") / F.col("nt")
+                         > QF_TOPF, "repetition")
+                   .when(F.col("dr") < QF_MIN_DISTINCT_RATIO,
+                         "low_diversity")
+                   .otherwise("pass").alias("rule")))
+    tot = lab.agg(F.count("*").alias("total"))
+    return (lab.crossJoin(F.broadcast(tot))
+            .groupBy("rule")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.count("*") * F.lit(1.0) / F.any_value("total"), 6)
+                 .alias("pct")))

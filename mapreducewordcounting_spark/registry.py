@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "drift_psi_value", "shard_mix_entropy",
     "text_bpe_pair_counts", "lang_temperature_sampling",
     "join_interval_overlap", "interval_max_concurrency",
+    "quality_filter_report", "join_spatial_neighbors",
     "compact_keep_latest", "join_bucketed", "mv_incremental_refresh",
     "source_csv_permissive", "source_schema_evolution",
     "join_dpp_partitioned", "fn_array_quantifiers", "fn_map_hof",

@@ -272,19 +272,20 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     assert "might_contain" in plan
 
 
-def test_drift_psi_scan_pruned_and_grid_broadcast(spark, sf_dir):
-    """The PSI monitor's 100 TB contract: the events scan reads ONLY
-    (event_type, value, ts), the split point / per-type stats attach
-    as broadcasts (they are 1-row / |types|-row relations), and all
-    divergence math runs post-aggregate on the bucket grid."""
+def test_drift_psi_grid_checkpoint_truncates_fact_lineage(spark, sf_dir):
+    """The PSI monitor's 100 TB contract: the (type × 10) count grid
+    is materialized ONCE (eager localCheckpoint — without it each of
+    the grid's three consumers re-derived the subtree, 8 fact scans at
+    plan level), so the final plan contains NO parquet scan at all and
+    at most one tiny grid shuffle; all divergence math runs on
+    checkpointed |types|·10 rows."""
     from mapreducewordcounting_spark.operators.drift import drift_psi_value
 
     df = drift_psi_value(spark, sf_dir)
     plan = simple_plan(df)
-    cols = read_schema_columns(df)
-    assert set(cols) <= {"event_type", "value", "ts"}
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert has_partial_aggregation(df)
+    assert "FileScan parquet" not in plan  # fact lineage truncated
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "CartesianProduct" not in plan
 
 
 def test_bpe_pair_counts_takeordered(spark, sf_dir):
@@ -365,3 +366,18 @@ def test_max_concurrency_single_fact_shuffle(spark, sf_dir):
     df = interval_max_concurrency(spark, sf_dir)
     assert has_partial_aggregation(df)
     assert n_exchanges(df) <= 4
+
+
+def test_spatial_neighbors_equi_cell_join(spark, sf_dir):
+    """The radius join must ride the 9-cell EQUI key with distance as
+    a residual — never a distance theta-join (BroadcastNestedLoopJoin
+    / CartesianProduct over the point set)."""
+    from mapreducewordcounting_spark.operators.relational import (
+        join_spatial_neighbors,
+    )
+
+    plan = simple_plan(join_spatial_neighbors(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
