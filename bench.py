@@ -142,21 +142,66 @@ def main() -> None:
             materialize(qs[name](spark, SF_DIR))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[1], 3)  # median of 3
+        print(f"{name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    config = {
+        "spark": spark.version,
+        "master": spark.sparkContext.master,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    full = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR,
-        "config": {
-            "spark": spark.version,
-            "master": spark.sparkContext.master,
-            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-        },
-    }))
+        "config": config,
+    }
+
+    # Driver-environment forensics (VERDICT r4 item 1): bench runs in
+    # the DRIVER's environment, so measure the oracle divergence where
+    # it happens — full report to FORENSICS.json, compact digest onto
+    # the stdout tail.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    probe_line = None
+    try:
+        from tools import forensics
+        fsf = os.environ.get("SPARK_GRAFT_FORENSICS_SF_DIR",
+                             "/root/testdata/sf0.01")
+        report = forensics.run(spark, fsf)
+        with open(os.path.join(repo, "FORENSICS.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        probe_line = {"probe": forensics.compact_digest(report)}
+    except Exception as exc:  # forensic failure must not sink bench
+        probe_line = {"probe": {"error": repr(exc)[:200]}}
+
+    # full per-query detail as a FILE — the single contract line
+    # overflowed the driver's 2000-char stdout tail in r4
+    # (BENCH_r04.json parsed: null; VERDICT r4 item 6)
+    full["env"] = probe_line.get("probe", {})
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    # stdout layout for a 2000-char tail capture: the full contract
+    # line FIRST (complete in the log, may run off the tail's start),
+    # then the compact forensic digest, then — LAST, always fully
+    # inside the tail — a compact summary whose "queries" holds the
+    # slowest entries that fit (full set in BENCH_DETAIL.json).
+    print(json.dumps(full, separators=(",", ":")))
+    print(json.dumps(probe_line, separators=(",", ":")))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": SF_DIR,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_note": "slowest 8 of {}; full set in BENCH_DETAIL.json"
+                        .format(len(timings)),
+    }, separators=(",", ":")))
     spark.stop()
 
 

@@ -90,8 +90,8 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
         i AS (
             SELECT *,
-                   sum(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS island
+                   CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
             FROM m)
         SELECT user_id, event_type, island,
                epoch_us(min(ts_s)) AS valid_from_us,

@@ -965,7 +965,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str,
             FROM fresh GROUP BY h, source)
         SELECT source,
                count(*) AS n_unique_new,
-               sum(n_in_batch) AS n_rows_new,
+               CAST(sum(n_in_batch) AS BIGINT) AS n_rows_new,
                min(survivor_id) AS first_survivor
         FROM kept GROUP BY source
     """,

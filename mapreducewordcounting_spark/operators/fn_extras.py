@@ -163,7 +163,7 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n_events,
-               sum(event_id) AS sum_ids,
+               CAST(sum(event_id) AS BIGINT) AS sum_ids,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                    AS total_value
         FROM events
@@ -272,8 +272,8 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_rows,
                count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
                count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
-               sum(l_orderkey) FILTER (WHERE l_linestatus = 'F')
-                   AS sum_key_finished,
+               CAST(sum(l_orderkey) FILTER (WHERE l_linestatus = 'F')
+                   AS BIGINT) AS sum_key_finished,
                max(l_extendedprice) FILTER (WHERE l_tax < 0.03)
                    AS max_price_lowtax
         FROM lineitem
@@ -430,7 +430,7 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
                GROUPING(o_orderstatus, o_orderpriority) AS agg_level,
                GROUPING(o_orderstatus) AS status_rolled,
                count(*) AS n_orders,
-               sum(o_orderkey) AS key_checksum
+               CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,

@@ -39,7 +39,9 @@ from mapreducewordcounting_spark.registry import register
         SELECT o_custkey,
                max(struct_pack(tp := o_totalprice, ok := o_orderkey)).tp AS best_tp,
                max(struct_pack(tp := o_totalprice, ok := o_orderkey)).ok AS best_ok,
-               min(struct_pack(od := o_orderdate, ok := o_orderkey)).od AS first_od,
+               CAST(extract(epoch FROM date_trunc('second',
+                   min(struct_pack(od := o_orderdate, ok := o_orderkey)).od))
+                   AS BIGINT) AS first_od_s,
                min(struct_pack(od := o_orderdate, ok := o_orderkey)).ok AS first_ok,
                count(*) AS n_orders
         FROM orders
@@ -67,7 +69,8 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("best.tp").alias("best_tp"),
             F.col("best.ok").alias("best_ok"),
-            F.col("first.od").alias("first_od"),
+            F.unix_timestamp(F.date_trunc("second", F.col("first.od")))
+            .alias("first_od_s"),
             F.col("first.ok").alias("first_ok"),
             "n_orders",
         )

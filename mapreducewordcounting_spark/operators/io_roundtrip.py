@@ -93,7 +93,7 @@ _CSV_SCHEMA = StructType([
     oracle="""
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_rows,
-               sum(l_orderkey) AS sum_orderkey,
+               CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
                min(l_extendedprice) AS min_price,
                max(l_extendedprice) AS max_price,
                min(CAST(l_shipdate AS DATE)) AS first_ship,
@@ -148,7 +148,7 @@ _JSON_SCHEMA = StructType([
     oracle="""
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               sum(o_custkey) AS sum_custkey,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
                count(DISTINCT o_orderstatus) AS n_statuses,
                min(o_totalprice) AS min_price,
                max(o_totalprice) AS max_price
@@ -183,7 +183,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id % 8 AS user_bucket,
                count(*) AS n_events,
-               sum(user_id) AS sum_user,
+               CAST(sum(user_id) AS BIGINT) AS sum_user,
                min(value) AS min_value,
                max(value) AS max_value,
                CAST(extract(epoch FROM date_trunc('second', min(ts))) AS BIGINT)
@@ -237,7 +237,7 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o.o_orderstatus,
                count(*) AS n_lines,
-               sum(l.l_orderkey) AS sum_key,
+               CAST(sum(l.l_orderkey) AS BIGINT) AS sum_key,
                min(l.l_extendedprice) AS min_price,
                max(l.l_extendedprice) AS max_price
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -280,7 +280,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) + 3 AS n_total,
                3 AS n_corrupt,
                count(*) AS n_valid,
-               sum(l_orderkey) AS sum_orderkey
+               CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey
         FROM lineitem
     """,
     tags=("source", "csv", "robustness"),
@@ -336,10 +336,11 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT source,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_quality,
-               sum(CASE WHEN doc_id % 2 = 1
-                        THEN CAST(n_chars % 100 AS BIGINT) END) AS sum_quality
+               CAST(sum(CASE WHEN doc_id % 2 = 1
+                        THEN CAST(n_chars % 100 AS BIGINT) END) AS BIGINT)
+                   AS sum_quality
         FROM documents
         GROUP BY source
     """,
@@ -384,8 +385,8 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             VALUES ('purchase', 1.5), ('click', 1.0), ('view', 0.5))
         SELECT e.event_type,
                count(*) AS n_events,
-               sum(e.user_id) AS sum_user,
-               max(d.weight) AS weight
+               CAST(sum(e.user_id) AS BIGINT) AS sum_user,
+               CAST(max(d.weight) AS DOUBLE) AS weight
         FROM events e JOIN dim d USING (event_type)
         WHERE d.weight > 1.2
         GROUP BY e.event_type

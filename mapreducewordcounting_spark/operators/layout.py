@@ -107,7 +107,7 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT source,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                count(DISTINCT doc_id) AS n_distinct_ids
         FROM documents
         GROUP BY source

@@ -54,7 +54,7 @@ def assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'video' END AS kind,
                source,
                count(*) AS n_assets,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                max(octet_length(encode(text))) AS max_bytes
         FROM documents
         GROUP BY 1, 2
@@ -150,7 +150,7 @@ def decode_asset_features(a: DataFrame) -> DataFrame:
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS kind,
                count(*) AS n_assets,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                count(DISTINCT md5(text)) AS n_distinct_payloads
         FROM documents
         GROUP BY 1
@@ -244,7 +244,7 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS kind,
                count(*) AS n_assets,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                count(DISTINCT md5(text)) AS n_distinct_payloads
         FROM documents
         GROUP BY 1

@@ -220,10 +220,10 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM firsts GROUP BY 1)
         SELECT d.day, d.n_active,
                coalesce(n.n_new, 0) AS n_new,
-               sum(coalesce(n.n_new, 0)) OVER (
+               CAST(sum(coalesce(n.n_new, 0)) OVER (
                    ORDER BY d.day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_users
+                   AS BIGINT) AS cum_users
         FROM dau d LEFT JOIN news n USING (day)
     """,
     tags=("analytics", "growth", "events"),

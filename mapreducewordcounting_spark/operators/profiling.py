@@ -248,7 +248,7 @@ def agg_quantile_hist_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem)
         SELECT l_returnflag,
                count(*) AS n_rows,
-               CAST(sum(h) AS DECIMAL(38,0)) AS checksum
+               CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         FROM rows_h
         GROUP BY l_returnflag
     """,
@@ -287,7 +287,8 @@ def validate_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_returnflag", h.alias("h"))
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_rows"),
-             F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"))
+             F.sum(F.col("h").cast("decimal(38,0)")).cast("string")
+             .alias("checksum"))
     )
 
 

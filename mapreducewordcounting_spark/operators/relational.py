@@ -759,7 +759,7 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l.l_returnflag,
                count(*) AS n_rows,
-               sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_totalprice > 150000
@@ -805,8 +805,7 @@ def join_runtime_bloom_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_rows"),
-             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-             .alias("sum_qty"))
+             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
     )
 
 

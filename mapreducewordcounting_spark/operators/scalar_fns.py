@@ -401,13 +401,13 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_trig",
     oracle="""
         SELECT s_suppkey,
-               round(sin(s_acctbal / 1000.0), 6) AS sin_v,
-               round(cos(s_acctbal / 1000.0), 6) AS cos_v,
-               round(atan2(s_acctbal, 1000.0), 6) AS angle,
-               round(degrees(atan2(s_acctbal, 1000.0)), 6) AS angle_deg,
+               round(sin(s_acctbal / 1000.0), 6) + 0.0 AS sin_v,
+               round(cos(s_acctbal / 1000.0), 6) + 0.0 AS cos_v,
+               round(atan2(s_acctbal, 1000.0), 6) + 0.0 AS angle,
+               round(degrees(atan2(s_acctbal, 1000.0)), 6) + 0.0 AS angle_deg,
                round(exp(s_acctbal / 10000.0), 6) AS exp_v,
                round(cbrt(abs(s_acctbal)), 6) AS cbrt_v,
-               sign(s_acctbal) AS bal_sign
+               CAST(sign(s_acctbal) AS BIGINT) AS bal_sign
         FROM supplier
     """,
     tags=("scalar", "math", "trig"),
@@ -421,14 +421,15 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("s_acctbal") / 1000.0
     return s.select(
         "s_suppkey",
-        F.round(F.sin(x), 6).alias("sin_v"),
-        F.round(F.cos(x), 6).alias("cos_v"),
-        F.round(F.atan2(F.col("s_acctbal"), F.lit(1000.0)), 6).alias("angle"),
-        F.round(F.degrees(F.atan2(F.col("s_acctbal"), F.lit(1000.0))), 6)
+        (F.round(F.sin(x), 6) + 0.0).alias("sin_v"),
+        (F.round(F.cos(x), 6) + 0.0).alias("cos_v"),
+        (F.round(F.atan2(F.col("s_acctbal"), F.lit(1000.0)), 6) + 0.0)
+        .alias("angle"),
+        (F.round(F.degrees(F.atan2(F.col("s_acctbal"), F.lit(1000.0))), 6) + 0.0)
         .alias("angle_deg"),
         F.round(F.exp(F.col("s_acctbal") / 10000.0), 6).alias("exp_v"),
         F.round(F.cbrt(F.abs("s_acctbal")), 6).alias("cbrt_v"),
-        F.signum("s_acctbal").alias("bal_sign"),
+        F.signum("s_acctbal").cast("long").alias("bal_sign"),
     )
 
 

@@ -96,7 +96,7 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_keys,
                min(cnt) AS min_freq,
                max(cnt) AS max_freq,
-               sum(cnt) AS rows_covered
+               CAST(sum(cnt) AS BIGINT) AS rows_covered
         FROM freq
         GROUP BY freq_bucket
     """,

@@ -236,7 +236,7 @@ def sql_table_udf_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n_events,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events
@@ -273,7 +273,7 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source || '.example.com' AS host,
                count(*) AS n_docs,
                count(DISTINCT lang) AS n_langs,
-               sum(n_chars) AS total_chars
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY source || '.example.com'
     """,

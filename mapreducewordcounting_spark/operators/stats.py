@@ -8,13 +8,22 @@ aggregates an analytics engine needs for data profiling, all
 single-pass partial/final hash aggregates (one shuffle, map-side
 combined, same plan shape as the reference's O8/O11 pipeline).
 
-Oracle-parity notes: stddev_samp / var_samp / corr / covar_samp /
-regr_* have identical definitions in Spark and DuckDB. skewness and
-kurtosis do NOT (Spark returns population moments, DuckDB
-bias-corrected sample moments), so the higher-moment query computes
-the moments explicitly from sums — the same arithmetic both engines,
-over small-magnitude columns (quantity/discount) so the 6-dp rounded
-compare is far above double summation noise.
+Oracle-parity notes (hardened in r5): engine-NATIVE stddev/corr/
+regr_*/avg-of-pow aggregates accumulate doubles in partition order, so
+their last bits are summation-order-dependent — they differed at the
+ulp level between Spark and DuckDB under the r5 exact-compare gate,
+and would differ BETWEEN ENVIRONMENTS (different parallelism → 
+different partial-aggregation order) even within one engine. The
+portable form used here computes every across-row sum over EXACT
+domains — integers for the integral quantity column, per-term
+DECIMAL(38,12/15)-rounded values otherwise (IEEE double→decimal cast
+is correctly rounded and never hits a representable tie, so the
+per-term rounding is deterministic in both engines) — and evaluates
+the closed-form moment/OLS formulas on the resulting bit-identical
+doubles. The formula STRINGS are shared between the Spark side
+(F.expr/selectExpr) and the DuckDB oracle, so both engines parse the
+same expression tree. This is also the 1000-executor answer:
+rerun-determinism of these profiles does not depend on partitioning.
 """
 
 from __future__ import annotations
@@ -26,106 +35,172 @@ from mapreducewordcounting_spark.catalog import load_table
 from mapreducewordcounting_spark.registry import register
 
 
+#: Shared sufficient-statistic expressions (x = l_quantity, integral
+#: 1..50 in the fixture; y = l_discount, a 2-dp money fraction): the
+#: x-sums are exact BIGINT arithmetic, the y-involved sums round each
+#: TERM to DECIMAL(38,12) (deterministic — see module docstring) and
+#: sum exactly. Both engines parse these exact strings.
+_SUFF_STATS = (
+    "count(*) AS n",
+    "CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx",
+    "CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE) AS sxx",
+    "CAST(sum(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sy",
+    "CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE)"
+    " AS syy",
+    "CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE)"
+    " AS sxy",
+)
+_SUFF_SQL = ",\n               ".join(_SUFF_STATS)
+
+_MOMENT_EXPRS = (
+    "sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty",
+    "(sxx - sx * sx / n) / (n - 1) AS var_qty",
+    "(sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n)"
+    " * sqrt(syy - sy * sy / n)) AS corr_qty_disc",
+    "(sxy - sx * sy / n) / (n - 1) AS covar_qty_disc",
+    "(sxy - sx * sy / n) / n AS covar_pop_qty_disc",
+    "n",
+)
+
+_REGR_EXPRS = (
+    "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope",
+    "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n"
+    " AS intercept",
+    "(n * sxy - sx * sy) * (n * sxy - sx * sy)"
+    " / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2",
+    "n AS n_pairs",
+)
+_MOMENT_SQL = ",\n               ".join(_MOMENT_EXPRS)
+_REGR_SQL = ",\n               ".join(_REGR_EXPRS)
+
+
+def _suff_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(_SUFF_STATS[0].split(" AS ")[0]).alias("n"),
+        *[F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1].strip())
+          for e in _SUFF_STATS[1:]],
+    )
+
+
 @register(
     "agg_stats_moments",
-    oracle="""
+    oracle=f"""
+        WITH s AS (
+            SELECT l_returnflag,
+               {_SUFF_SQL}
+            FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag,
-               stddev_samp(l_quantity)  AS sd_qty,
-               var_samp(l_quantity)     AS var_qty,
-               corr(l_quantity, l_discount)       AS corr_qty_disc,
-               covar_samp(l_quantity, l_discount) AS covar_qty_disc,
-               covar_pop(l_quantity, l_discount)  AS covar_pop_qty_disc,
-               count(*) AS n
-        FROM lineitem
-        GROUP BY l_returnflag
+               {_MOMENT_SQL}
+        FROM s
     """,
     tags=("agg", "stats"),
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment profile of lineitem per return flag — stddev,
-    variance, correlation, covariance in one hash-aggregate pass.
-    All are algebraic aggregates (finite sufficient statistics), so
-    they partial-aggregate map-side and shuffle only 3-group states;
-    at 100 TB the shuffle is O(groups), not O(rows)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(F.stddev_samp("l_quantity").alias("sd_qty"),
-             F.var_samp("l_quantity").alias("var_qty"),
-             F.corr("l_quantity", "l_discount").alias("corr_qty_disc"),
-             F.covar_samp("l_quantity", "l_discount").alias("covar_qty_disc"),
-             F.covar_pop("l_quantity", "l_discount").alias("covar_pop_qty_disc"),
-             F.count("*").alias("n"))
-    )
+    variance, correlation, covariance from shared closed-form
+    sufficient statistics (module docstring: the engine-native
+    aggregates are summation-order-unstable in their last bits). Still
+    one hash-aggregate pass: six algebraic sums partial-aggregate
+    map-side and shuffle only 3-group states; at 100 TB the shuffle is
+    O(groups), not O(rows) — and the result is bit-identical under ANY
+    partitioning, which the native double accumulators cannot
+    guarantee."""
+    return _suff_stats_df(spark, sf_dir).selectExpr(
+        "l_returnflag", *_MOMENT_EXPRS)
 
 
 @register(
     "agg_regression",
-    oracle="""
+    oracle=f"""
+        WITH s AS (
+            SELECT l_returnflag,
+               {_SUFF_SQL}
+            FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag,
-               regr_slope(l_discount, l_quantity)     AS slope,
-               regr_intercept(l_discount, l_quantity) AS intercept,
-               regr_r2(l_discount, l_quantity)        AS r2,
-               regr_count(l_discount, l_quantity)     AS n_pairs
-        FROM lineitem
-        GROUP BY l_returnflag
+               {_REGR_SQL}
+        FROM s
     """,
     tags=("agg", "stats", "regression"),
 )
 def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group ordinary-least-squares fit of discount on quantity via
-    the SQL-standard regr_* aggregates — algebraic (sums of x, y, xy,
-    x², y²), so the same one-shuffle partial/final plan as any sum."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(F.regr_slope("l_discount", "l_quantity").alias("slope"),
-             F.regr_intercept("l_discount", "l_quantity").alias("intercept"),
-             F.regr_r2("l_discount", "l_quantity").alias("r2"),
-             F.regr_count("l_discount", "l_quantity").alias("n_pairs"))
-    )
+    """Per-group ordinary-least-squares fit of discount on quantity
+    from the same shared sufficient statistics as agg_stats_moments
+    (closed-form normal equations; regr_* natives are
+    order-unstable in the last bits). n_pairs = count(*) — the fixture
+    has no NULL discount/quantity, matching regr_count. One shuffle of
+    O(groups) algebraic state."""
+    return _suff_stats_df(spark, sf_dir).selectExpr(
+        "l_returnflag", *_REGR_EXPRS)
+
+
+#: Central moments from raw integer POWER SUMS — l_quantity is
+#: integral (1..50, pinned by the fixture), so Σx, Σx², Σx³, Σx⁴ are
+#: exact BIGINT arithmetic; each CAST(Σ AS DOUBLE) and every formula
+#: op (+,-,*,/,sqrt) is correctly rounded identically in both engines,
+#: making the result bit-identical under ANY partitioning or engine —
+#: at any scale (int64→double stays a single correctly-rounded
+#: conversion past 2^53 too). A previous revision summed
+#: DECIMAL(38,9)-rounded powered DEVIATIONS instead; its m4 sum's
+#: unscaled value passed 2^53, where DuckDB's decimal→double
+#: (int128→double, then divide — two roundings) and Spark's
+#: (digits→correctly-rounded parse) split by one ulp. Raw power sums
+#: have no decimal stage to disagree on.
+_POWER_SUMS = (
+    "count(*) AS n",
+    "CAST(sum(xi) AS DOUBLE) AS s1",
+    "CAST(sum(xi * xi) AS DOUBLE) AS s2",
+    "CAST(sum(xi * xi * xi) AS DOUBLE) AS s3",
+    "CAST(sum(xi * xi * xi * xi) AS DOUBLE) AS s4",
+)
+_POWER_SQL = ",\n                   ".join(_POWER_SUMS)
+_MU = "(s1 / n)"
+_C2 = f"(s2 / n - {_MU} * {_MU})"
+_C3 = f"(s3 / n - 3 * {_MU} * (s2 / n) + 2 * {_MU} * {_MU} * {_MU})"
+_C4 = (f"(s4 / n - 4 * {_MU} * (s3 / n) + 6 * {_MU} * {_MU} * (s2 / n)"
+       f" - 3 * {_MU} * {_MU} * {_MU} * {_MU})")
+_HIGHER_EXPRS = (
+    f"{_C2} AS m2",
+    f"{_C3} / ({_C2} * sqrt({_C2})) AS skew_pop",
+    f"{_C4} / ({_C2} * {_C2}) - 3 AS kurt_excess",
+)
 
 
 @register(
     "agg_higher_moments",
-    oracle="""
-        WITH m AS (
+    oracle=f"""
+        WITH s AS (
             SELECT l_returnflag,
-                   avg(l_quantity) AS mu,
-                   count(*)        AS n
-            FROM lineitem GROUP BY l_returnflag)
-        SELECT l.l_returnflag,
-               avg(pow(l.l_quantity - m.mu, 2)) AS m2,
-               avg(pow(l.l_quantity - m.mu, 3))
-                   / pow(avg(pow(l.l_quantity - m.mu, 2)), 1.5) AS skew_pop,
-               avg(pow(l.l_quantity - m.mu, 4))
-                   / pow(avg(pow(l.l_quantity - m.mu, 2)), 2) - 3 AS kurt_excess
-        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
-        GROUP BY l.l_returnflag
+                   {_POWER_SQL}
+            FROM (SELECT l_returnflag,
+                         CAST(l_quantity AS BIGINT) AS xi
+                  FROM lineitem)
+            GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               {",  ".join(_HIGHER_EXPRS)}
+        FROM s
     """,
     tags=("agg", "stats", "moments"),
 )
 def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population skewness and excess kurtosis of quantity per return
-    flag, computed explicitly from central moments (two passes: mean,
-    then powered deviations). Spark's built-in skewness/kurtosis and
-    DuckDB's disagree on bias correction, so the engine-portable form
-    IS the explicit moment arithmetic — identical expressions both
-    sides. The mean side is 3 rows and broadcasts; both aggregations
-    are map-side combined."""
+    flag from exact integer power sums (module constants: the raw-sum
+    form is the engine-portable one; Spark's and DuckDB's native
+    skewness/kurtosis also disagree on bias correction, so the moment
+    algebra is explicit and textually shared). ONE map-side-combined
+    hash aggregate — the previous two-pass mean-then-deviations shape
+    (scan + broadcast join + second scan) collapsed into a single scan
+    once the moments moved to raw sums; at 100 TB that halves the
+    fact-table traffic, and the O(groups) algebraic state is the same
+    partial/final plan as any sum."""
     li = load_table(spark, sf_dir, "lineitem")
-    m = (li.groupBy(F.col("l_returnflag").alias("mk"))
-         .agg(F.avg("l_quantity").alias("mu")))
-    d = F.col("l_quantity") - F.col("mu")
-    return (
-        li.join(F.broadcast(m), li.l_returnflag == F.col("mk"))
-        .groupBy("l_returnflag")
-        .agg(F.avg(F.pow(d, 2)).alias("m2"),
-             (F.avg(F.pow(d, 3)) / F.pow(F.avg(F.pow(d, 2)), 1.5))
-             .alias("skew_pop"),
-             (F.avg(F.pow(d, 4)) / F.pow(F.avg(F.pow(d, 2)), 2) - 3)
-             .alias("kurt_excess"))
-    )
+    xi = li.select("l_returnflag",
+                   F.col("l_quantity").cast("long").alias("xi"))
+    aggs = [F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
+            for e in _POWER_SUMS]
+    s = xi.groupBy("l_returnflag").agg(*aggs)
+    return s.selectExpr("l_returnflag", *_HIGHER_EXPRS)
+
 
 
 @register(
@@ -138,10 +213,10 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem GROUP BY l_returnflag)
         SELECT l.l_returnflag,
                count(*) AS n_lines,
-               sum(CASE WHEN l.l_extendedprice < q.p01 THEN 1 ELSE 0 END)
-                   AS n_clipped_low,
-               sum(CASE WHEN l.l_extendedprice > q.p99 THEN 1 ELSE 0 END)
-                   AS n_clipped_high,
+               CAST(sum(CASE WHEN l.l_extendedprice < q.p01 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_clipped_low,
+               CAST(sum(CASE WHEN l.l_extendedprice > q.p99 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_clipped_high,
                avg(least(greatest(l.l_extendedprice, q.p01), q.p99))
                    AS winsorized_mean
         FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag

@@ -325,7 +325,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS ({_SQL_TOKS})
         SELECT lang, source,
                count(*) AS n_docs,
-               sum(len(toks)) AS total_tokens,
+               CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
                CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avg_doc_tokens
         FROM t
         GROUP BY lang, source
@@ -442,7 +442,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang,
                count(*) AS n_docs,
-               sum(len(toks)) AS total_tokens
+               CAST(sum(len(toks)) AS BIGINT) AS total_tokens
         FROM deduped
         GROUP BY lang
     """,
@@ -536,7 +536,8 @@ _BM25_B = 0.75
         WITH t AS ({_SQL_TOKS}),
         dl AS (SELECT doc_id, len(toks) AS dl FROM t),
         stats AS (SELECT count(*) AS n_docs,
-                         avg(dl) AS avgdl FROM dl),
+                         CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+                             / count(*) AS avgdl FROM dl),
         tf AS (
             SELECT t.doc_id, u.w AS word, count(*) AS tf
             FROM t, unnest(t.toks) AS u(w)
@@ -545,10 +546,12 @@ _BM25_B = 0.75
         df AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
         SELECT tf.doc_id,
                count(*) AS n_terms_matched,
-               sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               CAST(sum(CAST(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
                    * (tf.tf * ({_BM25_K1} + 1.0))
                    / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                        + {_BM25_B} * dl.dl / stats.avgdl))) AS score
+                        + {_BM25_B} * dl.dl / stats.avgdl))
+                   AS DECIMAL(38,9))) AS DOUBLE) AS score
         FROM tf
         JOIN dl ON dl.doc_id = tf.doc_id
         JOIN df ON df.word = tf.word
@@ -580,7 +583,9 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   (F.sum(F.col("dl").cast("long")).cast("double")
+                    / F.count("*")).alias("avgdl"))
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
                 + 1.0)
@@ -593,7 +598,8 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_terms_matched"),
-             F.sum(per_term).alias("score"))
+             F.sum(per_term.cast("decimal(38,9)")).cast("double")
+             .alias("score"))
     )
 
 
@@ -665,7 +671,8 @@ _VOCAB_K = 20
             FROM ex e GROUP BY e.doc_id, e.lang)
         SELECT lang,
                count(*) AS n_docs,
-               avg(1.0 - CAST(n_in AS DOUBLE) / n_toks) AS avg_oov_rate
+               CAST(sum(CAST(1.0 - CAST(n_in AS DOUBLE) / n_toks
+                   AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS avg_oov_rate
         FROM per_doc
         GROUP BY lang
     """,
@@ -703,7 +710,8 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.avg(1.0 - F.col("n_in").cast("double") / F.col("n_toks"))
+        (F.sum((1.0 - F.col("n_in").cast("double") / F.col("n_toks"))
+               .cast("decimal(38,18)")).cast("double") / F.count("*"))
         .alias("avg_oov_rate"),
     )
 
@@ -735,9 +743,9 @@ TOKEN_ID_VOCAB_K = 40
             FROM pos_tok p LEFT JOIN vocab v USING (word)
         )
         SELECT doc_id,
-               list(tid ORDER BY pos) AS token_ids,
+               array_to_string(list(tid ORDER BY pos), ' ') AS token_ids,
                count(*) AS n_tokens,
-               sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_oov
+               CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         FROM mapped GROUP BY doc_id
     """,
     tags=("text", "training", "tokenize", "vocab"),
@@ -778,9 +786,9 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mapped.groupBy("doc_id")
         .agg(
-            F.transform(
+            F.array_join(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                lambda s: s.tid).alias("token_ids"),
+                lambda s: s.tid.cast("string")), " ").alias("token_ids"),
             F.count("*").alias("n_tokens"),
             F.sum((F.col("tid") == -1).cast("long")).alias("n_oov"),
         )
@@ -797,10 +805,11 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT source, sum(cnt) AS n_tokens FROM counts
                 GROUP BY source)
         SELECT c.source,
-               any_value(t.n_tokens) AS n_tokens,
+               CAST(any_value(t.n_tokens) AS BIGINT) AS n_tokens,
                count(*) AS vocab_size,
-               -sum((CAST(c.cnt AS DOUBLE) / t.n_tokens)
-                    * log2(CAST(c.cnt AS DOUBLE) / t.n_tokens))
+               -CAST(sum(CAST((CAST(c.cnt AS DOUBLE) / t.n_tokens)
+                    * log2(CAST(c.cnt AS DOUBLE) / t.n_tokens)
+                    AS DECIMAL(38,9))) AS DOUBLE)
                    AS entropy_bits
         FROM counts c JOIN tot t USING (source)
         GROUP BY c.source
@@ -833,7 +842,8 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.any_value("n_tokens").alias("n_tokens"),
              F.count("*").alias("vocab_size"),
-             (-F.sum(p * F.log2(p))).alias("entropy_bits"))
+             (-F.sum((p * F.log2(p)).cast("decimal(38,9)"))
+              .cast("double")).alias("entropy_bits"))
     )
 
 

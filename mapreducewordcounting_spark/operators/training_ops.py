@@ -486,8 +486,8 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN bucket < 90 THEN 'val'
                     ELSE 'test' END AS split,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
-               sum(doc_id) AS id_checksum
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM b
         GROUP BY 1
     """,

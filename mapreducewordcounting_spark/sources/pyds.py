@@ -330,7 +330,7 @@ class EventLedgerDataSource(DataSource):
     oracle="""
         SELECT event_type,
                count(*) AS n_events,
-               sum(user_id) AS sum_user,
+               CAST(sum(user_id) AS BIGINT) AS sum_user,
                min(event_id) AS min_id,
                max(event_id) AS max_id
         FROM events

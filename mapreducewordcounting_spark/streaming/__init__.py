@@ -597,7 +597,7 @@ if _has_protobuf():  # pragma: no cover — absent in this container
     oracle="""
         SELECT user_id % 8 AS user_bucket,
                count(*) AS n_events,
-               sum(user_id) AS sum_user,
+               CAST(sum(user_id) AS BIGINT) AS sum_user,
                min(value) AS min_value,
                max(value) AS max_value,
                CAST(extract(epoch FROM date_trunc('second', min(ts))) AS BIGINT)
