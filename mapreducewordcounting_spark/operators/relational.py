@@ -754,6 +754,25 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one conf-isolated session per SparkContext for the bloom-SMJ query
+#: (see join_runtime_bloom_smj docstring); keyed weakly so a stopped
+#: context doesn't pin its session.
+_BLOOM_SESSIONS: dict[int, "SparkSession"] = {}
+
+
+def _bloom_session(spark: SparkSession) -> SparkSession:
+    key = id(spark.sparkContext)
+    s = _BLOOM_SESSIONS.get(key)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                   "applicationSideScanSizeThreshold", "0")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _BLOOM_SESSIONS.clear()   # at most one live context per process
+        _BLOOM_SESSIONS[key] = s
+    return s
+
+
 @register(
     "join_runtime_bloom_smj",
     oracle="""
@@ -785,18 +804,19 @@ def join_runtime_bloom_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
     before exchange, asserted in tests/test_plans.py) is the
     contract; the thresholds are the knob a deployment tunes.
 
-    Conf isolation: the overrides live in a ``newSession()`` — same
+    Conf isolation: the overrides live in a private session — same
     SparkContext, PRIVATE SQLConf — so a concurrently planned query in
     the caller's session can never lose its broadcast joins to this
     query's ``autoBroadcastJoinThreshold=-1`` window, and a later
     re-plan of the returned DataFrame (which belongs to the private
     session) still sees the bloom thresholds. This replaces the
     earlier set/finally-restore on the shared session, which was a
-    cross-query leak under concurrency."""
-    s = spark.newSession()
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter."
-               "applicationSideScanSizeThreshold", "0")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    cross-query leak under concurrency. The private session is MEMOIZED
+    per SparkContext (ADVICE r4: bench calls each headline query 4×,
+    and a fresh ``newSession()`` per call accumulated live sessions —
+    each with its own SQLConf/listener state — on the shared context;
+    one session per context is the steady state)."""
+    s = _bloom_session(spark)
     li = load_table(s, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity")
     o = load_table(s, sf_dir, "orders").filter(

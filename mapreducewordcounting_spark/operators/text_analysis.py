@@ -671,8 +671,8 @@ _VOCAB_K = 20
             FROM ex e GROUP BY e.doc_id, e.lang)
         SELECT lang,
                count(*) AS n_docs,
-               CAST(sum(CAST(1.0 - CAST(n_in AS DOUBLE) / n_toks
-                   AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS avg_oov_rate
+               CAST(sum(CAST(round(1.0 - CAST(n_in AS DOUBLE) / n_toks, 9)
+                   AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_oov_rate
         FROM per_doc
         GROUP BY lang
     """,
@@ -710,8 +710,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        (F.sum((1.0 - F.col("n_in").cast("double") / F.col("n_toks"))
-               .cast("decimal(38,18)")).cast("double") / F.count("*"))
+        (F.sum(F.round(1.0 - F.col("n_in").cast("double")
+                       / F.col("n_toks"), 9)
+               .cast("decimal(38,9)")).cast("double") / F.count("*"))
         .alias("avg_oov_rate"),
     )
 

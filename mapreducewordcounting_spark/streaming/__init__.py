@@ -500,8 +500,9 @@ def _has_protobuf() -> bool:
     operator and muddy the copy-check surface, so the operator
     auto-registers where the dependency exists (any real deployment:
     ``pip install pyspark[connect]`` or plain ``protobuf`` pulls it)
-    and the suite records exactly one skip here. The operator's
-    semantics are still covered: its batch twin
+    and the suite asserts BOTH gate branches instead of skipping
+    (tests/test_streaming.py::test_transform_with_state_gate_and_twin).
+    The operator's semantics are still covered: its batch twin
     (``stream_stateful_counter``'s groupBy-agg equivalence test in
     tests/test_streaming.py) runs protobuf-free."""
     try:

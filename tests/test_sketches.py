@@ -181,7 +181,8 @@ def test_fingerprint_is_partition_order_independent(spark, sf_dir):
         li.select("l_returnflag", h.alias("h"))
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_rows"),
-             F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"))
+             F.sum(F.col("h").cast("decimal(38,0)")).cast("string")
+             .alias("checksum"))
     ).collect()))
     assert base == other
 
