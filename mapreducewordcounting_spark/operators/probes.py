@@ -68,7 +68,11 @@ def _encode_version(ver: str) -> int:
         parts = ver.lstrip("v").split(".")
         digits = []
         for p in parts[:3]:
-            d = "".join(ch for ch in p if ch.isdigit())
+            d = ""
+            for ch in p:         # LEADING digits only: '2rc1' -> 2,
+                if not ch.isdigit():  # not 21
+                    break
+                d += ch
             digits.append(int(d) if d else 0)
         while len(digits) < 3:
             digits.append(0)

@@ -46,6 +46,21 @@ R4_FAILERS = (
     "source_json_roundtrip",
 )
 
+#: additional r5 check set: the never-sampled queries whose oracles
+#: carried the same latent type hazards (fixed in the same sweep) and
+#: the float aggregates rewritten onto exact sums — the per-column
+#: digests put driver-side evidence behind every fix, not just the 18.
+R5_SWEPT = (
+    "join_bucketed", "source_csv_permissive", "source_schema_evolution",
+    "join_dpp_partitioned", "agg_grouping_id", "fn_struct",
+    "dedup_incremental_batch", "growth_accounting_daily",
+    "text_lang_stats", "pipeline_training_data", "text_token_ids",
+    "text_token_entropy", "mm_decode_arrow", "tpch_q12_late_lines_by_flag",
+    "agg_winsorized_mean", "agg_stats_moments", "agg_regression",
+    "agg_higher_moments", "text_bm25", "text_vocab_coverage",
+    "dedup_embedding_cosine",
+)
+
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
@@ -86,7 +101,7 @@ def _col_digests(rows: list[dict], float_digits=None) -> dict:
     }
 
 
-def run(spark, sf_dir: str, names=R4_FAILERS) -> dict:
+def run(spark, sf_dir: str, names=R4_FAILERS + R5_SWEPT) -> dict:
     import duckdb
 
     from mapreducewordcounting_spark import registry
