@@ -347,3 +347,108 @@ def probe_type_string_date_bool(spark: SparkSession, sf_dir: str
                    (k * 40).cast("int")).alias("d"),
         (k % 2 == 0).alias("flag"),
     )
+
+
+# --- oracle-dialect probes -------------------------------------------------
+# The oracle SQL leans on a handful of DuckDB function idioms (md5-hex
+# →BIGINT, printf('%b'), list_sort/array_to_string, epoch extraction,
+# date arithmetic). If the driver's DuckDB changed any of their
+# SEMANTICS (not just result types), the corresponding probe's hash bit
+# flips — localizing the divergence to the function family without
+# another forensic round. Each probe re-states the exact idiom the
+# production oracles use.
+
+
+@register(
+    "probe_fn_hash_digits",
+    oracle="""
+        SELECT r_regionkey,
+               md5(r_name || ':' || CAST(r_regionkey AS VARCHAR)) AS h_md5,
+               CAST(CAST(('0x' || substr(md5(r_name), 1, 15)) AS UBIGINT)
+                   AS BIGINT) AS h_int60,
+               printf('%b', r_regionkey * 37 + 5) AS bin_str,
+               length(printf('%b', r_regionkey * 37 + 5)) - 1 AS log2_floor
+        FROM region
+    """,
+    tags=("probe", "diagnostics", "dialect"),
+)
+def probe_fn_hash_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect probe: the md5-as-integer and binary-format idioms used
+    by validate_table_fingerprint, sample_split_3way, skew_key_histogram
+    and every md5-derived synthetic coordinate — restated on 5 rows."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    k = F.col("r_regionkey")
+    n = (k.cast("long") * 37 + 5)
+    return r.select(
+        "r_regionkey",
+        F.md5(F.concat(F.col("r_name"), F.lit(":"), k.cast("string")))
+        .alias("h_md5"),
+        F.conv(F.substring(F.md5(F.col("r_name")), 1, 15), 16, 10)
+        .cast("long").alias("h_int60"),
+        F.conv(n.cast("string"), 10, 2).alias("bin_str"),
+        (F.length(F.conv(n.cast("string"), 10, 2)) - 1).cast("long")
+        .alias("log2_floor"),
+    )
+
+
+@register(
+    "probe_fn_split_sort",
+    oracle="""
+        SELECT r_regionkey,
+               array_to_string(list_sort(string_split(
+                   r_name || ' alpha Beta 2nd _x', ' ')), '|') AS sorted_toks,
+               len(string_split(r_name || ' a  b', ' ')) AS n_split
+        FROM region
+    """,
+    tags=("probe", "diagnostics", "dialect"),
+)
+def probe_fn_split_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect probe: split → sort → join, the tokenize/canonicalize
+    idiom of the text family — pins split-on-space semantics (empty
+    fields from double spaces included on both engines) and the sort
+    collation (binary codepoint: digits < uppercase < '_' < lowercase)."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return r.select(
+        "r_regionkey",
+        F.array_join(F.array_sort(F.split(
+            F.concat(F.col("r_name"), F.lit(" alpha Beta 2nd _x")),
+            " ")), "|").alias("sorted_toks"),
+        F.size(F.split(F.concat(F.col("r_name"), F.lit(" a  b")), " "))
+        .cast("long").alias("n_split"),
+    )
+
+
+@register(
+    "probe_fn_temporal_arith",
+    oracle="""
+        SELECT r_regionkey,
+               CAST(extract(epoch FROM date_trunc('second',
+                   TIMESTAMP '1997-03-15 12:34:56'
+                   + to_days(CAST(r_regionkey * 40 AS INTEGER))))
+                   AS BIGINT) AS epoch_s,
+               date_diff('day', DATE '1994-01-01',
+                         DATE '1994-01-01'
+                         + CAST(r_regionkey * 13 AS INTEGER)) AS day_diff,
+               CAST(extract(year FROM DATE '1994-01-01'
+                   + CAST(r_regionkey * 100 AS INTEGER)) AS BIGINT) AS yr
+        FROM region
+    """,
+    tags=("probe", "diagnostics", "dialect"),
+)
+def probe_fn_temporal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect probe: the epoch-seconds convention, date_diff argument
+    order/sign, and date +days arithmetic every temporal oracle uses."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    k = F.col("r_regionkey")
+    base_ts = F.lit("1997-03-15 12:34:56").cast("timestamp")
+    d0 = F.lit("1994-01-01").cast("date")
+    return r.select(
+        "r_regionkey",
+        F.unix_timestamp(F.date_trunc(
+            "second", F.timestamp_add("DAY", (k * 40).cast("int"), base_ts)))
+        .alias("epoch_s"),
+        F.datediff(F.date_add(d0, (k * 13).cast("int")), d0).cast("long")
+        .alias("day_diff"),
+        F.year(F.date_add(d0, (k * 100).cast("int"))).cast("long")
+        .alias("yr"),
+    )
