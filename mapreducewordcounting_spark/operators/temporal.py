@@ -431,6 +431,71 @@ INTERVAL_CELL_DAYS = 16
 _INTERVAL_EPOCH = "1992-01-01"
 
 
+def interval_overlap_pairs(iv: DataFrame, key: str, order_cols,
+                           cell_days: int = INTERVAL_CELL_DAYS,
+                           epoch: str = _INTERVAL_EPOCH) -> DataFrame:
+    """Library form of the interval-overlap join (the registered query
+    is one instantiation; the hypothesis differential in
+    tests/test_hypothesis_temporal.py drives it with arbitrary
+    intervals, including spans wider than a cell).
+
+    ``iv`` must carry ``key``, the ``order_cols`` (a lexicographic
+    row identity), and DATE columns ``s``/``e`` (inclusive interval).
+    Returns one row per unordered overlapping pair within the same
+    key: the two identities (prefixed ``a_``/``b_``) + overlap_days.
+
+    Plan: explode each interval to the ⌈span/cell⌉+1 coarse time cells
+    it touches, equi-join on (key, cell) with the overlap test as a
+    residual, and claim each pair exactly once — lexicographic
+    ``order_cols`` orientation kills mirror duplicates, and the
+    later-start-cell rule (``a.cell == cell(greatest(a.s, b.s))``)
+    picks ONE of the shared cells: the later start lies inside both
+    intervals iff they overlap, so exactly one claiming cell exists.
+    Candidate volume is Σ per-(key,cell) rows², never Σ per-key rows²
+    over the whole history."""
+    d0 = F.lit(epoch).cast("date")
+    cell_of = lambda c: F.floor(F.datediff(c, d0) / cell_days)  # noqa: E731
+    ex = iv.withColumn(
+        "cell", F.explode(F.sequence(cell_of(F.col("s")),
+                                     cell_of(F.col("e")))))
+    a, b = ex.alias("a"), ex.alias("b")
+    lex = (F.struct(*[F.col(f"a.{c}") for c in order_cols])
+           < F.struct(*[F.col(f"b.{c}") for c in order_cols]))
+    later_start = F.greatest(F.col("a.s"), F.col("b.s"))
+    pairs = a.join(
+        b,
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col("a.cell") == F.col("b.cell")) & lex
+        & (F.col("a.s") <= F.col("b.e")) & (F.col("b.s") <= F.col("a.e"))
+        & (F.col("a.cell") == cell_of(later_start)))
+    overlap = F.datediff(
+        F.least(F.col("a.e"), F.col("b.e")),
+        F.greatest(F.col("a.s"), F.col("b.s"))) + 1
+    return pairs.select(
+        F.col(f"a.{key}").alias(key),
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in order_cols],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in order_cols],
+        overlap.alias("overlap_days"))
+
+
+def interval_max_concurrency_sweep(iv: DataFrame, key: str) -> DataFrame:
+    """Library form of the +1/−1 boundary sweep: peak number of
+    simultaneously-active inclusive [s, e] DATE intervals per key.
+    Two events per interval, one window pass ordered by
+    (date, delta DESC — starts before ends on the same day, making
+    overlap inclusive), max of the running sum. O(n log n) per key
+    where the naive form is the O(n²) self-join."""
+    ev = (iv.select(key, F.col("s").alias("d"), F.lit(1).alias("delta"))
+          .unionAll(iv.select(key, F.date_add("e", 1).alias("d"),
+                              F.lit(-1).alias("delta"))))
+    w = (Window.partitionBy(key)
+         .orderBy(F.col("d"), F.col("delta").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = ev.select(key, F.sum("delta").over(w).alias("inflight"))
+    return run.groupBy(key).agg(
+        F.max("inflight").cast("bigint").alias("max_inflight"))
+
+
 @register(
     "join_interval_overlap",
     oracle=f"""
@@ -488,28 +553,11 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct SQL)."""
     li = load_table(spark, sf_dir, "lineitem")
     iv = _intervals_spark(li, "l_partkey")
-    d0 = F.lit(_INTERVAL_EPOCH).cast("date")
-    cell_of = lambda c: F.floor(F.datediff(c, d0) / INTERVAL_CELL_DAYS)  # noqa: E731
-    ex = iv.withColumn(
-        "cell", F.explode(F.sequence(cell_of(F.col("s")),
-                                     cell_of(F.col("e")))))
-    a, b = ex.alias("a"), ex.alias("b")
-    lex = (F.col("a.l_orderkey") < F.col("b.l_orderkey")) | (
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")))
-    later_start = F.greatest(F.col("a.s"), F.col("b.s"))
-    pairs = a.join(
-        b,
-        (F.col("a.l_partkey") == F.col("b.l_partkey"))
-        & (F.col("a.cell") == F.col("b.cell")) & lex
-        & (F.col("a.s") <= F.col("b.e")) & (F.col("b.s") <= F.col("a.e"))
-        & (F.col("a.cell") == cell_of(later_start)))
-    overlap = F.datediff(
-        F.least(F.col("a.e"), F.col("b.e")),
-        F.greatest(F.col("a.s"), F.col("b.s"))) + 1
+    pairs = interval_overlap_pairs(
+        iv, "l_partkey", ("l_orderkey", "l_linenumber"))
     return (pairs
-            .select((F.col("a.l_partkey") % 100).alias("part_bucket"),
-                    overlap.alias("overlap_days"))
+            .select((F.col("l_partkey") % 100).alias("part_bucket"),
+                    "overlap_days")
             .groupBy("part_bucket")
             .agg(F.count("*").alias("n_pairs"),
                  F.sum("overlap_days").cast("bigint")
@@ -561,17 +609,7 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     load, GPU-job overlap) — same sweep, any interval source."""
     li = load_table(spark, sf_dir, "lineitem")
     iv = _intervals_spark(li, "l_suppkey")
-    ev = (iv.select("l_suppkey", F.col("s").alias("d"),
-                    F.lit(1).alias("delta"))
-          .unionAll(iv.select("l_suppkey",
-                              F.date_add("e", 1).alias("d"),
-                              F.lit(-1).alias("delta"))))
-    w = (Window.partitionBy("l_suppkey")
-         .orderBy(F.col("d"), F.col("delta").desc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    run = ev.select("l_suppkey", F.sum("delta").over(w).alias("inflight"))
-    mx = run.groupBy("l_suppkey").agg(
-        F.max("inflight").cast("bigint").alias("max_inflight"))
+    mx = interval_max_concurrency_sweep(iv, "l_suppkey")
     n = iv.groupBy("l_suppkey").agg(F.count("*").alias("n_shipments"))
     return (n.join(mx, "l_suppkey")
             .select(F.col("l_suppkey").alias("suppkey"),
