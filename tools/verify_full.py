@@ -9,6 +9,12 @@ sample), and writes the per-query outcome to
 the queries the driver never samples (VERDICT round 3, item 5).
 
 Usage:  python tools/verify_full.py [sf_dir] [--only name1,name2,...]
+                                       [--plain-session]
+``--plain-session`` builds the SparkSession with NOTHING but a master
+(no UTC pin, default 200 shuffle partitions / ANSI / broadcast
+threshold) — the closest local simulation of the driver's unknown
+session; tests/test_default_session_gate.py runs a slice of this
+per-commit, this flag covers the whole registry on demand.
 Exit code 0 iff every oracled query matches and every rows-only query
 runs with a non-empty schema.
 """
@@ -35,6 +41,9 @@ def main() -> int:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i:i + 2]
+    plain = "--plain-session" in argv
+    if plain:
+        argv.remove("--plain-session")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     import duckdb
@@ -43,11 +52,14 @@ def main() -> int:
     import __spark_entry__ as e
     from oracle_util import assert_matches_oracle
 
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.ui.enabled", "false")
-             .config("spark.sql.session.timeZone", "UTC")
-             .getOrCreate())
+    if plain:
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = (SparkSession.builder.master("local[8]")
+                 .config("spark.sql.shuffle.partitions", "8")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .getOrCreate())
 
     # entry() smoke — the driver's first check.
     entry_rows = e.entry(spark).collect()
@@ -98,7 +110,7 @@ def main() -> int:
         "n_fail": n_fail,
         "total_sec": round(time.time() - t_start, 1),
     }
-    if only is None:
+    if only is None and not plain:
         out = os.path.join(REPO, "CORRECTNESS_local_full.json")
         with open(out, "w") as f:
             json.dump({"summary": summary, "queries": results}, f, indent=1)
