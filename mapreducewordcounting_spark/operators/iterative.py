@@ -137,10 +137,62 @@ def pagerank(edges: DataFrame, nodes: DataFrame,
     return ranks
 
 
+def _pagerank_oracle_sql(iters: int = PR_ITERS,
+                         damping: float = PR_DAMPING) -> str:
+    """DuckDB oracle for the FIXED-ITERATION pagerank: the loop is
+    unrolled into ``iters`` chained CTEs, each the exact SQL statement
+    of one rank update (dangling-mass scalar + inflow aggregate +
+    teleport), with the float literals written via ``repr`` so both
+    engines parse identical doubles. Aggregation over a recursive CTE
+    reference is not legal SQL, but a fixed iteration count needs no
+    recursion — which is what upgrades this query from rows-only to
+    exactly-oracled. Result ranks round to 9 digits: every arithmetic
+    op is correctly rounded identically in both engines, and the only
+    order-sensitive step (the ≤|nodes|-term inflow sums) perturbs far
+    below 1e-9 over 10 iterations."""
+    d = repr(damping)
+    cte = [f"""
+        eall AS MATERIALIZED (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+        out_w AS MATERIALIZED (
+            SELECT src, sum(weight) AS out_w FROM eall GROUP BY src),
+        e_norm AS MATERIALIZED (
+            SELECT e.src, e.dst, e.weight / o.out_w AS p
+            FROM eall e JOIN out_w o ON e.src = o.src),
+        nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+        nn AS MATERIALIZED (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        it0 AS MATERIALIZED (
+            SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""]
+    for k in range(iters):
+        cte.append(f"""
+        it{k + 1} AS MATERIALIZED (
+            SELECT nd.node,
+                   (1.0 - {d}) / nn.n
+                   + {d} * dang.dm / nn.n
+                   + {d} * coalesce(inf.inflow, 0.0) AS rank
+            FROM nodes nd
+            CROSS JOIN nn
+            CROSS JOIN (SELECT coalesce(sum(r.rank), 0.0) AS dm
+                        FROM it{k} r LEFT JOIN out_w ow ON r.node = ow.src
+                        WHERE ow.src IS NULL) dang
+            LEFT JOIN (SELECT e.dst AS node, sum(e.p * r.rank) AS inflow
+                       FROM e_norm e JOIN it{k} r ON e.src = r.node
+                       GROUP BY e.dst) inf ON inf.node = nd.node)""")
+    return ("WITH" + ",".join(cte)
+            + f"\n        SELECT node, round(rank, 9) AS rank"
+              f" FROM it{iters}")
+
+
 @register(
     "pagerank_nation_trade",
-    oracle=None,  # iterative fixpoint, not SQL-expressible; invariants
-    # (Σrank=1, positivity, determinism) in tests/test_iterative.py.
+    oracle=_pagerank_oracle_sql(),
     tags=("iterative", "graph", "pagerank"),
 )
 def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +200,10 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     → supplier-nation, weight = number of lineitems shipped). The
     graph build is the analytics part — a 4-table join aggregated to
     25² max edges; the rank loop then runs on DataFrames as described
-    in :func:`pagerank`."""
+    in :func:`pagerank`. Exactly oracle-checked as of r5: the fixed
+    iteration count unrolls into chained CTEs in DuckDB
+    (:func:`_pagerank_oracle_sql`) — the "iterative fixpoint" label
+    only blocks an oracle when the trip count is data-dependent."""
     edges = trade_edges(spark, sf_dir)
     nodes = (load_table(spark, sf_dir, "nation")
              .select(F.col("n_nationkey").alias("node")))
