@@ -353,9 +353,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
     ``n_blocks`` blocks; an ``applyInPandas`` stage packs each block
     into one (ids, row-major float64 matrix) binary row EXECUTOR-side;
     a broadcast B×(B+1)/2 (blk_a, blk_b) KEY table (two longs per row)
-    picks the unordered pairs and two shuffle-hash equi-joins on the
-    block id attach the packed matrices — so the driver only ever
-    holds block indices and the matrices flow executor↔executor;
+    picks the unordered pairs and equi-joins on the block id attach the
+    packed matrices (mat_a streams through the key-table broadcast
+    join map-side; mat_b rides a shuffle-hash exchange) — so the
+    driver only ever holds block indices, never a matrix;
     each pair's similarity tile is one BLAS matmul in ``mapInPandas``,
     emitting only above-threshold (id_a < id_b) pairs. The n² pair set
     is never materialized as rows anywhere.
@@ -395,13 +396,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
         pack, "blk long, ids binary, mat binary")
     # Broadcast ONLY the B×(B+1)/2 (blk_a, blk_b) KEY table (two longs
     # per row — built from ranges, no data in it), then attach the
-    # packed matrices via two SHUFFLE-HASH equi-joins on the block id:
-    # the matrices move executor↔executor through the exchange and
-    # never transit the driver. (ADVICE r4: the previous
-    # F.broadcast(blocks) collected the whole packed matrix driver-side
-    # — same footprint as the r3 collect() it claimed to remove. The
-    # explicit SHUFFLE_HASH hint also stops Catalyst from re-choosing a
-    # broadcast at fixture size, where the blocks LOOK small.)
+    # packed matrices via equi-joins on the block id. Actual plan
+    # (PLANS_audit.json): the FIRST join is a BroadcastHashJoin whose
+    # BUILD side is the broadcast key table — the mat_a blocks STREAM
+    # through it map-side (the broadcast hint on pair_keys outranks the
+    # probe side's SHUFFLE_HASH hint, which is therefore dead on that
+    # join); the SECOND join honors SHUFFLE_HASH and moves the mat_b
+    # blocks executor↔executor through a hash exchange. Either way the
+    # matrices never transit the driver — which is the ADVICE r4 fix
+    # (the previous F.broadcast(blocks) collected the whole packed
+    # matrix driver-side, same footprint as the r3 collect() it
+    # claimed to remove).
     ra = spark.range(n_blocks).select(F.col("id").alias("blk_a"))
     rb = spark.range(n_blocks).select(F.col("id").alias("blk_b"))
     pair_keys = F.broadcast(ra.join(rb, F.col("blk_a") <= F.col("blk_b")))

@@ -437,7 +437,17 @@ def probe_fn_split_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def probe_fn_temporal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialect probe: the epoch-seconds convention, date_diff argument
-    order/sign, and date +days arithmetic every temporal oracle uses."""
+    order/sign, and date +days arithmetic every temporal oracle uses.
+
+    Pins the session timezone exactly as catalog.load_table does for
+    every production temporal query: the probe parses a timestamp
+    STRING literal, which Spark interprets in session tz — in the
+    driver's unconfigured session the probes run BEFORE any load_table
+    call, so without this pin a non-UTC driver host would produce a
+    spurious epoch_s offset and send the next round chasing a phantom
+    temporal-dialect divergence (caught by r5 self-review; the probe
+    must measure the dialect, not the session default)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
     k = F.col("r_regionkey")
     base_ts = F.lit("1997-03-15 12:34:56").cast("timestamp")

@@ -754,22 +754,26 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: one conf-isolated session per SparkContext for the bloom-SMJ query
-#: (see join_runtime_bloom_smj docstring); keyed weakly so a stopped
-#: context doesn't pin its session.
-_BLOOM_SESSIONS: dict[int, "SparkSession"] = {}
+#: one conf-isolated session for the bloom-SMJ query (see
+#: join_runtime_bloom_smj docstring), memoized per live SparkContext.
+#: The memo holds (context, session) and hits only on OBJECT IDENTITY
+#: of the context — a bare id() key could collide when CPython recycles
+#: a stopped context's address and hand back a session bound to a dead
+#: context (r5 self-review); keeping the context reference makes the
+#: identity check sound, and the single-slot clear-on-miss drops the
+#: previous (possibly stopped) context's session.
+_BLOOM_SESSION: list = []  # [(SparkContext, SparkSession)] — ≤1 entry
 
 
 def _bloom_session(spark: SparkSession) -> SparkSession:
-    key = id(spark.sparkContext)
-    s = _BLOOM_SESSIONS.get(key)
-    if s is None:
-        s = spark.newSession()
-        s.conf.set("spark.sql.optimizer.runtime.bloomFilter."
-                   "applicationSideScanSizeThreshold", "0")
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        _BLOOM_SESSIONS.clear()   # at most one live context per process
-        _BLOOM_SESSIONS[key] = s
+    if _BLOOM_SESSION and _BLOOM_SESSION[0][0] is spark.sparkContext:
+        return _BLOOM_SESSION[0][1]
+    s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+               "applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    _BLOOM_SESSION.clear()
+    _BLOOM_SESSION.append((spark.sparkContext, s))
     return s
 
 

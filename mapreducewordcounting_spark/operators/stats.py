@@ -16,7 +16,7 @@ and would differ BETWEEN ENVIRONMENTS (different parallelism →
 different partial-aggregation order) even within one engine. The
 portable form used here computes every across-row sum over EXACT
 domains — integers for the integral quantity column, per-term
-DECIMAL(38,12/15)-rounded values otherwise (IEEE double→decimal cast
+low-scale-DECIMAL-rounded values otherwise (IEEE double→decimal cast
 is correctly rounded and never hits a representable tie, so the
 per-term rounding is deterministic in both engines) — and evaluates
 the closed-form moment/OLS formulas on the resulting bit-identical
@@ -36,18 +36,23 @@ from mapreducewordcounting_spark.registry import register
 
 
 #: Shared sufficient-statistic expressions (x = l_quantity, integral
-#: 1..50 in the fixture; y = l_discount, a 2-dp money fraction): the
-#: x-sums are exact BIGINT arithmetic, the y-involved sums round each
-#: TERM to DECIMAL(38,12) (deterministic — see module docstring) and
-#: sum exactly. Both engines parse these exact strings.
+#: 1..50 in the fixture; y = l_discount, an exact 2-dp fraction — 11
+#: distinct values 0.00..0.10): the x-sums are exact BIGINT
+#: arithmetic; the y-involved terms (y, y², xy — at most 4 decimal
+#: digits) are EXACTLY represented at DECIMAL(38,6) and sum exactly.
+#: Scale 6, not 12 (r5 self-review): at scale 12 the unscaled sums
+#: pass 2^53 already at sf0.01, entering the decimal→double
+#: double-rounding regime that split the engines by one ulp in
+#: agg_higher_moments' first rewrite; at scale 6 the unscaled sums
+#: stay < 2^53 through sf10. Both engines parse these exact strings.
 _SUFF_STATS = (
     "count(*) AS n",
     "CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx",
     "CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE) AS sxx",
-    "CAST(sum(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sy",
-    "CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE)"
+    "CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sy",
+    "CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE)"
     " AS syy",
-    "CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE)"
+    "CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE)"
     " AS sxy",
 )
 _SUFF_SQL = ",\n               ".join(_SUFF_STATS)

@@ -36,6 +36,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SLICE = (
     "probe_env_duckdb_version", "probe_type_hugeint_sum_uncast",
     "probe_type_decimal_raw", "probe_type_double_negzero",
+    "probe_fn_hash_digits", "probe_fn_split_sort",
+    "probe_fn_temporal_arith",
     "sink_partitioned_prune", "source_csv_roundtrip",
     "scd2_event_intervals", "time_resample_ffill", "fn_struct",
     "join_asof", "join_interval_overlap", "growth_accounting_daily",
@@ -84,9 +86,15 @@ _SCRIPT = textwrap.dedent("""
 def test_gate_holds_in_unconfigured_session(sf_dir):
     script = _SCRIPT.format(repo=_REPO, tests=os.path.join(_REPO, "tests"),
                             sf=sf_dir, names=_SLICE)
+    env = dict(os.environ)
+    # foreign HOST timezone + unconfigured session + probes running
+    # BEFORE any load_table call (driver order): the exact environment
+    # where an un-pinned timestamp-literal parse diverges (r5
+    # self-review found probe_fn_temporal_arith doing precisely that).
+    env["TZ"] = "America/New_York"
     proc = subprocess.run(
         [sys.executable, "-c", script],
-        cwd=_REPO, capture_output=True, text=True, timeout=540,
+        cwd=_REPO, env=env, capture_output=True, text=True, timeout=540,
     )
     assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-2000:]
     assert "ALL-DEFAULT-SESSION-GREEN" in proc.stdout

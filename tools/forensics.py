@@ -89,16 +89,26 @@ def environment() -> dict:
 
 def _col_digests(rows: list[dict], float_digits=None) -> dict:
     """Per-column md5 over the SORTED type-tagged canonical values —
-    identifies the divergent column without shipping the data."""
-    from oracle_util import _canon_cell  # type: ignore
+    identifies the divergent column without shipping the data — plus a
+    ``__rows__`` digest over whole sorted canonical ROW tuples:
+    per-column multisets alone are blind to cross-row permutations
+    (a wrong join/group mapping swaps values BETWEEN rows while every
+    column's value set stays identical — r5 self-review), and
+    ``__rows__`` is exactly the driver's row-hash granularity, so
+    "__rows__ mismatched but all columns green" reads as
+    'row-association bug', not 'value bug'."""
+    from oracle_util import canonical_rows, _canon_cell  # type: ignore
     cols: dict[str, list[str]] = {}
     for r in rows:
         for k, v in r.items():
             cols.setdefault(k, []).append(_canon_cell(v, float_digits))
-    return {
+    out = {
         k: hashlib.md5("\n".join(sorted(v)).encode()).hexdigest()[:10]
         for k, v in cols.items()
     }
+    out["__rows__"] = hashlib.md5(
+        repr(canonical_rows(rows, float_digits)).encode()).hexdigest()[:10]
+    return out
 
 
 def run(spark, sf_dir: str, names=R4_FAILERS + R5_SWEPT) -> dict:
