@@ -481,15 +481,27 @@ def interval_overlap_pairs(iv: DataFrame, key: str, order_cols,
 def interval_max_concurrency_sweep(iv: DataFrame, key: str) -> DataFrame:
     """Library form of the +1/−1 boundary sweep: peak number of
     simultaneously-active inclusive [s, e] DATE intervals per key.
-    Two events per interval, one window pass ordered by
-    (date, delta DESC — starts before ends on the same day, making
-    overlap inclusive), max of the running sum. O(n log n) per key
-    where the naive form is the O(n²) self-join."""
+    Two events per interval — +1 at s, −1 at e+1 (the first day the
+    interval no longer occupies) — one window pass ordered by
+    (date, delta ASC), max of the running sum. O(n log n) per key
+    where the naive form is the O(n²) self-join.
+
+    Tie order matters and must be ASC (ends before starts at the same
+    date): the e+1 end marker already encodes inclusive occupancy, so
+    an interval ending at day e and one starting at day e+1 share no
+    day — processing the +1 first would momentarily count them both
+    and report peak 2 for adjacent, non-overlapping intervals. That
+    exact off-by-one shipped in r4 (both engines shared it, so the
+    oracle stayed green) and was caught by the r5 hypothesis
+    differential against a day-occupancy brute force
+    (tests/test_hypothesis_temporal.py, counterexample
+    [0,0],[1,1]). Within a run of equal (date, delta) events the
+    running sum is monotonic, so group order cannot change the peak."""
     ev = (iv.select(key, F.col("s").alias("d"), F.lit(1).alias("delta"))
           .unionAll(iv.select(key, F.date_add("e", 1).alias("d"),
                               F.lit(-1).alias("delta"))))
     w = (Window.partitionBy(key)
-         .orderBy(F.col("d"), F.col("delta").desc())
+         .orderBy(F.col("d"), F.col("delta"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     run = ev.select(key, F.sum("delta").over(w).alias("inflight"))
     return run.groupBy(key).agg(
@@ -578,7 +590,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_suppkey,
                    sum(delta) OVER (
                        PARTITION BY l_suppkey
-                       ORDER BY d, delta DESC
+                       ORDER BY d, delta
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS inflight
             FROM ev),
@@ -595,11 +607,12 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum concurrent intervals per supplier (peak shipments in
     flight) via the +1/−1 boundary sweep — the O(n log n) answer to a
     question whose naive form is an interval self-join (O(n²) per
-    key). Each interval contributes two boundary events; a per-key
-    running sum ordered by (date, delta DESC — starts before ends on
-    the same day, making overlap inclusive) traces the concurrency
-    curve, and its max is the answer. The max is tie-order-invariant:
-    within a run of equal (date, delta) events the running sum is
+    key). Each interval contributes two boundary events (+1 at s, −1
+    at e+1); a per-key running sum ordered by (date, delta ASC — ends
+    before starts at the same date, see
+    :func:`interval_max_concurrency_sweep` for why the r4 DESC order
+    over-counted adjacent intervals) traces the occupancy curve, and
+    its max is the answer. Within equal (date, delta) runs the sum is
     monotonic, so group order cannot change the peak.
 
     One shuffle on l_suppkey (events are 2 rows per shipment, window
