@@ -115,17 +115,39 @@ def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.date_trunc("second", "ts").alias("ts_s"), "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    return (
+        scd2_islands(ev, "user_id", "ts_s", "event_id", "event_type")
+        .select("user_id", "event_type", "island",
+                F.unix_micros("valid_from").alias("valid_from_us"),
+                F.unix_micros("valid_to").alias("valid_to_us"),
+                "n_events")
+    )
+
+
+def scd2_islands(ev, key: str, ts_col: str, tiebreak: str,
+                 value_col: str):
+    """Library form of the gaps-and-islands collapse (the registered
+    query instantiates it on the events table; the hypothesis
+    differential in tests/test_hypothesis_graph.py drives it with
+    arbitrary change logs, since the DuckDB oracle mirrors this same
+    lag + running-sum construction and would share a construction
+    bug). Returns one row per (key, value, island) with
+    valid_from/valid_to (the min/max ``ts_col`` of the island, both
+    typed as the input) and n_events. The ``tiebreak`` column makes
+    island numbering deterministic at equal timestamps; NULL values
+    compare via null-safe equality (a NULL→NULL step is NOT a
+    change)."""
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
     chg = F.when(
-        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ~F.lag(value_col).over(w).eqNullSafe(F.col(value_col)), 1
     ).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         ev.withColumn("chg", chg)
-        .withColumn("island", F.sum("chg").over(run))
-        .groupBy("user_id", "event_type", "island")
-        .agg(F.unix_micros(F.min("ts_s")).alias("valid_from_us"),
-             F.unix_micros(F.max("ts_s")).alias("valid_to_us"),
+        .withColumn("island", F.sum("chg").over(run).cast("long"))
+        .groupBy(key, value_col, "island")
+        .agg(F.min(ts_col).alias("valid_from"),
+             F.max(ts_col).alias("valid_to"),
              F.count("*").alias("n_events"))
     )
 

@@ -277,10 +277,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     list hash-partitioned on the join keys; the known refinement for
     skewed degree distributions is degree-ordering instead of
     id-ordering."""
-    d = trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    d = trade_edges(spark, sf_dir)
+    return triangle_counts(d)
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Library form of the oriented wedge-join triangle count over a
+    DIRECTED edge list ``(src, dst, ...)`` interpreted as an
+    undirected simple graph (self-loops dropped, duplicate/mirror
+    edges collapsed). Returns (node, n_triangles) for nodes in ≥1
+    triangle. Orientation (low id → high id) generates each triangle
+    {a<b<c} exactly once from the wedge (a,b)⋈(b,c) probed against
+    (a,c) — never 6× then deduped. The hypothesis differential
+    (tests/test_hypothesis_graph.py) checks it against an O(n³) brute
+    force on arbitrary graphs, since the DuckDB oracle mirrors this
+    same construction and would share a construction bug."""
+    d = edges.filter(F.col("src") != F.col("dst"))
     # The edge list is dimension-sized; materialize it once so the
     # three-way self-join (and everything downstream) never re-derives
-    # the fact-sized star join per alias.
+    # the upstream build per alias.
     e = (d.select(F.least("src", "dst").alias("u"),
                   F.greatest("src", "dst").alias("v"))
          .distinct()

@@ -842,6 +842,46 @@ _SQL_COORD = ("(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) "
               "|| ':{axis}'), 1, 8)) AS BIGINT) % 10000) / 10000.0")
 
 
+def spatial_neighbor_pairs(pts: DataFrame, id_col: str, x_col: str,
+                           y_col: str, radius: float) -> DataFrame:
+    """Library form of the grid-bucketed radius join (the registered
+    query instantiates it on md5-synthesized coordinates; the
+    hypothesis differential drives it with arbitrary point sets).
+    ``pts`` carries one row per point (unique ``id_col``). Returns one
+    row per unordered pair with squared distance < radius²:
+    (ua, ub, ax, ay, d2), ua < ub.
+
+    Plan: snap to an r-sized grid; the probe side explodes to its 3×3
+    cell neighborhood, the build side keeps its unique home cell, and
+    an EQUI join on the cell key bounds candidates at
+    O(n · density · 9) — the id orientation kills mirrors, exact
+    distance is a residual."""
+    r = float(radius)
+    cell = pts.select(
+        F.col(id_col), F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        F.floor(F.col(x_col) / r).cast("bigint").alias("cx"),
+        F.floor(F.col(y_col) / r).cast("bigint").alias("cy"))
+    probe = cell.select(
+        F.col(id_col).alias("ua"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(F.expr(
+            "flatten(transform(sequence(-1, 1), dx -> "
+            "transform(sequence(-1, 1), dy -> "
+            "struct(cx + dx AS cx, cy + dy AS cy))))")).alias("nb"))
+    build = cell.select(
+        F.col(id_col).alias("ub"), F.col("x").alias("bx"),
+        F.col("y").alias("by"), "cx", "cy")
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    return (probe.join(
+        build,
+        (F.col("nb.cx") == F.col("cx")) & (F.col("nb.cy") == F.col("cy"))
+        & (F.col("ua") < F.col("ub")))
+        .select("ua", "ub", "ax", "ay", d2.alias("d2"))
+        .filter(F.col("d2") < r * r))
+
+
+
 @register(
     "join_spatial_neighbors",
     oracle=f"""
@@ -898,28 +938,7 @@ def join_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.select("user_id").distinct().select(
         "user_id", coord("x").alias("x"), coord("y").alias("y"))
     r = SPATIAL_RADIUS
-    cell = pts.select(
-        "user_id", "x", "y",
-        F.floor(F.col("x") / r).cast("bigint").alias("cx"),
-        F.floor(F.col("y") / r).cast("bigint").alias("cy"))
-    probe = cell.select(
-        F.col("user_id").alias("ua"), F.col("x").alias("ax"),
-        F.col("y").alias("ay"),
-        F.explode(F.expr(
-            "flatten(transform(sequence(-1, 1), dx -> "
-            "transform(sequence(-1, 1), dy -> "
-            "struct(cx + dx AS cx, cy + dy AS cy))))")).alias("nb"))
-    build = cell.select(
-        F.col("user_id").alias("ub"), F.col("x").alias("bx"),
-        F.col("y").alias("by"), "cx", "cy")
-    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
-          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
-    pairs = (probe.join(
-        build,
-        (F.col("nb.cx") == F.col("cx")) & (F.col("nb.cy") == F.col("cy"))
-        & (F.col("ua") < F.col("ub")))
-        .select("ua", "ax", d2.alias("d2"))
-        .filter(F.col("d2") < r * r))
+    pairs = spatial_neighbor_pairs(pts, "user_id", "x", "y", r)
     return (pairs.groupBy(
         F.floor(F.col("ax") / r).cast("bigint").alias("cell_x"))
         .agg(F.count("*").alias("n_pairs"),
