@@ -422,10 +422,9 @@ def probe_fn_split_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probe_fn_temporal_arith",
     oracle="""
         SELECT r_regionkey,
-               CAST(extract(epoch FROM date_trunc('second',
-                   TIMESTAMP '1997-03-15 12:34:56'
-                   + to_days(CAST(r_regionkey * 40 AS INTEGER))))
-                   AS BIGINT) AS epoch_s,
+               CAST(date_diff('day', DATE '1970-01-01',
+                    DATE '1994-01-01' + CAST(r_regionkey * 40 AS INTEGER))
+                    AS BIGINT) * 86400 + 45296 AS epoch_s,
                date_diff('day', DATE '1994-01-01',
                          DATE '1994-01-01'
                          + CAST(r_regionkey * 13 AS INTEGER)) AS day_diff,
@@ -436,27 +435,31 @@ def probe_fn_split_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("probe", "diagnostics", "dialect"),
 )
 def probe_fn_temporal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dialect probe: the epoch-seconds convention, date_diff argument
-    order/sign, and date +days arithmetic every temporal oracle uses.
+    """Dialect probe: date +days arithmetic, date_diff argument
+    order/sign, year extraction, and the epoch-seconds convention
+    derived from epoch-DAY arithmetic (days-since-1970 × 86400 + a
+    fixed intra-day offset).
 
-    Pins the session timezone exactly as catalog.load_table does for
-    every production temporal query: the probe parses a timestamp
-    STRING literal, which Spark interprets in session tz — in the
-    driver's unconfigured session the probes run BEFORE any load_table
-    call, so without this pin a non-UTC driver host would produce a
-    spurious epoch_s offset and send the next round chasing a phantom
-    temporal-dialect divergence (caught by r5 self-review; the probe
-    must measure the dialect, not the session default)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    Deliberately TZ-FREE by construction — DATE literals and
+    unix_date/date_diff('day') never consult the session timezone. An
+    earlier revision parsed a timestamp STRING literal, which Spark
+    interprets in session tz; in the driver's unconfigured session the
+    probes run BEFORE any load_table call pins UTC, so a non-UTC
+    driver host produced a spurious epoch offset. The fix after THAT
+    (pinning the session tz inside the probe) masked the
+    default-session gate for every query after it — a probe must not
+    mutate the session it measures. Production timestamp semantics
+    (string parses, sub-day truncation) are exercised by the real
+    temporal queries, which all run behind load_table's per-load UTC
+    pin; what this probe checks is the tz-free dialect layer those
+    queries' ORACLES lean on."""
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
     k = F.col("r_regionkey")
-    base_ts = F.lit("1997-03-15 12:34:56").cast("timestamp")
     d0 = F.lit("1994-01-01").cast("date")
     return r.select(
         "r_regionkey",
-        F.unix_timestamp(F.date_trunc(
-            "second", F.timestamp_add("DAY", (k * 40).cast("int"), base_ts)))
-        .alias("epoch_s"),
+        (F.unix_date(F.date_add(d0, (k * 40).cast("int"))).cast("long")
+         * 86400 + 45296).alias("epoch_s"),
         F.datediff(F.date_add(d0, (k * 13).cast("int")), d0).cast("long")
         .alias("day_diff"),
         F.year(F.date_add(d0, (k * 100).cast("int"))).cast("long")

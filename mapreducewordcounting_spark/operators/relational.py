@@ -19,6 +19,8 @@ Scale notes per query are in each docstring; shared rules:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -763,18 +765,23 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: identity check sound, and the single-slot clear-on-miss drops the
 #: previous (possibly stopped) context's session.
 _BLOOM_SESSION: list = []  # [(SparkContext, SparkSession)] — ≤1 entry
+_BLOOM_SESSION_LOCK = threading.Lock()
 
 
 def _bloom_session(spark: SparkSession) -> SparkSession:
-    if _BLOOM_SESSION and _BLOOM_SESSION[0][0] is spark.sparkContext:
-        return _BLOOM_SESSION[0][1]
-    s = spark.newSession()
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter."
-               "applicationSideScanSizeThreshold", "0")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    _BLOOM_SESSION.clear()
-    _BLOOM_SESSION.append((spark.sparkContext, s))
-    return s
+    # lock: concurrent registry callers (the very scenario the conf
+    # isolation exists for) must not interleave clear()+append() and
+    # leak a second session past the single-slot invariant
+    with _BLOOM_SESSION_LOCK:
+        if _BLOOM_SESSION and _BLOOM_SESSION[0][0] is spark.sparkContext:
+            return _BLOOM_SESSION[0][1]
+        s = spark.newSession()
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                   "applicationSideScanSizeThreshold", "0")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _BLOOM_SESSION.clear()
+        _BLOOM_SESSION.append((spark.sparkContext, s))
+        return s
 
 
 @register(

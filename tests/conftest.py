@@ -30,6 +30,13 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
+def spark_h(spark):
+    """Alias used by the hypothesis differentials (one shared
+    definition — three test modules previously each carried a copy)."""
+    return spark
+
+
+@pytest.fixture(scope="session")
 def duck():
     """DuckDB connection with the fixture tables registered as views,
     mirroring the driver's oracle setup (FIXTURES.md)."""

@@ -87,10 +87,16 @@ def test_gate_holds_in_unconfigured_session(sf_dir):
     script = _SCRIPT.format(repo=_REPO, tests=os.path.join(_REPO, "tests"),
                             sf=sf_dir, names=_SLICE)
     env = dict(os.environ)
-    # foreign HOST timezone + unconfigured session + probes running
-    # BEFORE any load_table call (driver order): the exact environment
-    # where an un-pinned timestamp-literal parse diverges (r5
-    # self-review found probe_fn_temporal_arith doing precisely that).
+    # Foreign HOST timezone + unconfigured session, in driver order
+    # (probes BEFORE any load_table call). Coverage story: the probe
+    # window runs fully un-pinned (probes are tz-free by construction
+    # and must not mutate the session — an earlier revision's
+    # conf.set("...timeZone","UTC") inside a probe masked this gate
+    # for every query after it); the first load_table call then
+    # exercises the per-load UTC pin ITSELF — delete catalog.py's pin
+    # and the day-truncating slice queries (growth_accounting_daily,
+    # scd2_event_intervals) diverge from their naive-timestamp DuckDB
+    # oracles under the NY session.
     env["TZ"] = "America/New_York"
     proc = subprocess.run(
         [sys.executable, "-c", script],

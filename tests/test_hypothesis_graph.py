@@ -15,21 +15,13 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
-
 from mapreducewordcounting_spark.operators.cdc import scd2_islands
 from mapreducewordcounting_spark.operators.iterative import triangle_counts
 from mapreducewordcounting_spark.operators.relational import (
     spatial_neighbor_pairs,
 )
-
-
-@pytest.fixture(scope="module")
-def spark_h(spark):
-    return spark
 
 
 # --- spatial ---------------------------------------------------------------
@@ -81,7 +73,7 @@ def test_scd2_islands_match_linear_walk(spark_h, evs):
     want = set()
     for k in {r[0] for r in rows}:
         seq = sorted(((ts, tb, v) for kk, tb, ts, v in rows if kk == k))
-        island, prev, start = 0, object(), None
+        prev = object()
         groups: list[list] = []
         for ts, tb, v in seq:
             if v != prev:

@@ -109,10 +109,5 @@ def test_window_rank_matches(spark_h, duck_h, rows):
 
 
 @pytest.fixture(scope="module")
-def spark_h(spark):
-    return spark
-
-
-@pytest.fixture(scope="module")
 def duck_h(duck):
     return duck

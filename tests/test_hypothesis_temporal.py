@@ -24,11 +24,6 @@ from mapreducewordcounting_spark.operators.temporal import (
     interval_overlap_pairs,
 )
 
-@pytest.fixture(scope="module")
-def spark_h(spark):
-    return spark
-
-
 _D0 = dt.date(1992, 1, 1)
 
 #: (key, start-offset-days, span-days) — spans up to 40 days cross
