@@ -66,7 +66,6 @@ BNL_ALLOWED = {
     "fn_na_clean": "1-row (global fill statistics)",
     "join_cross": "demo (explicit cross join)",
     "join_theta": "demo (explicit theta/non-equi join)",
-    "lang_temperature_sampling": "1-row (token grand total)",
     "layout_zorder": "1-row (global coordinate bounds)",
     "rfm_segmentation": "1-row (global quantile edges)",
     "similarity_ann_ivf": "K-row (IVF centroid table)",
