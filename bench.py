@@ -106,6 +106,23 @@ HEADLINE = [
     "join_spatial_neighbors",   # grid-bucketed radius join
 ]
 
+#: extended timed tier (VERDICT r5 item 3): the iterative / ML-fit
+#: family, timed under the SAME protocol (untimed sf0.001 warmup,
+#: median of 3 at sf0.1) but kept OUT of the headline total so
+#: `headline_suite_seconds` stays comparable across rounds and with
+#: BASELINE.md. Their numbers land in BENCH_DETAIL.json under
+#: "extended"; a >2×-of-peer outlier here gets the same treatment a
+#: headline outlier would.
+EXTENDED = [
+    "dedup_clusters",           # iterative min-label components
+    "kmeans_embeddings",        # Lloyd iterations (driver-side k centroids)
+    "pagerank_nation_trade",    # iterative rank propagation
+    "graph_triangle_count",     # oriented-edge 2-path closure
+    "dedup_minhash_lsh",        # spark.ml MinHashLSH fit + self-join
+    "similarity_ann_lsh",       # spark.ml BRP-LSH fit + approx top-k
+    "similarity_ann_ivf",       # IVF coarse-quantizer ANN
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -144,6 +161,17 @@ def main() -> None:
         timings[name] = round(sorted(samples)[1], 3)  # median of 3
         print(f"{name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        materialize(qs[name](spark, WARM_SF_DIR))
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        extended[name] = round(sorted(samples)[1], 3)  # median of 3
+        print(f"[ext] {name}: {extended[name]}s", file=sys.stderr, flush=True)
+
     total = round(sum(timings.values()), 3)
     config = {
         "spark": spark.version,
@@ -156,6 +184,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
+        "extended_note": "iterative/ML-fit tier, same median-of-3 "
+                         "protocol, excluded from the headline total",
         "sf": SF_DIR,
         "config": config,
     }
@@ -170,6 +201,12 @@ def main() -> None:
         from tools import forensics
         fsf = os.environ.get("SPARK_GRAFT_FORENSICS_SF_DIR",
                              "/root/testdata/sf0.01")
+        if not os.path.isdir(fsf):
+            # ADVICE r5: if the driver host lacks the default probe
+            # fixture, fall back to the bench SF dir so the forensic
+            # digest still measures the real environment instead of
+            # recording an error for every probe.
+            fsf = SF_DIR
         report = forensics.run(spark, fsf)
         with open(os.path.join(repo, "FORENSICS.json"), "w") as f:
             json.dump(report, f, indent=1)
@@ -201,6 +238,8 @@ def main() -> None:
         "queries": slowest,
         "queries_note": "slowest 8 of {}; full set in BENCH_DETAIL.json"
                         .format(len(timings)),
+        "ext_sum": round(sum(extended.values()), 2),
+        "ext_n": len(extended),
     }, separators=(",", ":")))
     spark.stop()
 

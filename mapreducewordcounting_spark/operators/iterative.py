@@ -119,11 +119,28 @@ def pagerank(edges: DataFrame, nodes: DataFrame,
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     has_out = out_w.select(F.col("src").alias("node"))
     for _ in range(iters):
+        # ADVICE r5: the across-row sums (dangling mass, per-node
+        # inflow) are the ONLY order-sensitive float steps in the
+        # loop, and the final round(rank, 9) was therefore only
+        # empirically (not structurally) stable. Summing per-term
+        # DECIMAL(38,15)-rounded values makes them exact-domain and
+        # order-independent: each double→decimal cast is correctly
+        # rounded and deterministic in both engines, the decimal sum
+        # is exact integer arithmetic, and with Σrank ≤ 1 the unscaled
+        # sum stays < 2^53 (the stats.py scale rule), so the
+        # decimal→double cast back is the same single correctly-
+        # rounded conversion everywhere. Ranks are now bit-identical
+        # under ANY partitioning or engine; round(9) is provably
+        # stable rather than perturbation-bounded.
         dm = (ranks.join(has_out, "node", "leftanti")
-              .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
+              .agg(F.coalesce(
+                  F.sum(F.col("rank").cast("decimal(38,15)"))
+                  .cast("double"), F.lit(0.0)).alias("dm")))
         contrib = (e_norm.join(ranks, e_norm.src == ranks.node)
                    .groupBy(F.col("dst").alias("node"))
-                   .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow")))
+                   .agg(F.sum((F.col("p") * F.col("rank"))
+                              .cast("decimal(38,15)"))
+                        .cast("double").alias("inflow")))
         ranks = (nodes.select("node")
                  .join(contrib, "node", "left_outer")
                  .crossJoin(F.broadcast(dm))
@@ -146,10 +163,13 @@ def _pagerank_oracle_sql(iters: int = PR_ITERS,
     engines parse identical doubles. Aggregation over a recursive CTE
     reference is not legal SQL, but a fixed iteration count needs no
     recursion — which is what upgrades this query from rows-only to
-    exactly-oracled. Result ranks round to 9 digits: every arithmetic
-    op is correctly rounded identically in both engines, and the only
-    order-sensitive step (the ≤|nodes|-term inflow sums) perturbs far
-    below 1e-9 over 10 iterations."""
+    exactly-oracled. Result ranks round to 9 digits, and as of r6 the
+    round is STRUCTURALLY stable (ADVICE r5): the across-row sums
+    (dangling mass, inflow) sum per-term DECIMAL(38,15)-rounded
+    values on both sides, so every iteration's ranks are bit-identical
+    doubles in both engines under any partitioning — there is no
+    order-sensitive step left for round(9) to sit near a boundary
+    of."""
     d = repr(damping)
     cte = [f"""
         eall AS MATERIALIZED (
@@ -179,10 +199,13 @@ def _pagerank_oracle_sql(iters: int = PR_ITERS,
                    + {d} * coalesce(inf.inflow, 0.0) AS rank
             FROM nodes nd
             CROSS JOIN nn
-            CROSS JOIN (SELECT coalesce(sum(r.rank), 0.0) AS dm
+            CROSS JOIN (SELECT coalesce(CAST(sum(CAST(r.rank
+                            AS DECIMAL(38,15))) AS DOUBLE), 0.0) AS dm
                         FROM it{k} r LEFT JOIN out_w ow ON r.node = ow.src
                         WHERE ow.src IS NULL) dang
-            LEFT JOIN (SELECT e.dst AS node, sum(e.p * r.rank) AS inflow
+            LEFT JOIN (SELECT e.dst AS node,
+                              CAST(sum(CAST(e.p * r.rank
+                                  AS DECIMAL(38,15))) AS DOUBLE) AS inflow
                        FROM e_norm e JOIN it{k} r ON e.src = r.node
                        GROUP BY e.dst) inf ON inf.node = nd.node)""")
     return ("WITH" + ",".join(cte)

@@ -63,7 +63,16 @@ from mapreducewordcounting_spark.registry import register
 
 def _encode_version(ver: str) -> int:
     """'1.3.2' / 'v1.3.2.dev123' -> 10302-style int (major*10000 +
-    minor*100 + patch); 1 if unparseable so the probe still runs."""
+    minor*100 + patch); 1 if unparseable so the probe still runs.
+
+    Each component is CLAMPED to 99, so 99 is an explicit ">=99"
+    sentinel rather than silent aliasing (ADVICE r5: under the raw
+    radix '1.0.100' and '1.1.0' both encoded to 10100). The clamp is
+    chosen over a wider radix deliberately: the reading is a ROW
+    COUNT the driver fully hashes, so a 1e6 radix would make a
+    pyarrow 16.x readout a 16M-row result. Pre-release / 4th
+    components are dropped by design — the probe distinguishes engine
+    majors/minors (the hash-behavior boundary), not builds."""
     try:
         parts = ver.lstrip("v").split(".")
         digits = []
@@ -73,7 +82,7 @@ def _encode_version(ver: str) -> int:
                 if not ch.isdigit():  # not 21
                     break
                 d += ch
-            digits.append(int(d) if d else 0)
+            digits.append(min(int(d), 99) if d else 0)
         while len(digits) < 3:
             digits.append(0)
         n = digits[0] * 10000 + digits[1] * 100 + digits[2]
@@ -83,11 +92,13 @@ def _encode_version(ver: str) -> int:
 
 
 _SQL_DUCK_VERSION_N = """
-    CAST(string_split(replace(version(), 'v', ''), '.')[1] AS BIGINT) * 10000
-  + CAST(string_split(replace(version(), 'v', ''), '.')[2] AS BIGINT) * 100
-  + CAST(coalesce(nullif(regexp_extract(
+    least(CAST(string_split(replace(version(), 'v', ''), '.')[1]
+               AS BIGINT), 99) * 10000
+  + least(CAST(string_split(replace(version(), 'v', ''), '.')[2]
+               AS BIGINT), 99) * 100
+  + least(CAST(coalesce(nullif(regexp_extract(
         string_split(replace(version(), 'v', ''), '.')[3], '[0-9]+'), ''),
-        '0') AS BIGINT)
+        '0') AS BIGINT), 99)
 """
 
 
