@@ -28,6 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreducewordcounting_spark import registry
+from mapreducewordcounting_spark.checkpoints import release_all_pinned
 from mapreducewordcounting_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,6 +161,10 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[1], 3)  # median of 3
         print(f"{name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # storage hygiene between queries (VERDICT r5 item 5): each
+        # run's local checkpoints are dead once materialized — drop
+        # them so executor storage returns to baseline per query.
+        release_all_pinned(spark)
 
     extended: dict[str, float] = {}
     for name in EXTENDED:
@@ -171,6 +176,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         extended[name] = round(sorted(samples)[1], 3)  # median of 3
         print(f"[ext] {name}: {extended[name]}s", file=sys.stderr, flush=True)
+        release_all_pinned(spark)
 
     total = round(sum(timings.values()), 3)
     config = {

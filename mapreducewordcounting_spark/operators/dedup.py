@@ -27,6 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.checkpoints import (
+    CheckpointRotator,
+    pinned_ids,
+    release_created_since,
+)
 from mapreducewordcounting_spark.functions.text import tokenize_canonical
 from mapreducewordcounting_spark.registry import register
 
@@ -495,6 +500,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture components converge in ≤ 4). The same loop is connected
     components for any edge list.
     """
+    before_ids = pinned_ids(spark)
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
@@ -503,13 +509,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exponential (measured 24.7 s → ~5 s at sf0.1). localCheckpoint
     # materializes on executors; recompute-on-loss is acceptable for a
     # bounded 4-step loop (standard iterative-DataFrame practice).
-    edges = edges.localCheckpoint(eager=True)
+    # Rotators (VERDICT r5 item 5): each iteration's label snapshot is
+    # unpersisted as soon as its successor is materialized, and the
+    # loop-scoped edge list is dropped before return — only the final
+    # snapshot (which the returned plan scans) stays pinned.
+    spark_ = edges.sparkSession
+    scratch = CheckpointRotator(spark_)
+    steps = CheckpointRotator(spark_)
+    edges = scratch.rotate(edges)
+    # the jaccard sub-plan checkpointed its shingle table for ITS OWN
+    # three-branch reuse; materializing `edges` just consumed it for
+    # the last time — free it before the loop runs
+    release_created_since(spark_, before_ids, keep=scratch.live_ids)
     # start: every node labels itself
-    labels = (
+    labels = steps.rotate(
         edges.select(F.col("id_a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     # iterate to convergence (bounded): components merge along minimum
     # labels; a fixed small iteration count would silently mis-cluster
@@ -520,7 +536,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("id_a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        stepped = (
+        stepped = steps.rotate(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -528,7 +544,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("label"),
                         F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         # convergence check on the already-materialized step output —
         # a filter over the checkpoint, not another join against the
@@ -537,6 +552,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("node", "label")
         if changed == 0:
             break
+    scratch.release()  # edge list: not read by the returned plan
+    steps.keep()       # final label snapshot: read by the returned plan
     return labels.groupBy(F.col("label").alias("cluster_survivor")).agg(
         F.count("*").alias("n_members"),
         # '|'-joined (not an array column): list-typed result columns

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.checkpoints import CheckpointRotator
 from mapreducewordcounting_spark.registry import register
 
 K_DEFAULT = 10
@@ -111,11 +112,13 @@ def pagerank(edges: DataFrame, nodes: DataFrame,
     n = nodes.count()
     if n == 0:  # zero-node graph: empty ranks, stable schema
         return nodes.select("node", F.lit(0.0).alias("rank"))
+    spark = edges.sparkSession
+    scratch = CheckpointRotator(spark)   # loop-scoped: the edge table
+    steps = CheckpointRotator(spark)     # per-iteration rank snapshots
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    e_norm = (edges.join(out_w, "src")
-              .select("src", "dst",
-                      (F.col("weight") / F.col("out_w")).alias("p"))
-              .localCheckpoint())  # reused every iteration: cut lineage once
+    e_norm = scratch.rotate(  # reused every iteration: cut lineage once
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p")))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     has_out = out_w.select(F.col("src").alias("node"))
     for _ in range(iters):
@@ -141,16 +144,22 @@ def pagerank(edges: DataFrame, nodes: DataFrame,
                    .agg(F.sum((F.col("p") * F.col("rank"))
                               .cast("decimal(38,15)"))
                         .cast("double").alias("inflow")))
-        ranks = (nodes.select("node")
-                 .join(contrib, "node", "left_outer")
-                 .crossJoin(F.broadcast(dm))
-                 .select("node",
-                         (F.lit((1.0 - damping) / n)
-                          + F.lit(damping) * F.col("dm") / F.lit(float(n))
-                          + F.lit(damping)
-                          * F.coalesce(F.col("inflow"), F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint())  # bound lineage growth across iterations
+        # rotate: checkpoint the new ranks (bounding lineage growth),
+        # then unpersist the superseded previous iteration's snapshot
+        # (VERDICT r5 item 5 — 10 iterations used to leave 10 pinned
+        # rank RDDs per call in a long-lived session)
+        ranks = steps.rotate(
+            nodes.select("node")
+            .join(contrib, "node", "left_outer")
+            .crossJoin(F.broadcast(dm))
+            .select("node",
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping) * F.col("dm") / F.lit(float(n))
+                     + F.lit(damping)
+                     * F.coalesce(F.col("inflow"), F.lit(0.0)))
+                    .alias("rank")))
+    scratch.release()  # the returned plan reads only the final snapshot
+    steps.keep()       # ...which must stay pinned for the caller
     return ranks
 
 

@@ -50,6 +50,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as e
+    from mapreducewordcounting_spark.checkpoints import release_all_pinned
     from oracle_util import assert_matches_oracle
 
     if plain:
@@ -95,6 +96,9 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — report, don't abort
             rec.update(pass_=False, error=str(exc)[:500])
             n_fail += 1
+        # storage hygiene between queries (VERDICT r5 item 5): local
+        # checkpoints from this query are dead once compared.
+        release_all_pinned(spark)
         rec["sec"] = round(time.time() - t0, 2)
         results[name] = {("pass" if k == "pass_" else k): v
                          for k, v in rec.items()}
