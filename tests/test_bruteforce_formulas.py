@@ -1,0 +1,508 @@
+"""Structure-free brute-force differentials — formula / pipeline family
+(VERDICT r5 item 4: mirrored-oracle inventory).
+
+These operators share formula constants or construction (tf-idf / BM25
+weighting, PSI smoothing grids, temperature sampling, the unrolled
+pagerank update, waterfall thresholds, packed-sequence arithmetic,
+window-offset enumeration) between the Spark plan and the DuckDB
+oracle. Each is recomputed here from its documented definition in
+plain Python / numpy on the sf0.001 fixture. Float-valued outputs are
+compared at a tolerance far below the operators' 6-dp rounding but far
+above any plausible algebra error.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+from datetime import timedelta
+
+import numpy as np
+
+from tests.bruteforce_util import (
+    canon_tokens,
+    doc_tokens,
+    load_documents,
+    load_table_rows,
+    rows_as_tuples,
+    word_ngrams,
+)
+
+TOL = 1e-6
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ------------------------------------------------------- text formulas
+
+
+def test_token_entropy_matches_python(spark, sf_dir):
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_token_entropy,
+    )
+
+    per_src: dict[str, Counter] = defaultdict(Counter)
+    for d in load_documents(sf_dir):
+        per_src[d["source"]].update(canon_tokens(d["text"]))
+    expected = []
+    for src, cnt in per_src.items():
+        n = sum(cnt.values())
+        ent = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        expected.append((src, n, len(cnt), ent))
+    got = rows_as_tuples(text_token_entropy(spark, sf_dir),
+                         ["source", "n_tokens", "vocab_size",
+                          "entropy_bits"])
+    assert [r[:3] for r in got] == [r[:3] for r in sorted(expected)]
+    for g, e in zip(got, sorted(expected)):
+        assert abs(g[3] - e[3]) < TOL
+
+
+def test_unigram_logprob_matches_python(spark, sf_dir):
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_unigram_logprob,
+    )
+
+    toks = doc_tokens(sf_dir)
+    uni: Counter = Counter()
+    for t in toks.values():
+        uni.update(t)
+    total = sum(uni.values())
+    expected = []
+    for d, t in toks.items():
+        if not t:
+            continue
+        avg = sum(math.log(uni[w] / total) for w in t) / len(t)
+        expected.append((d, len(t), avg))
+    got = rows_as_tuples(text_unigram_logprob(spark, sf_dir),
+                         ["doc_id", "n_toks", "avg_logprob"])
+    assert [r[:2] for r in got] == [r[:2] for r in sorted(expected)]
+    for g, e in zip(got, sorted(expected)):
+        assert abs(g[2] - e[2]) < TOL
+
+
+def test_tfidf_matches_python(spark, sf_dir):
+    from mapreducewordcounting_spark.operators.text_analysis import text_tfidf
+
+    toks = doc_tokens(sf_dir)
+    df: Counter = Counter()
+    for t in toks.values():
+        df.update(set(t))
+    n_docs = sum(1 for t in toks.values() if t)
+    expected = []
+    for d, t in toks.items():
+        if d >= 20:
+            continue
+        for w, tf in Counter(t).items():
+            expected.append(
+                (d, w, tf, tf * math.log((n_docs + 1.0) / (df[w] + 1.0))))
+    got = rows_as_tuples(text_tfidf(spark, sf_dir),
+                         ["doc_id", "word", "tf", "tfidf"])
+    assert [r[:3] for r in got] == [r[:3] for r in sorted(expected)]
+    for g, e in zip(got, sorted(expected)):
+        assert abs(g[3] - e[3]) < TOL
+
+
+def test_bm25_matches_python(spark, sf_dir):
+    """Textbook Okapi BM25 (k1=1.2, b=0.75) for the fixed query terms."""
+    from mapreducewordcounting_spark.operators.text_analysis import text_bm25
+
+    terms = {"scan", "merge", "window"}
+    toks = doc_tokens(sf_dir)
+    dls = {d: len(t) for d, t in toks.items()}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    tf: dict[int, Counter] = {
+        d: Counter(w for w in t if w in terms) for d, t in toks.items()}
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    k1, b = 1.2, 0.75
+    expected = []
+    for d, c in tf.items():
+        if not c:
+            continue
+        score = sum(
+            math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+            * (f * (k1 + 1.0))
+            / (f + k1 * (1.0 - b + b * dls[d] / avgdl))
+            for w, f in c.items())
+        expected.append((d, len(c), score))
+    got = rows_as_tuples(text_bm25(spark, sf_dir),
+                         ["doc_id", "n_terms_matched", "score"])
+    assert [r[:2] for r in got] == [r[:2] for r in sorted(expected)]
+    for g, e in zip(got, sorted(expected)):
+        assert abs(g[2] - e[2]) < TOL
+
+
+def test_tfidf_pair_cosine_matches_python(spark, sf_dir):
+    """Sparse tf-idf cosine over 3-shingle 'words' with the df <= 20
+    cap; pairs at rounded cosine >= 0.3."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_tfidf_pairs,
+    )
+
+    toks = doc_tokens(sf_dir)
+    tf = {d: Counter(word_ngrams(t, 3)) for d, t in toks.items()}
+    tf = {d: c for d, c in tf.items() if c}
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    n_docs = len(tf)
+    w = {d: {g: f * math.log((n_docs + 1.0) / (df[g] + 1.0))
+             for g, f in c.items() if df[g] <= 20}
+         for d, c in tf.items()}
+    nrm = {d: math.sqrt(sum(x * x for x in ws.values()))
+           for d, ws in w.items() if ws}
+    inv: dict[str, list[int]] = defaultdict(list)
+    for d, ws in w.items():
+        for g in ws:
+            inv[g].append(d)
+    dots: dict[tuple[int, int], float] = defaultdict(float)
+    for g, ds in inv.items():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for bdoc in ds[i + 1:]:
+                dots[(a, bdoc)] += w[a][g] * w[bdoc][g]
+    expected = sorted(
+        (a, bdoc, round(dot / (nrm[a] * nrm[bdoc]), 6))
+        for (a, bdoc), dot in dots.items()
+        if round(dot / (nrm[a] * nrm[bdoc]), 6) >= 0.3)
+    got = rows_as_tuples(similarity_tfidf_pairs(spark, sf_dir),
+                         ["id_a", "id_b", "cos_sim"])
+    assert [r[:2] for r in got] == [r[:2] for r in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < TOL
+
+
+# ---------------------------------------------------- training pipeline
+
+
+def test_pipeline_training_data_matches_python(spark, sf_dir):
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        pipeline_training_data,
+    )
+
+    stop = {"the", "a", "of", "and", "to"}
+    kept: dict[str, int] = {}
+    best: dict[str, tuple[int, str, int]] = {}
+    for d in load_documents(sf_dir):
+        t = canon_tokens(d["text"])
+        if not (20 <= len(t) <= 1000):
+            continue
+        if sum(w in stop for w in t) / len(t) >= 0.5:
+            continue
+        h = _md5(d["text"])
+        if h not in best or d["doc_id"] < best[h][0]:
+            best[h] = (d["doc_id"], d["lang"], len(t))
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for _, lang, n in best.values():
+        agg[lang][0] += 1
+        agg[lang][1] += n
+    expected = sorted((lang, n, tok) for lang, (n, tok) in agg.items())
+    got = rows_as_tuples(pipeline_training_data(spark, sf_dir),
+                         ["lang", "n_docs", "total_tokens"])
+    assert got == expected
+
+
+def test_quality_filter_report_matches_python(spark, sf_dir):
+    from mapreducewordcounting_spark.operators.training_ops import (
+        quality_filter_report,
+    )
+
+    labels: Counter = Counter()
+    docs = load_documents(sf_dir)
+    for d in docs:
+        t = canon_tokens(d["text"])
+        n = len(t)
+        if n < 20:
+            labels["too_short"] += 1
+            continue
+        if n > 90:
+            labels["too_long"] += 1
+            continue
+        wl = sum(len(w) for w in t) / n
+        if wl < 4.0 or wl > 5.0:
+            labels["word_len"] += 1
+            continue
+        if max(Counter(t).values()) / n > 0.15:
+            labels["repetition"] += 1
+            continue
+        if len(set(t)) / n < 0.4:
+            labels["low_diversity"] += 1
+            continue
+        labels["pass"] += 1
+    total = len(docs)
+    expected = sorted(
+        (rule, n, round(n / total, 6)) for rule, n in labels.items())
+    got = rows_as_tuples(quality_filter_report(spark, sf_dir),
+                         ["rule", "n_docs", "pct"])
+    assert [r[:2] for r in got] == [r[:2] for r in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < 1e-9
+
+
+def test_lang_temperature_matches_python(spark, sf_dir):
+    from mapreducewordcounting_spark.operators.training_ops import (
+        lang_temperature_sampling,
+    )
+
+    n_tok: Counter = Counter()
+    for d in load_documents(sf_dir):
+        n_tok[d["lang"]] += len(canon_tokens(d["text"]))
+    total = sum(n_tok.values())
+    total_a = sum(c ** 0.3 for c in n_tok.values())
+    expected = []
+    for lang, c in n_tok.items():
+        p_raw = c / total
+        p_sample = c ** 0.3 / total_a
+        expected.append((lang, c, p_raw, p_sample, p_sample / p_raw))
+    expected.sort()
+    got = rows_as_tuples(lang_temperature_sampling(spark, sf_dir),
+                         ["lang", "n_tokens", "p_raw", "p_sample",
+                          "oversample_factor"])
+    assert [r[:2] for r in got] == [r[:2] for r in expected]
+    for g, e in zip(got, expected):
+        for i in (2, 3, 4):
+            assert abs(g[i] - e[i]) < TOL
+
+
+def test_token_ids_match_python(spark, sf_dir):
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_token_ids,
+    )
+
+    toks = doc_tokens(sf_dir)
+    counts: Counter = Counter()
+    for t in toks.values():
+        counts.update(t)
+    vocab = {w: i for i, (w, _) in enumerate(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:40])}
+    expected = []
+    for d, t in toks.items():
+        if not t:
+            continue
+        ids = [vocab.get(w, -1) for w in t]
+        expected.append((d, " ".join(map(str, ids)), len(ids),
+                         sum(1 for i in ids if i == -1)))
+    got = rows_as_tuples(text_token_ids(spark, sf_dir),
+                         ["doc_id", "token_ids", "n_tokens", "n_oov"])
+    assert got == sorted(expected)
+
+
+def test_pack_sequences_offset_matches_python(spark, sf_dir):
+    """2048-token greedy offset packing: pack_id = floor(tokens-before
+    / 2048) within each lang's doc_id order."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        pack_sequences_offset,
+    )
+
+    by_lang: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for d in load_documents(sf_dir):
+        by_lang[d["lang"]].append(
+            (d["doc_id"], len(canon_tokens(d["text"]))))
+    expected = []
+    for lang, rows in by_lang.items():
+        rows.sort()
+        cum = 0
+        for doc_id, n in rows:
+            expected.append((doc_id, lang, n, cum // 2048))
+            cum += n
+    got = rows_as_tuples(pack_sequences_offset(spark, sf_dir),
+                         ["doc_id", "lang", "n_tokens", "pack_id"])
+    assert got == sorted(expected)
+
+
+# --------------------------------------------------------- drift / PSI
+
+
+def test_psi_matches_python(spark, sf_dir):
+    """Population-stability index on a 10-bucket equi-width grid fit on
+    the reference half, +0.5 smoothing on both sides."""
+    from mapreducewordcounting_spark.operators.drift import drift_psi_value
+
+    evs = load_table_rows(sf_dir, "events")
+    secs = [int(e["ts"].timestamp()) for e in evs]
+    mid = (min(secs) + max(secs)) // 2
+    by_type: dict[str, dict[str, list[float]]] = defaultdict(
+        lambda: {"ref": [], "cur": []})
+    for e, s in zip(evs, secs):
+        side = "ref" if s <= mid else "cur"
+        by_type[e["event_type"]][side].append(e["value"])
+    expected = []
+    for et, sides in by_type.items():
+        ref, cur = sides["ref"], sides["cur"]
+        if not ref or not cur:
+            continue
+        vmin, vmax = min(ref), max(ref)
+
+        def bucket(v: float) -> int:
+            if vmax <= vmin:
+                return 0
+            return max(0, min(9, int(math.floor(
+                (v - vmin) / ((vmax - vmin) / 10.0)))))
+
+        c_ref: Counter = Counter(bucket(v) for v in ref)
+        c_cur: Counter = Counter(bucket(v) for v in cur)
+        n_ref, n_cur = len(ref), len(cur)
+        psi = sum(
+            ((c_cur.get(b, 0) + 0.5) / (n_cur + 5.0)
+             - (c_ref.get(b, 0) + 0.5) / (n_ref + 5.0))
+            * math.log(((c_cur.get(b, 0) + 0.5) / (n_cur + 5.0))
+                       / ((c_ref.get(b, 0) + 0.5) / (n_ref + 5.0)))
+            for b in range(10))
+        expected.append((et, n_ref, n_cur, psi))
+    got = rows_as_tuples(drift_psi_value(spark, sf_dir),
+                         ["event_type", "n_ref", "n_cur", "psi"])
+    assert [r[:3] for r in got] == [r[:3] for r in sorted(expected)]
+    for g, e in zip(got, sorted(expected)):
+        assert abs(g[3] - e[3]) < TOL
+
+
+# ----------------------------------------------------------- pagerank
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """Textbook damped PageRank with dangling-mass redistribution,
+    10 synchronous iterations from uniform start — numpy matrices, no
+    DataFrames, no SQL."""
+    from mapreducewordcounting_spark.operators.iterative import (
+        pagerank_nation_trade,
+    )
+
+    li = load_table_rows(sf_dir, "lineitem")
+    orders = {o["o_orderkey"]: o["o_custkey"]
+              for o in load_table_rows(sf_dir, "orders")}
+    cust = {c["c_custkey"]: c["c_nationkey"]
+            for c in load_table_rows(sf_dir, "customer")}
+    supp = {s["s_suppkey"]: s["s_nationkey"]
+            for s in load_table_rows(sf_dir, "supplier")}
+    nations = sorted(n["n_nationkey"]
+                     for n in load_table_rows(sf_dir, "nation"))
+    idx = {n: i for i, n in enumerate(nations)}
+    n = len(nations)
+    W = np.zeros((n, n))
+    for r in li:
+        src = cust[orders[r["l_orderkey"]]]
+        dst = supp[r["l_suppkey"]]
+        W[idx[src], idx[dst]] += 1.0
+    out_w = W.sum(axis=1)
+    P = np.divide(W, out_w[:, None], where=out_w[:, None] > 0)
+    dangling = out_w == 0
+    d = 0.85
+    rank = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dm = rank[dangling].sum()
+        rank = (1.0 - d) / n + d * dm / n + d * (P.T @ rank)
+    expected = sorted(zip(nations, rank))
+    got = rows_as_tuples(pagerank_nation_trade(spark, sf_dir),
+                         ["node", "rank"])
+    assert [r[0] for r in got] == [e[0] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[1] - e[1]) < 1e-8, (g, e)
+    assert abs(sum(r for _, r in got) - 1.0) < 1e-6
+
+
+# ------------------------------------------------------ temporal twins
+
+
+def test_sliding_window_matches_python(spark, sf_dir):
+    """1-hour windows sliding by 30 min: every event lands in exactly
+    the two windows whose [start, start+1h) covers its timestamp."""
+    from mapreducewordcounting_spark.streaming import (
+        stream_sliding_batch_twin,
+    )
+
+    counts: Counter = Counter()
+    hour_us = 3_600_000_000
+    half_us = hour_us // 2
+    for e in load_table_rows(sf_dir, "events"):
+        t_us = int(e["ts"].timestamp() * 1_000_000)
+        for off in (0, half_us):
+            w_start = (t_us - off) // hour_us * hour_us + off
+            counts[w_start] += 1
+    expected = sorted(counts.items())
+    got = rows_as_tuples(stream_sliding_batch_twin(spark, sf_dir),
+                         ["w_start_us", "n_events"])
+    assert got == expected
+
+
+def test_resample_ffill_matches_python(spark, sf_dir):
+    """Daily last-value resample + forward fill on the global day grid."""
+    from mapreducewordcounting_spark.operators.temporal import (
+        time_resample_ffill,
+    )
+
+    evs = load_table_rows(sf_dir, "events")
+    closes: dict[tuple[int, object], tuple] = {}
+    days = set()
+    users = set()
+    for e in evs:
+        day = e["ts"].date()
+        days.add(day)
+        users.add(e["user_id"])
+        key = (e["user_id"], day)
+        mark = (e["ts"], e["event_id"])
+        if key not in closes or mark > closes[key][0]:
+            closes[key] = (mark, e["value"])
+    d0, d1 = min(days), max(days)
+    grid = [d0 + timedelta(days=i) for i in range((d1 - d0).days + 1)]
+    expected = []
+    for u in sorted(users):
+        last = None
+        for day in grid:
+            v = closes.get((u, day))
+            if v is not None:
+                last = v[1]
+            expected.append((u, day, last, v is None))
+    got = rows_as_tuples(time_resample_ffill(spark, sf_dir),
+                         ["user_id", "day", "close_value", "was_gap"])
+    assert got == sorted(expected)
+
+
+# ----------------------------------------------------------- ANN / RP
+
+
+def test_ann_rp_det_matches_python(spark, sf_dir):
+    """Deterministic random-hyperplane LSH from the documented rule
+    (sign p,d = parity of first hex nibble of md5('rp:<p>:<d>')),
+    4-bit bands, exact cosine re-rank, top-5 per query vec_id < 10."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_rp_det,
+    )
+
+    planes = np.array([
+        [1.0 if int(hashlib.md5(f"rp:{p}:{d}".encode())
+                    .hexdigest()[0], 16) % 2 == 0 else -1.0
+         for d in range(64)]
+        for p in range(16)])
+    rows = load_table_rows(sf_dir, "embeddings")
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    bits = (X @ planes.T >= 0).astype(int)  # n x 16
+    band_vals = np.array([
+        bits[:, 4 * b] * 8 + bits[:, 4 * b + 1] * 4
+        + bits[:, 4 * b + 2] * 2 + bits[:, 4 * b + 3]
+        for b in range(4)]).T  # n x 4
+    norms = np.sqrt((X * X).sum(axis=1))
+    by_id = {v: i for i, v in enumerate(ids)}
+    expected = []
+    for q in [v for v in ids if v < 10]:
+        qi = by_id[q]
+        cands = {
+            ids[ci] for ci in range(len(ids))
+            if ids[ci] != q and any(
+                band_vals[ci][b] == band_vals[qi][b] for b in range(4))}
+        scored = sorted(
+            ((float(X[qi] @ X[by_id[c]] / (norms[qi] * norms[by_id[c]])), c)
+             for c in cands),
+            key=lambda t: (-t[0], t[1]))
+        for rank, (cos, c) in enumerate(scored[:5], start=1):
+            expected.append((q, c, rank, cos))
+    got = rows_as_tuples(similarity_ann_rp_det(spark, sf_dir),
+                         ["query_id", "neighbor_id", "rank", "cosine"])
+    assert [r[:3] for r in got] == [r[:3] for r in sorted(expected)]
+    for g, e in zip(got, sorted(expected)):
+        assert abs(g[3] - e[3]) < TOL
