@@ -236,6 +236,32 @@ def test_contamination_5gram_matches_python(spark, sf_dir):
     assert got == expected
 
 
+def test_ngram_jaccard_values_match_python(spark, sf_dir):
+    """Exact 3-shingle Jaccard over all pairs at the 0.8 threshold —
+    complements test_hypothesis_dedup's prefix-filter-exactness check
+    with a value-level differential on the fixture."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    sh = {d: set(word_ngrams(t, 3)) for d, t in doc_tokens(sf_dir).items()}
+    sh = {d: s for d, s in sh.items() if s}
+    ids = sorted(sh)
+    expected = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter:
+                jac = inter / (len(sh[a]) + len(sh[b]) - inter)
+                if jac >= 0.8:
+                    expected.append((a, b, jac))
+    got = rows_as_tuples(dedup_ngram_jaccard(spark, sf_dir),
+                         ["id_a", "id_b", "jaccard"])
+    assert [r[:2] for r in got] == [r[:2] for r in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < 1e-12
+
+
 # ------------------------------------------------- fingerprint / lang-id
 
 

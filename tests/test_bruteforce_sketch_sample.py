@@ -349,7 +349,10 @@ def test_quantile_hist_est_matches_python(spark, sf_dir):
 
 
 def test_mm_decode_features_matches_python(spark, sf_dir):
+    """Covers BOTH decode paths (pandas-UDF mm_decode_features and the
+    Arrow-native mm_decode_arrow) — same documented semantics."""
     from mapreducewordcounting_spark.operators.multimodal import (
+        mm_decode_arrow,
         mm_decode_features,
     )
 
@@ -361,10 +364,9 @@ def test_mm_decode_features_matches_python(spark, sf_dir):
         agg[kind][2].add(_md5(d["text"]))
     expected = sorted(
         (k, n, b, len(hs)) for k, (n, b, hs) in agg.items())
-    got = rows_as_tuples(mm_decode_features(spark, sf_dir),
-                         ["kind", "n_assets", "total_bytes",
-                          "n_distinct_payloads"])
-    assert got == expected
+    cols = ["kind", "n_assets", "total_bytes", "n_distinct_payloads"]
+    assert rows_as_tuples(mm_decode_features(spark, sf_dir), cols) == expected
+    assert rows_as_tuples(mm_decode_arrow(spark, sf_dir), cols) == expected
 
 
 def test_mm_chunk_dedup_matches_python(spark, sf_dir):

@@ -1,0 +1,309 @@
+"""Mirrored-oracle inventory (VERDICT r5 item 4).
+
+Classifies EVERY oracled registry query by how independent its DuckDB
+oracle is from the Spark implementation:
+
+* ``independent`` — the oracle is declarative ANSI SQL a third party
+  would write from the query's spec, evaluated by DuckDB's own
+  operators (joins, aggregates, windows, native functions). A bug in
+  the Spark construction and a bug in the oracle would have to be made
+  twice, independently, to stay green.
+* ``mirrored`` — the oracle re-states the Spark construction: it is
+  generated from shared Python format strings, or both sides implement
+  the same custom multi-step algorithm (md5 banding, bit interleave,
+  bucket grids, unrolled iteration, shared formula constants). A
+  transcription error in the shared construction would pass the oracle
+  gate on both sides — so every mirrored oracle carries a
+  STRUCTURE-FREE differential: a plain-Python/numpy brute force of the
+  documented semantics (tests/test_bruteforce_*.py,
+  tests/test_hypothesis_*.py, tests/test_stats_natives.py).
+* ``probe`` — diagnostics whose oracle is self-referential BY DESIGN
+  (operators/probes.py): the mirroring is the measurement.
+
+`python tools/oracle_classes.py` regenerates the inventory table in
+TESTDATA.md; tests/test_oracle_inventory.py asserts the classification
+is total (no unclassified oracles) and that every mirrored entry's
+differential test exists.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: mirrored oracles -> (construction, structure-free differential)
+MIRRORED: dict[str, tuple[str, str]] = {
+    # --- md5 minhash / simhash banding
+    "dedup_minhash_det": (
+        "md5 hash family + 4x2 banding generated on both sides",
+        "test_bruteforce_dedup_text.py::test_minhash_det_matches_python"),
+    "dedup_minhash_estimate": (
+        "same banding + signature-agreement estimator",
+        "test_bruteforce_dedup_text.py::test_minhash_estimate_matches_python"),
+    "dedup_simhash_det": (
+        "64 generated vote sums / bit assembly / 16-bit band predicates",
+        "test_bruteforce_dedup_text.py::test_simhash_det_matches_python"),
+    "similarity_ann_rp_det": (
+        "md5-derived hyperplanes inlined into both sides; 4-bit bands",
+        "test_bruteforce_formulas.py::test_ann_rp_det_matches_python"),
+    # --- shingle constructions
+    "dedup_ngram_jaccard": (
+        "3-shingle inverted index + threshold on both sides",
+        "test_bruteforce_dedup_text.py::test_ngram_jaccard_values_match_python"
+        " (+ test_hypothesis_dedup.py::test_prefix_filter_join_is_exact)"),
+    "dedup_containment_pairs": (
+        "3-shingle inverted index + containment ratio",
+        "test_bruteforce_dedup_text.py::test_containment_pairs_match_python"),
+    "text_dup_ngram_coverage": (
+        "3-shingle document-frequency construction",
+        "test_bruteforce_dedup_text.py::test_dup_ngram_coverage_matches_python"),
+    "text_repetition_signals": (
+        "bigram-dup + top-token-fraction construction",
+        "test_bruteforce_dedup_text.py::test_repetition_signals_match_python"),
+    "contamination_5gram": (
+        "5-gram benchmark-set semi-join construction",
+        "test_bruteforce_dedup_text.py::test_contamination_5gram_matches_python"),
+    "text_fingerprint": (
+        "sha256 of space-joined canonical tokens",
+        "test_bruteforce_dedup_text.py::test_text_fingerprint_matches_python"),
+    "text_lang_id": (
+        "marker-word score table shared by both sides",
+        "test_bruteforce_dedup_text.py::test_lang_id_matches_python"),
+    "udtf_explode_bigrams": (
+        "bigram construction on both sides",
+        "test_bruteforce_dedup_text.py::test_explode_bigrams_matches_python"),
+    "sql_table_udf_trigrams": (
+        "char-trigram construction on both sides",
+        "test_bruteforce_dedup_text.py::test_table_udf_trigrams_matches_python"),
+    # --- deterministic sketches
+    "sketch_bloom_det": (
+        "md5 position math (4 x mod 2048) on both sides",
+        "test_bruteforce_sketch_sample.py::test_bloom_det_matches_python"),
+    "sketch_count_min_det": (
+        "md5 bucket math (4 x mod 8192) on both sides",
+        "test_bruteforce_sketch_sample.py::test_count_min_det_matches_python"),
+    "sketch_hll_det": (
+        "md5 register/rho math + alpha constant on both sides",
+        "test_bruteforce_sketch_sample.py::test_hll_det_matches_python"),
+    "agg_quantile_hist_est": (
+        "64-bin grid + interpolation formula on both sides",
+        "test_bruteforce_sketch_sample.py::test_quantile_hist_est_matches_python"),
+    # --- md5 sampling / splits
+    "sample_split_3way": (
+        "md5 %100 bucket split on both sides",
+        "test_bruteforce_sketch_sample.py::test_split_3way_matches_python"),
+    "sample_stratified_hash": (
+        "md5 %100 bucket + per-lang rate table",
+        "test_bruteforce_sketch_sample.py::test_stratified_hash_matches_python"),
+    "sample_per_group": (
+        "md5-ordered row_number construction",
+        "test_bruteforce_sketch_sample.py::test_per_group_matches_python"),
+    "sample_weighted_priority": (
+        "md5-uniform priority-sampling transform",
+        "test_bruteforce_sketch_sample.py::test_weighted_priority_matches_python"),
+    "shard_mix_entropy": (
+        "md5 %16 shard assignment + entropy formula",
+        "test_bruteforce_sketch_sample.py::test_shard_mix_entropy_matches_python"),
+    # --- fingerprints / layout
+    "validate_table_fingerprint": (
+        "md5 row-hash rendering + integer checksum on both sides",
+        "test_bruteforce_sketch_sample.py::test_table_fingerprint_matches_python"),
+    "fn_surrogate_keys": (
+        "md5 UUID-format key minting on both sides",
+        "test_bruteforce_sketch_sample.py::test_surrogate_keys_match_python"),
+    "layout_zorder": (
+        "8+8-bit Morton interleave on both sides",
+        "test_bruteforce_sketch_sample.py::test_zorder_matches_python"),
+    # --- multimodal
+    "mm_decode_features": (
+        "md5 payload digests + byte accounting",
+        "test_bruteforce_sketch_sample.py::test_mm_decode_features_matches_python"),
+    "mm_decode_arrow": (
+        "same semantics via the Arrow decode path",
+        "test_bruteforce_sketch_sample.py::test_mm_decode_features_matches_python"),
+    "mm_chunk_dedup_ratio": (
+        "64-char chunk md5 digests on both sides",
+        "test_bruteforce_sketch_sample.py::test_mm_chunk_dedup_matches_python"),
+    "mm_resize_stub": (
+        "shared synthetic-dimension arithmetic",
+        "test_bruteforce_sketch_sample.py::test_mm_resize_stub_matches_python"),
+    # --- text / training formulas
+    "text_token_entropy": (
+        "shared tokenizer + entropy decimal convention",
+        "test_bruteforce_formulas.py::test_token_entropy_matches_python"),
+    "text_unigram_logprob": (
+        "shared unigram-LM formula",
+        "test_bruteforce_formulas.py::test_unigram_logprob_matches_python"),
+    "text_tfidf": (
+        "shared idf smoothing constants",
+        "test_bruteforce_formulas.py::test_tfidf_matches_python"),
+    "text_bm25": (
+        "shared BM25 constants (k1, b) and formula",
+        "test_bruteforce_formulas.py::test_bm25_matches_python"),
+    "similarity_tfidf_pairs": (
+        "shared shingle weighting + df cap + cosine threshold",
+        "test_bruteforce_formulas.py::test_tfidf_pair_cosine_matches_python"),
+    "pipeline_training_data": (
+        "shared thresholds + md5 content-hash dedup",
+        "test_bruteforce_formulas.py::test_pipeline_training_data_matches_python"),
+    "quality_filter_report": (
+        "shared waterfall thresholds/order",
+        "test_bruteforce_formulas.py::test_quality_filter_report_matches_python"),
+    "lang_temperature_sampling": (
+        "shared temperature formula (alpha=0.3)",
+        "test_bruteforce_formulas.py::test_lang_temperature_matches_python"),
+    "text_token_ids": (
+        "shared vocab-ranking + id-mapping construction",
+        "test_bruteforce_formulas.py::test_token_ids_match_python"),
+    "pack_sequences_offset": (
+        "shared cumulative-offset packing arithmetic",
+        "test_bruteforce_formulas.py::test_pack_sequences_offset_matches_python"),
+    "drift_psi_value": (
+        "shared 10-bucket grid + 0.5-smoothing PSI formula",
+        "test_bruteforce_formulas.py::test_psi_matches_python"),
+    "pagerank_nation_trade": (
+        "oracle unrolled from the same update formula",
+        "test_bruteforce_formulas.py::test_pagerank_matches_numpy_power_iteration"),
+    "stream_sliding_batch_twin": (
+        "window-offset enumeration shared by both sides",
+        "test_bruteforce_formulas.py::test_sliding_window_matches_python"),
+    "time_resample_ffill": (
+        "shared day-grid + forward-fill construction",
+        "test_bruteforce_formulas.py::test_resample_ffill_matches_python"),
+    # --- temporal / spatial / graph (r5 hypothesis differentials)
+    "join_interval_overlap": (
+        "(key, time-cell) bucketing on both sides",
+        "test_hypothesis_temporal.py::test_overlap_pairs_match_bruteforce"),
+    "interval_max_concurrency": (
+        "+1/-1 boundary-sweep construction on both sides",
+        "test_hypothesis_temporal.py::test_max_concurrency_matches_bruteforce"),
+    "join_spatial_neighbors": (
+        "grid-snap bucketing on both sides",
+        "test_hypothesis_graph.py::test_spatial_pairs_match_bruteforce"),
+    "scd2_event_intervals": (
+        "gaps-and-islands construction on both sides",
+        "test_hypothesis_graph.py::test_scd2_islands_match_linear_walk"),
+    "graph_triangle_count": (
+        "oriented-edge 2-path closure on both sides",
+        "test_hypothesis_graph.py::test_triangle_counts_match_bruteforce"),
+    "embedding_quantize_int8": (
+        "shared quantization grid",
+        "test_hypothesis_dedup.py::test_quantize_codes_in_range"),
+    # --- closed-form stats (shared formula strings; ADVICE r5)
+    "agg_stats_moments": (
+        "oracle generated from the same _SUFF/_MOMENT strings",
+        "test_stats_natives.py::test_moments_match_spark_natives"
+        " (+ numpy brute force)"),
+    "agg_regression": (
+        "oracle generated from the same _REGR strings",
+        "test_stats_natives.py::test_regression_match_spark_natives"
+        " (+ numpy brute force)"),
+    "agg_higher_moments": (
+        "oracle generated from the same power-sum strings",
+        "test_stats_natives.py::test_higher_moments_match_spark_natives"
+        " (+ numpy brute force)"),
+}
+
+#: notable independent-formulation rationales (everything oracled and
+#: not in MIRRORED or probe-prefixed is independent; these rows carry
+#: a more specific reason than the default)
+INDEPENDENT_NOTES: dict[str, str] = {
+    "dedup_clusters": "min-label propagation loop vs recursive-CTE "
+                      "reachability — different algorithms",
+    "sql_recursive_hierarchy": "native recursion on both engines",
+    "stream_tumbling_batch_twin": "Spark window() vs DuckDB "
+                                  "time_bucket() — native on each side",
+    "stream_session_batch_twin": "Spark session_window() vs SQL "
+                                 "gaps-and-islands — different "
+                                 "formulations",
+    "dedup_fuzzy_edit_distance": "native levenshtein on both engines",
+    "dedup_embedding_cosine": "block-matrix BLAS vs SQL list cosine — "
+                              "different formulations",
+    "similarity_topk_bruteforce": "expression-tree dot product vs SQL "
+                                  "list ops",
+    "contamination_embedding": "broadcast argmax vs SQL list ops",
+    "embedding_centroid_summary": "posexplode aggregate vs SQL list ops",
+    "dedup_exact": "sha2 content hash is a public standard; grouping "
+                   "is declarative on both sides",
+    "fn_hash_digests": "md5/sha256 are public standards with "
+                       "independent engine implementations",
+}
+
+DEFAULT_INDEPENDENT = ("declarative ANSI twin; engines plan and "
+                       "evaluate independently")
+
+
+def classify() -> dict[str, tuple[str, str]]:
+    """name -> (class, note/differential) for every ORACLED query."""
+    from mapreducewordcounting_spark.registry import all_queries
+
+    out: dict[str, tuple[str, str]] = {}
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        if name in MIRRORED:
+            cons, diff = MIRRORED[name]
+            out[name] = ("mirrored", f"{cons} -> {diff}")
+        elif name.startswith("probe_"):
+            out[name] = ("probe", "self-referential by design — the "
+                                  "mirroring IS the measurement "
+                                  "(operators/probes.py)")
+        else:
+            out[name] = ("independent",
+                         INDEPENDENT_NOTES.get(name, DEFAULT_INDEPENDENT))
+    return out
+
+
+MARK_BEGIN = "<!-- ORACLE-INVENTORY:BEGIN (generated by tools/oracle_classes.py) -->"
+MARK_END = "<!-- ORACLE-INVENTORY:END -->"
+
+
+def render_table() -> str:
+    cls = classify()
+    n_mir = sum(1 for c, _ in cls.values() if c == "mirrored")
+    n_ind = sum(1 for c, _ in cls.values() if c == "independent")
+    n_prb = sum(1 for c, _ in cls.values() if c == "probe")
+    lines = [
+        MARK_BEGIN,
+        "",
+        "## Oracle-independence inventory (VERDICT r5 item 4)",
+        "",
+        f"All {len(cls)} oracled queries classified: {n_ind} independent "
+        f"formulations, {n_mir} construction-mirroring (each with a "
+        f"structure-free brute-force differential), {n_prb} by-design "
+        f"self-referential probes. Regenerate with "
+        f"`python tools/oracle_classes.py`; completeness is asserted by "
+        f"`tests/test_oracle_inventory.py`.",
+        "",
+        "| query | class | mirrored construction → differential / note |",
+        "|---|---|---|",
+    ]
+    for name in sorted(cls):
+        c, note = cls[name]
+        lines.append(f"| {name} | {c} | {note} |")
+    lines += ["", MARK_END]
+    return "\n".join(lines)
+
+
+def main() -> int:
+    path = os.path.join(REPO, "TESTDATA.md")
+    with open(path) as f:
+        doc = f.read()
+    table = render_table()
+    if MARK_BEGIN in doc:
+        doc = re.sub(re.escape(MARK_BEGIN) + r".*?" + re.escape(MARK_END),
+                     table, doc, flags=re.S)
+    else:
+        doc = doc.rstrip() + "\n\n" + table + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
+    print(f"wrote inventory ({len(classify())} oracles) into {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
