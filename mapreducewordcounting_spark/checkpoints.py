@@ -13,7 +13,7 @@ two classes:
   once — to materialize iteration k+1's checkpoint — and is garbage
   the moment that successor exists. Without an explicit unpersist, a
   10-iteration pagerank leaves 10 pinned rank snapshots per call in a
-  long-lived session (bench's 4x invocation, verify_full's 251-query
+  long-lived session (bench's 4x invocation, verify_full's registry-wide
   sweep). :class:`CheckpointRotator` unpersists each superseded step
   as soon as its successor is eagerly materialized, and
   :meth:`CheckpointRotator.release` drops loop-scoped scratch (the

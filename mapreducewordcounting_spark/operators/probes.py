@@ -476,3 +476,73 @@ def probe_fn_temporal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(F.date_add(d0, (k * 100).cast("int"))).cast("long")
         .alias("yr"),
     )
+
+
+@register(
+    "probe_fn_list_agg_order",
+    oracle="""
+        WITH l AS (SELECT list(r_name ORDER BY r_regionkey DESC)
+                       AS names FROM region)
+        SELECT u.i AS pos, names[u.i] AS name
+        FROM l, LATERAL (SELECT unnest(range(1, len(names) + 1)) AS i)
+                    u(i)
+    """,
+    tags=("probe", "diagnostics", "dialect"),
+)
+def probe_fn_list_agg_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect probe (VERDICT r5 item 7): ORDERED list aggregation and
+    positional unnest — the idiom the production oracles lean on in
+    ``list(tid ORDER BY pos)`` (text_token_ids) and the 1-based
+    ``names[i]`` element access (token/shingle builders). A driver-side
+    DuckDB upgrade that changed list() ordering guarantees or element
+    indexing would flip this probe before it silently corrupted the
+    production oracles. Spark side: order is made explicit via
+    sort_array over (key, value) structs + reverse — collect_list's
+    raw order is NOT relied on."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    asc = F.array_sort(F.collect_list(
+        F.struct(F.col("r_regionkey").alias("k"),
+                 F.col("r_name").alias("v"))))
+    names = F.reverse(F.transform(asc, lambda s: s["v"]))
+    return (r.agg(names.alias("names"))
+            .select(F.posexplode("names").alias("pos0", "name"))
+            .select((F.col("pos0") + 1).cast("long").alias("pos"), "name"))
+
+
+#: shared fixture for the collation probe — mixed digits/upper/._/lower
+#: so every boundary of the binary (codepoint) order is exercised
+_COLLATION_VALUES = ("apple", "Apple", "APPLE", "banana", "_underscore",
+                     "0zero", "~tilde", "zebra", "Zebra", "apple pie")
+
+
+@register(
+    "probe_fn_collation_minmax",
+    oracle=f"""
+        WITH s AS (SELECT unnest([{", ".join(repr(v) for v in _COLLATION_VALUES)}]) AS v)
+        SELECT min(v) AS min_v, max(v) AS max_v,
+               array_to_string(list_sort(list(v)), '|') AS sorted_all,
+               CAST(sum(CASE WHEN v < 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_below_lower_a
+        FROM s
+    """,
+    tags=("probe", "diagnostics", "dialect"),
+)
+def probe_fn_collation_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect probe (VERDICT r5 item 7): string collation under
+    min/max, '<' comparison, and whole-set sort on a fixture spanning
+    digit/upper/underscore/lower/tilde/space boundaries. Both engines
+    must order by binary UTF-8 codepoint (digits < upper < '_' <
+    lower < '~'; space sorts before every printable letter, so
+    'apple pie' < 'apple'+anything). A driver-side DuckDB upgrade that
+    switched the default collation (e.g. to ICU) would flip min/max
+    here before it silently re-ordered any production string sort."""
+    vals = spark.createDataFrame([(v,) for v in _COLLATION_VALUES],
+                                 "v string")
+    return vals.agg(
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.array_join(F.array_sort(F.collect_list("v")), "|")
+        .alias("sorted_all"),
+        F.sum(F.when(F.col("v") < "a", 1).otherwise(0)).cast("bigint")
+        .alias("n_below_lower_a"),
+    )

@@ -105,7 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     'probe_type_null_mixed', 'probe_type_string_date_bool',
     'probe_env_pyarrow_version', 'probe_env_pandas_version',
     'probe_fn_hash_digits', 'probe_fn_split_sort',
-    'probe_fn_temporal_arith', 'sink_partitioned_prune',
+    'probe_fn_temporal_arith', 'probe_fn_list_agg_order',
+    'probe_fn_collation_minmax', 'sink_partitioned_prune',
     'stream_partitioned_sink', 'mm_metadata_stats', 'agg_filter_clause',
     'source_csv_roundtrip',
     'fn_trig', 'validate_table_fingerprint', 'join_runtime_bloom_smj',

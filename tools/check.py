@@ -9,7 +9,7 @@ simulation want clean SparkSessions):
   1. tools/plan_audit.py    -> PLANS_audit.json   (plan invariants)
   2. tools/forensics.py     -> FORENSICS.json     (env + oracle digest)
   3. tools/verify_full.py   -> CORRECTNESS_local_full.json
-                               (251-query driver simulation, sf0.01)
+                               (registry-wide driver simulation, sf0.01)
 
 Exit code is non-zero if ANY stage regresses: a plan invariant breaks,
 a forensic probe mismatches, or any registry query fails its oracle.
