@@ -336,6 +336,10 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"mrwc_state_{uuid.uuid4().hex[:8]}"
+    # Deliberately NOT under _stream_partitions: this operator's cost is
+    # the Arrow/pandas worker round-trip, not JVM state-store setup, so
+    # shuffle-partition count here is Python parallelism (A/B at sf0.1:
+    # 1.8 s at 32 partitions vs 4.5 s at 4).
     q = (
         counted.writeStream.format("memory").queryName(sink)
         .outputMode("update").trigger(availableNow=True).start()
@@ -413,9 +417,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") < F.col("e_ts")),
     ).select("e_id", "p_id", "e_user")
     sink = f"mrwc_ssj_{uuid.uuid4().hex[:8]}"
-    q = (joined.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    # A two-sided stream join keeps FOUR state stores per shuffle
+    # partition; at 32 partitions the fixed per-store setup cost
+    # dominated this fixture (measured 7.6 s → 2.6 s median at 4).
+    with _stream_partitions(spark):
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(sink)
 
 
