@@ -5,6 +5,8 @@ this test names the hole."""
 
 from __future__ import annotations
 
+import os
+
 from mapreducewordcounting_spark.registry import all_queries
 
 #: §2.2 category → representative registered queries
@@ -186,3 +188,18 @@ def test_oracle_coverage_ratio():
     specs = all_queries()
     oracled = sum(1 for s in specs.values() if s.oracle is not None)
     assert oracled / len(specs) >= 0.75, (oracled, len(specs))
+
+
+def test_rotation_audit_no_wasted_slots():
+    """tools/rotate_window.py --check: while never-externally-sampled
+    oracled queries remain, no coverage slot in the window head may
+    re-sample a query that already fully passed a driver round
+    (VERDICT r5 item 1 — the probe-slot waste this guards against)."""
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "rotate_window.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stdout + proc.stderr

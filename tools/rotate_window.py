@@ -1,0 +1,126 @@
+"""Driver-window rotation audit + next-round proposal.
+
+The driver's CORRECTNESS artifact samples the first ~50 entries of
+``registry.queries()`` each round, and the window rotates so external
+evidence accumulates toward all-queries-sampled (VERDICT r3 item 4,
+r5 item 1). This tool makes the rotation auditable and mechanical:
+
+    python tools/rotate_window.py            # audit + proposal
+    python tools/rotate_window.py --check    # audit only, exit != 0
+                                             # on a wasted window slot
+
+It reads every CORRECTNESS_r*.json at the repo root, computes per
+query (a) whether it was ever sampled and (b) whether it ever fully
+passed (rows+schema+hash), then:
+
+  * AUDITS the current window: every slot in the first 48 positions
+    should be a never-sampled fully-oracled query (coverage push) or
+    a documented canary; a slot spent re-sampling an already-passing
+    query while never-sampled oracled queries remain is flagged.
+  * PROPOSES the next-round head: the remaining never-sampled oracled
+    queries first (registry order), then the canary pair, then
+    ever-failed-but-now-locally-green queries for re-confirmation,
+    then everything else (previously-passing, then rows-only last).
+
+The proposal is printed as a ready-to-paste Python tuple body; the
+builder still applies it by editing ``registry._PRIORITY`` (the order
+is a reviewed, committed artifact — not something to mutate at import
+time, which would make each round's window depend on which artifacts
+happen to sit in the working tree).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WINDOW = 50          # driver samples this many entries per round
+COVERAGE_SLOTS = 48  # head slots reserved for the coverage push
+CANARY = ("probe_env_duckdb_version", "probe_type_hugeint_sum_uncast")
+
+
+def load_history() -> dict[str, dict[str, bool]]:
+    """name -> {sampled: bool, full_pass_ever: bool} across rounds."""
+    hist: dict[str, dict[str, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            data = json.load(f)
+        for name, rec in data.items():
+            h = hist.setdefault(name, {"sampled": False, "full_pass": False})
+            h["sampled"] = True
+            if (rec.get("rows_match") and rec.get("schema_match")
+                    and rec.get("hash_match")):
+                h["full_pass"] = True
+    return hist
+
+
+def main() -> int:
+    check_only = "--check" in sys.argv
+
+    from mapreducewordcounting_spark import registry
+    specs = registry.all_queries()
+    order = list(specs)
+    hist = load_history()
+
+    never_sampled = [n for n in order if not hist.get(n, {}).get("sampled")]
+    never_sampled_oracled = [n for n in never_sampled if specs[n].oracle]
+    ever_failed = [n for n, h in hist.items()
+                   if h["sampled"] and not h["full_pass"]
+                   and n in specs and specs[n].oracle]
+
+    window = order[:WINDOW]
+    wasted = [
+        n for n in window[:COVERAGE_SLOTS]
+        if n not in CANARY
+        and hist.get(n, {}).get("full_pass")
+    ] if never_sampled_oracled else []
+    # Slots re-sampling a passing query are only "wasted" while
+    # never-sampled oracled queries still exist to put there.
+    wasted = [n for n in wasted
+              if len(never_sampled_oracled) > 0]
+
+    print(f"registry: {len(order)} queries "
+          f"({sum(1 for n in order if specs[n].oracle)} oracled)")
+    print(f"ever sampled: {sum(1 for h in hist.values() if h['sampled'])}  "
+          f"ever full-pass: {sum(1 for h in hist.values() if h['full_pass'])}")
+    print(f"never sampled: {len(never_sampled)} "
+          f"({len(never_sampled_oracled)} oracled)")
+    print(f"sampled-but-never-full-pass (oracled): {sorted(ever_failed)}")
+    print(f"current window head ({COVERAGE_SLOTS} coverage slots): "
+          f"{len(wasted)} wasted -> {wasted or 'OK'}")
+
+    if check_only:
+        return 1 if wasted else 0
+
+    # -------- next-round proposal --------
+    in_window = set(window)
+    nxt: list[str] = []
+    nxt += [n for n in never_sampled_oracled if n not in in_window]
+    nxt += [n for n in never_sampled_oracled if n in in_window]
+    head = nxt[:COVERAGE_SLOTS]
+    used = set(head)
+    head += [c for c in CANARY if c not in used]
+    used.update(CANARY)
+    tail: list[str] = []
+    tail += [n for n in order if n not in used and n in set(ever_failed)]
+    tail += [n for n in order
+             if n not in used and n not in set(ever_failed) and specs[n].oracle]
+    tail += [n for n in order if n not in used and not specs[n].oracle
+             and n not in tail]
+    proposal = head + [n for n in tail if n not in used]
+
+    print("\n# proposed next-round _PRIORITY head "
+          f"({len([n for n in head if n not in CANARY])} coverage + canary):")
+    for i in range(0, len(proposal), 4):
+        chunk = ", ".join(repr(n) for n in proposal[i:i + 4])
+        print(f"    {chunk},")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
