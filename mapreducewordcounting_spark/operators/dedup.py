@@ -248,7 +248,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=None,  # LSH buckets are hash-seeded and engine-specific;
     # tests/test_dedup.py checks recall vs dedup_ngram_jaccard instead.
-    tags=("dedup", "neardup", "lsh", "approx"),
+    tags=("dedup", "neardup", "lsh", "approx", "ml-fit"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates — the 100 TB path: fixed-size

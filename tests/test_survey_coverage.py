@@ -203,3 +203,17 @@ def test_rotation_audit_no_wasted_slots():
          "--check"],
         capture_output=True, text=True, timeout=120)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_bench_outlier_guard():
+    """tools/bench_outliers.py --check: every >2x-of-family-peer row in
+    the sf0.1 sweep is either iterative/ml tier or carries a reviewed
+    acknowledgement (VERDICT r5 item 3's standing rule, mechanical)."""
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "bench_outliers.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -1,0 +1,118 @@
+"""Family-peer outlier detection over the registry-wide sweep.
+
+    python tools/bench_outliers.py [--check]
+
+VERDICT r5 item 3's standing rule: every query has a recorded sf0.1
+wall time (BENCH_FULL_sf01.json, from tools/bench_full.py), and any
+row >2x the median of its family peers gets an explicit look (the
+join_interval_overlap / stream_stream_join treatment). This tool
+computes that comparison from the registry's own tags so the rule is
+mechanical rather than eyeballed.
+
+Family = first tag of each QuerySpec (the same grouping
+test_priority_window_is_broad_and_oracled counts). Families with < 3
+members have no meaningful peer median and are skipped. Iterative /
+ML-fit queries (tagged 'iterative' or 'ml-fit' anywhere in tags) are
+reported separately: multi-pass algorithms are not comparable to
+single-pass peers and carry their own tier in BENCH_DETAIL.json.
+
+--check exits non-zero when a NON-exempt outlier exists AND is not in
+ACKNOWLEDGED below (each entry names the reason it is allowed to stay
+slow; remove the entry when the query is fixed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+THRESHOLD = 2.0
+#: sub-absolute-floor rows never flag: at sf0.1 a <1.5 s query is
+#: dominated by fixed per-query overhead (job setup, codegen, the
+#: single-sample sweep's variance), and "2x a 0.2 s filter" is not a
+#: scale signal. The floor is for triage; the ratio is the rule.
+ABS_FLOOR_SEC = 1.5
+
+#: name -> reason this >2x-of-peers row is accepted (reviewed, not
+#: ignored). Keep this list SHORT — every entry is a standing debt.
+ACKNOWLEDGED: dict[str, str] = {
+    "stream_incremental_ingest": "4 foreachBatch micro-batches, each an "
+                                 "anti-join + parquet append; streaming "
+                                 "plumbing dominates at fixture scale",
+    "pyds_stream_ledger": "custom Python streaming source round-trip; "
+                          "per-batch Python RPC is the cost being "
+                          "demonstrated",
+    "basket_pair_affinity": "BEATS its own BASELINE.md row (2.5 s); the "
+                            "per-order pair fan-out IS the workload and "
+                            "the map-side generation is already the "
+                            "2-shuffle minimal form",
+    "join_bucketed": "stages two bucketed+sorted table WRITES before the "
+                     "exchange-free join it demonstrates; the join "
+                     "itself is sub-second",
+    "source_csv_permissive": "writes then re-reads a CSV with planted "
+                             "corrupt rows in PERMISSIVE + badRecords "
+                             "modes; per-row parse+quarantine is the "
+                             "semantics under test",
+}
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    with open(os.path.join(REPO, "BENCH_FULL_sf01.json")) as f:
+        bench = json.load(f)
+    times = bench["queries"]
+
+    from mapreducewordcounting_spark import registry
+    specs = registry.all_queries()
+
+    fams: dict[str, list[str]] = {}
+    exempt: set[str] = set()
+    for name, spec in specs.items():
+        if name not in times:
+            continue
+        tags = tuple(spec.tags or ("untagged",))
+        if any(t in ("iterative", "ml-fit", "ml") for t in tags):
+            exempt.add(name)
+        fams.setdefault(tags[0], []).append(name)
+
+    rows = []
+    for fam, names in sorted(fams.items()):
+        if len(names) < 3:
+            continue
+        med = statistics.median(times[n] for n in names)
+        if med <= 0:
+            continue
+        for n in names:
+            ratio = times[n] / med
+            if ratio > THRESHOLD and times[n] >= ABS_FLOOR_SEC:
+                rows.append((n, fam, times[n], med, ratio,
+                             n in exempt, ACKNOWLEDGED.get(n)))
+
+    unresolved = []
+    for n, fam, t, med, ratio, is_exempt, ack in sorted(
+            rows, key=lambda r: -r[4]):
+        status = ("iterative/ml tier" if is_exempt
+                  else f"acknowledged: {ack}" if ack else "UNRESOLVED")
+        print(f"{n}: {t:.2f}s vs family '{fam}' median {med:.2f}s "
+              f"({ratio:.1f}x) — {status}")
+        if not is_exempt and not ack:
+            unresolved.append(n)
+
+    stale = [n for n in ACKNOWLEDGED
+             if n in times
+             and all(n != r[0] for r in rows)]
+    for n in stale:
+        print(f"stale acknowledgement (no longer an outlier): {n}")
+
+    if not rows:
+        print("no family-peer outliers")
+    return 1 if (check and unresolved) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
