@@ -307,3 +307,108 @@ def join_pit_versioned_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cur.since_us").alias("since_us"),
         )
     )
+
+
+#: snapshot_diff_audit's deterministic delta spec (shared INPUT
+#: construction, like every fixture-derived query — the algorithm
+#: under test is the diff itself): B drops key%13==0, bumps acctbal
+#: by +100.0 for key%7==0 survivors, and appends key%17==0 rows
+#: re-keyed +10M (collision-free at any fixture SF).
+_DIFF_DROP_MOD = 13
+_DIFF_BUMP_MOD = 7
+_DIFF_ADD_MOD = 17
+_DIFF_KEY_OFFSET = 10_000_000
+
+
+@register(
+    "snapshot_diff_audit",
+    oracle=f"""
+        WITH a AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        b AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % {_DIFF_BUMP_MOD} = 0
+                        THEN c_acctbal + 100.0 ELSE c_acctbal END
+                       AS c_acctbal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % {_DIFF_DROP_MOD} <> 0
+            UNION ALL
+            SELECT c_custkey + {_DIFF_KEY_OFFSET}, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % {_DIFF_ADD_MOD} = 0),
+        lab AS (
+            SELECT coalesce(a.c_mktsegment, b.c_mktsegment)
+                       AS c_mktsegment,
+                   CASE WHEN a.c_custkey IS NULL THEN 'added'
+                        WHEN b.c_custkey IS NULL THEN 'removed'
+                        WHEN a.c_acctbal IS DISTINCT FROM b.c_acctbal
+                             OR a.c_mktsegment
+                                IS DISTINCT FROM b.c_mktsegment
+                        THEN 'changed'
+                        ELSE 'unchanged' END AS st
+            FROM a FULL JOIN b ON a.c_custkey = b.c_custkey)
+        SELECT c_mktsegment,
+               count(*) FILTER (WHERE st = 'added')     AS n_added,
+               count(*) FILTER (WHERE st = 'removed')   AS n_removed,
+               count(*) FILTER (WHERE st = 'changed')   AS n_changed,
+               count(*) FILTER (WHERE st = 'unchanged') AS n_unchanged
+        FROM lab GROUP BY 1
+    """,
+    tags=("cdc", "diff", "reconciliation", "audit"),
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation between two table snapshots — the
+    audit that backs every "did the nightly rebuild change what we
+    expected?" question: per segment, how many rows were added,
+    removed, changed (any tracked column differs, null-safely), or
+    untouched. Snapshot B is derived deterministically from A (delta
+    spec in ``_DIFF_*`` above) so the query is oracle-checkable; in
+    production A and B are two table versions and everything from the
+    full-outer join down is unchanged.
+
+    Shape: ONE full-outer join on the key + one aggregate — both
+    snapshots hash-partition on the key, so at 100 TB this is the
+    same two-exchange plan as ``merge_upsert_customers``, and change
+    detection stays columnar (no row-Python). The +100.0 double add
+    is a single IEEE op, bit-identical in both engines; presence is
+    tracked with explicit indicator columns, not NULL-ness of data
+    columns (a NULL acctbal in a present row must not read as
+    absence)."""
+    a = (load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_acctbal", "c_mktsegment"))
+    key = F.col("c_custkey")
+    b = (
+        a.filter(key % _DIFF_DROP_MOD != 0)
+        .select(
+            "c_custkey",
+            F.when(key % _DIFF_BUMP_MOD == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+            "c_mktsegment")
+        .unionByName(
+            a.filter(key % _DIFF_ADD_MOD == 0)
+            .select((key + _DIFF_KEY_OFFSET).alias("c_custkey"),
+                    "c_acctbal", "c_mktsegment"))
+    )
+    left = a.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("a_bal"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.lit(1).alias("in_a"))
+    right = b.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("b_bal"),
+        F.col("c_mktsegment").alias("b_seg"),
+        F.lit(1).alias("in_b"))
+    d = left.join(right, "k", "full_outer")
+    st = (
+        F.when(F.col("in_a").isNull(), "added")
+        .when(F.col("in_b").isNull(), "removed")
+        .when(~F.col("a_bal").eqNullSafe(F.col("b_bal"))
+              | ~F.col("a_seg").eqNullSafe(F.col("b_seg")), "changed")
+        .otherwise("unchanged"))
+    return (
+        d.select(F.coalesce("a_seg", "b_seg").alias("c_mktsegment"),
+                 st.alias("st"))
+        .groupBy("c_mktsegment")
+        .agg(*[F.count(F.when(F.col("st") == s, 1)).alias(f"n_{s}")
+               for s in ("added", "removed", "changed", "unchanged")])
+    )

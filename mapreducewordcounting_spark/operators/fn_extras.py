@@ -212,6 +212,15 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("fn", "ansi", "try"),
 )
+#: integral-string pre-guard for try_cast(string AS int): optional
+#: sign + digits, surrounded by the EXACT character class Spark's
+#: ANSI string->int cast trims (UTF8String.trimAll: code points
+#: <= U+0020). A string failing this regex can never cast, so
+#: try_cast only runs where it can at worst hit the (rare) int-range
+#: overflow — never the per-row parse-failure exception.
+_INT_CASTABLE = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+
+
 def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe arithmetic surface: ``try_divide`` and ``try_cast``
     turn would-be runtime errors (division by zero, malformed casts)
@@ -219,16 +228,29 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad row while ANSI mode still catches real bugs elsewhere. The
     oracle states the NULL semantics explicitly (nullif guard, strict
     TRY_CAST), pinning that Spark's try_* family is *strict* — the
-    full-string cast of '1-URGENT' is NULL, not 1."""
+    full-string cast of '1-URGENT' is NULL, not 1.
+
+    Scale note (measured): ``try_cast``'s failure path raises and
+    catches a JVM exception PER ROW — on this fixture, where every
+    full-string cast fails, the bare form cost ~1.0 s of the 1.6 s
+    query (vs 0.2 s with the aggregate removed); on a 100 TB dirty
+    column it would dominate the job. The guarded form below
+    (``_INT_CASTABLE`` rlike, matching Spark's exact trim set, then
+    try_cast) keeps try_* NULL semantics bit-identical while the
+    exception path fires only for integral-looking strings that
+    overflow int range: 1.6 s -> 0.25 s, same oracle-checked output.
+    The successful-parse path (``prio_num``) needs no guard —
+    success is exception-free."""
     o = load_table(spark, sf_dir, "orders")
     ratio = F.try_divide("o_totalprice", F.col("o_custkey") % 7)
+    pri = F.col("o_orderpriority")
     return o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.count(ratio).alias("n_divisible"),
         F.avg(ratio).alias("avg_ratio"),
         F.max(F.split_part("o_orderpriority", F.lit("-"), F.lit(1))
               .try_cast("int")).alias("prio_num"),
-        F.count(F.col("o_orderpriority").try_cast("int"))
+        F.count(F.when(pri.rlike(_INT_CASTABLE), pri).try_cast("int"))
         .alias("n_full_castable"),
     )
 

@@ -20,7 +20,7 @@ shuffle per step).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
@@ -346,6 +346,107 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     nodes = tri.select(
         F.explode(F.array("a", "b", "c")).alias("node"))
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+#: BFS depth bound — bounds both the Spark relaxation loop and the
+#: oracle's recursive CTE (with cycles, the CTE needs an explicit cap).
+BFS_MAX_HOPS = 6
+
+#: "major trade lane" edge filter: keep edges whose weight is at least
+#: this multiple of the mean edge weight. The threshold is computed
+#: FROM the data on both sides (one exact-integer mean), so the
+#: subgraph is engine-identical without a hardcoded, SF-dependent cut.
+BFS_EDGE_MULT = 1.1
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+        WITH RECURSIVE w AS MATERIALIZED (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   count(*) AS wt
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+        e AS MATERIALIZED (
+            SELECT src, dst FROM w
+            WHERE wt >= (SELECT {BFS_EDGE_MULT} * avg(wt) FROM w)),
+        r(node, hops) AS (
+            SELECT 0, 0
+            UNION
+            SELECT e.dst, r.hops + 1
+            FROM r JOIN e ON e.src = r.node
+            WHERE r.hops < {BFS_MAX_HOPS}
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(min(hops) AS BIGINT) AS hops
+        FROM r GROUP BY node
+    """,
+    tags=("iterative", "graph", "bfs", "shortest-path"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop BFS distances from nation 0 over the CYCLIC
+    major-trade-lane graph (edges ≥ {BFS_EDGE_MULT}× mean weight) —
+    the shortest-path primitive ``sql_recursive_hierarchy``'s
+    docstring reserves for the iterative loop: Spark's ``WITH
+    RECURSIVE`` is UNION ALL-only, so a cyclic graph would recurse
+    forever there, while the loop below converges by keyed ``min``.
+
+    Spark side: |frontier ∪ dist| is re-minimized per hop — each
+    iteration is one dimension-sized join + groupBy(min), checkpointed
+    via the rotator so lineage stays flat and superseded snapshots
+    unpersist. The oracle is an independent formulation: a recursive
+    CTE under DuckDB's set-semantics UNION (which bounds the walk
+    enumeration at |nodes|×|hops| states where UNION ALL would
+    enumerate exponentially many walks), then ``min(hops)`` outside.
+
+    Scale posture: hop-bounded BFS over a billion-edge graph is
+    |hops| shuffles of the frontier against the hash-partitioned edge
+    list; the edge build (the only fact-sized stage) is the same star
+    join PageRank uses. The mean threshold is an exact-integer sum
+    (Σ bigint counts < 2^53), so the double mean is bit-identical in
+    any partition order on both engines."""
+    edges = trade_edges(spark, sf_dir)  # (src, dst, weight=count)
+    w_all = Window.partitionBy()  # |nations|² rows max — tiny
+    e = (edges
+         .withColumn("thr", F.avg("weight").over(w_all) * BFS_EDGE_MULT)
+         .filter(F.col("weight") >= F.col("thr"))
+         .select("src", "dst"))
+    nation = load_table(spark, sf_dir, "nation")
+    sources = nation.filter(F.col("n_nationkey") == 0).select(
+        F.col("n_nationkey").alias("node"))
+    return bfs_min_hops(e, sources)
+
+
+def bfs_min_hops(edges: DataFrame, sources: DataFrame,
+                 max_hops: int = BFS_MAX_HOPS) -> DataFrame:
+    """Library form of the hop-bounded BFS: minimum hop count from any
+    row of ``sources`` (column ``node``) to every reachable node of
+    the directed ``edges`` (columns ``src``/``dst``), cycles allowed.
+    Returns (node BIGINT, hops BIGINT). The structure-free
+    differential (tests/test_hypothesis_graph.py) drives this on
+    arbitrary random graphs against a plain-Python queue BFS, since
+    the production oracle shares the edge-threshold input
+    construction with the query."""
+    spark = edges.sparkSession
+    scratch = CheckpointRotator(spark)   # edge list: reused every hop
+    steps = CheckpointRotator(spark)     # per-hop distance snapshots
+    e = scratch.rotate(edges.select("src", "dst"))
+    dist = sources.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("hops"))
+    for _ in range(max_hops):
+        step = (dist.join(e, dist["node"] == e["src"])
+                .select(e["dst"].cast("bigint").alias("node"),
+                        (dist["hops"] + 1).alias("hops")))
+        dist = steps.rotate(
+            dist.unionByName(step)
+            .groupBy("node").agg(F.min("hops").alias("hops")))
+    scratch.release()  # returned plan reads only the final snapshot
+    steps.keep()       # ...which must stay pinned for the caller
+    return dist
 
 
 @register(

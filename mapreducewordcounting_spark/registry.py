@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     'fn_collation_group', 'time_gapfill_weekly', 'sql_table_udf_trigrams',
     'stream_sliding_batch_twin',
     'stream_session_batch_twin', 'pyds_wordcount', 'pagerank_nation_trade',
+    'graph_bfs_hops', 'snapshot_diff_audit', 'shard_assign_balanced',
     'probe_type_bigint_sum_cast',
     'probe_type_decimal_raw', 'probe_type_double_negzero',
     'probe_type_bigint', 'probe_type_double',

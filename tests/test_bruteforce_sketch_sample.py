@@ -415,3 +415,37 @@ def test_mm_resize_stub_matches_python(spark, sf_dir):
         (r[0], r[1], r[2], r[4]) for r in sorted(expected)]
     for g, e in zip(got, sorted(expected)):
         assert abs(g[3] - e[3]) < 1e-12
+
+
+# ------------------------------------------- balanced shard assignment
+
+
+def test_shard_assign_balanced_matches_python(spark, sf_dir):
+    """LPT round robin re-derived structure-free: canon-tokenize each
+    doc in plain Python, sort by (tokens desc, doc_id), deal rank i to
+    shard (i-1) % 16 — no window functions, no repartitionByRange, no
+    shared SQL. Guards the two-phase distributed rank (range partition
+    + local row_number + offset join) against off-by-one rank stitching
+    that the declarative oracle, stating the same totals, could miss
+    only if it failed identically."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        N_SHARDS,
+        shard_assign_balanced,
+    )
+
+    sized = sorted(
+        ((len(canon_tokens(d["text"])), d["doc_id"]) for d in
+         load_documents(sf_dir)),
+        key=lambda t: (-t[0], t[1]))
+    per_shard: dict[int, list[int]] = defaultdict(list)
+    for i, (n_tok, _) in enumerate(sized):
+        per_shard[i % N_SHARDS].append(n_tok)
+    expected = sorted(
+        (shard, len(v), sum(v)) for shard, v in per_shard.items())
+    got = rows_as_tuples(shard_assign_balanced(spark, sf_dir),
+                         ["shard", "n_docs", "sum_tokens"])
+    assert got == expected
+    # balance property: shard token totals within one max-doc of even
+    if sized and expected:
+        totals = [t for _, _, t in expected]
+        assert max(totals) - min(totals) <= sized[0][0]

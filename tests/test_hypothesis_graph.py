@@ -120,3 +120,39 @@ def test_triangle_counts_match_bruteforce(spark_h, edges):
                     for n in (a, b, c):
                         want[n] = want.get(n, 0) + 1
     assert got == set(want.items())
+
+
+# --- hop-bounded BFS -------------------------------------------------------
+#: small directed multigraph edges over ≤6 nodes (cycles, self-loops,
+#: duplicates all allowed — the library must tolerate them)
+_edge = st.tuples(st.integers(min_value=0, max_value=5),
+                  st.integers(min_value=0, max_value=5))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_edge, min_size=0, max_size=15),
+       st.integers(min_value=0, max_value=5),
+       st.integers(min_value=0, max_value=4))
+def test_bfs_min_hops_matches_queue_bfs(spark_h, edges, source, max_hops):
+    from mapreducewordcounting_spark.operators.iterative import bfs_min_hops
+    schema_e = "src INT, dst INT"
+    df_e = (spark_h.createDataFrame(edges, schema_e) if edges
+            else spark_h.createDataFrame([], schema_e))
+    df_s = spark_h.createDataFrame([(source,)], "node INT")
+    got = {(r.node, r.hops) for r in
+           bfs_min_hops(df_e, df_s, max_hops=max_hops).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want = {source: 0}
+    frontier = [source]
+    for depth in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = depth
+                    nxt.append(v)
+        frontier = nxt
+    assert got == {(n, h) for n, h in want.items()}

@@ -131,6 +131,9 @@ COVERAGE = {
     "cdc_merge_upsert": ["merge_upsert_customers"],
     "cdc_scd2": ["scd2_event_intervals"],
     "graph_pagerank": ["pagerank_nation_trade"],
+    "graph_bfs": ["graph_bfs_hops"],
+    "cdc_snapshot_diff": ["snapshot_diff_audit"],
+    "training_sharding": ["shard_assign_balanced"],
     "training_quality_signals": ["text_repetition_signals"],
     "training_chunk_pii": ["chunk_documents", "pii_redact"],
     "training_contamination": ["contamination_5gram"],

@@ -206,6 +206,11 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "oracle generated from the same power-sum strings",
         "test_stats_natives.py::test_higher_moments_match_spark_natives"
         " (+ numpy brute force)"),
+    # --- round-6 additions
+    "shard_assign_balanced": (
+        "(rank-1) % N_SHARDS dealing arithmetic on both sides",
+        "test_bruteforce_sketch_sample.py::"
+        "test_shard_assign_balanced_matches_python"),
 }
 
 #: notable independent-formulation rationales (everything oracled and
@@ -231,6 +236,13 @@ INDEPENDENT_NOTES: dict[str, str] = {
                    "is declarative on both sides",
     "fn_hash_digests": "md5/sha256 are public standards with "
                        "independent engine implementations",
+    "graph_bfs_hops": "iterative keyed-min relaxation vs recursive-CTE "
+                      "set-semantics closure — different algorithms "
+                      "(plus a queue-BFS hypothesis differential in "
+                      "test_hypothesis_graph.py)",
+    "snapshot_diff_audit": "full-outer diff is declarative on both "
+                           "sides; the delta spec is shared INPUT "
+                           "construction, not algorithm",
 }
 
 DEFAULT_INDEPENDENT = ("declarative ANSI twin; engines plan and "
