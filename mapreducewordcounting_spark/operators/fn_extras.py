@@ -197,6 +197,15 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: integral-string pre-guard for try_cast(string AS int): optional
+#: sign + digits, surrounded by the EXACT character class Spark's
+#: ANSI string->int cast trims (UTF8String.trimAll: code points
+#: <= U+0020). A string failing this regex can never cast, so
+#: try_cast only runs where it can at worst hit the (rare) int-range
+#: overflow — never the per-row parse-failure exception.
+_INT_CASTABLE = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+
+
 @register(
     "fn_try_arithmetic",
     oracle="""
@@ -212,15 +221,6 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("fn", "ansi", "try"),
 )
-#: integral-string pre-guard for try_cast(string AS int): optional
-#: sign + digits, surrounded by the EXACT character class Spark's
-#: ANSI string->int cast trims (UTF8String.trimAll: code points
-#: <= U+0020). A string failing this regex can never cast, so
-#: try_cast only runs where it can at worst hit the (rare) int-range
-#: overflow — never the per-row parse-failure exception.
-_INT_CASTABLE = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
-
-
 def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe arithmetic surface: ``try_divide`` and ``try_cast``
     turn would-be runtime errors (division by zero, malformed casts)

@@ -19,7 +19,8 @@ from mapreducewordcounting_spark.checkpoints import (
 
 
 def test_rotator_unpersists_superseded_steps(spark):
-    base = release_all_pinned(spark) and 0 or n_pinned(spark)
+    release_all_pinned(spark)
+    base = n_pinned(spark)
     rot = CheckpointRotator(spark)
     df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
     for _ in range(6):
@@ -36,7 +37,8 @@ def test_pagerank_loop_pins_only_final_snapshot(spark, sf_dir):
         pagerank_nation_trade,
     )
 
-    base = release_all_pinned(spark) and 0 or n_pinned(spark)
+    release_all_pinned(spark)
+    base = n_pinned(spark)
     df = pagerank_nation_trade(spark, sf_dir)
     # 10 iterations ran; at most the final rank snapshot stays pinned
     # (the e_norm scratch and the 9 superseded snapshots are gone)
@@ -51,7 +53,8 @@ def test_pagerank_loop_pins_only_final_snapshot(spark, sf_dir):
 def test_dedup_clusters_loop_pins_only_final_snapshot(spark, sf_dir):
     from mapreducewordcounting_spark.operators.dedup import dedup_clusters
 
-    base = release_all_pinned(spark) and 0 or n_pinned(spark)
+    release_all_pinned(spark)
+    base = n_pinned(spark)
     df = dedup_clusters(spark, sf_dir)
     assert n_pinned(spark) - base <= 1
     assert df.count() >= 0  # surviving snapshot readable end-to-end

@@ -80,9 +80,8 @@ def main() -> int:
         and hist.get(n, {}).get("full_pass")
     ] if never_sampled_oracled else []
     # Slots re-sampling a passing query are only "wasted" while
-    # never-sampled oracled queries still exist to put there.
-    wasted = [n for n in wasted
-              if len(never_sampled_oracled) > 0]
+    # never-sampled oracled queries still exist to put there — the
+    # guard on the construction above encodes that rule.
 
     print(f"registry: {len(order)} queries "
           f"({sum(1 for n in order if specs[n].oracle)} oracled)")
