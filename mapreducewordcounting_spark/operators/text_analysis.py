@@ -932,11 +932,20 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation is too expensive, and its output ranks which
     docs deserve the pairwise treatment.
 
-    Two shuffles: the shingle df table (map-side combined), then the
-    per-doc rollup. df > 1 over DISTINCT per-doc shingles is exactly
-    "appears in at least one other doc". The df table re-joins the
-    shingle stream the same way tf-idf's df table does — broadcast at
-    vocabulary scale, shuffle-join beyond."""
+    Two shuffles, ONE scan: df per shingle is a window count over
+    ``partitionBy(shingle)`` — not a df-table join-back. The join
+    form scans + tokenizes the corpus twice (the df aggregate and the
+    probe side are separate lineages; AQE's alias canonicalization
+    defeats ReusedExchange here, same effect as similarity_tfidf_pairs'
+    12-Generate blowup) and broadcasts a VOCABULARY-sized table, which
+    is exactly the thing that stops fitting driver memory at 100 TB.
+    The window form shuffles the shingle stream once, counts within
+    each shingle partition with O(1) state (no ordering, whole-
+    partition frame), and feeds the per-doc rollup directly. df > 1
+    over DISTINCT per-doc shingles is exactly "appears in at least
+    one other doc". A/B at sf0.1/local[32], identical 5000-row
+    output: 1.43 s (window) vs 1.90 s (broadcast join-back) vs
+    2.15 s (shuffle join-back)."""
     from mapreducewordcounting_spark.operators.dedup import _toks, shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -944,10 +953,11 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", _toks().alias("toks"))
         .select("doc_id", F.explode(shingles(F.col("toks"))).alias("shingle"))
     )
-    df_t = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    per = inv.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy("shingle")).alias("df"))
     return (
-        inv.join(F.broadcast(df_t), "shingle")
-        .groupBy("doc_id")
+        per.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
             F.count_if(F.col("df") > 1).alias("n_shared"),

@@ -1,0 +1,105 @@
+"""Median-of-3 re-pin for flagged sweep rows.
+
+    python tools/bench_repin.py name [name ...]
+
+The registry-wide sweep (tools/bench_full.py) is deliberately
+single-sample — 256 queries x 3 runs would triple a 7-minute wall —
+so individual rows carry run-to-run noise that the family-peer
+outlier guard (tools/bench_outliers.py) then over-reacts to: the r6->
+r7 sweeps flagged two mostly-disjoint UNRESOLVED sets. The standing
+rule (VERDICT r5 item 3 / r6 item 4) says a flagged row gets "the
+median-of-3 re-pin treatment"; this tool IS that treatment,
+mechanized:
+
+  for each named query: one untimed sf0.001 warmup, then THREE timed
+  sf0.1 materializations through the noop sink (checkpoint sweep
+  between runs, same protocol as the sweep), take the median, and
+  patch the row in BENCH_FULL_sf01.json in place.
+
+Re-pinned rows are listed in the artifact's "repinned" map
+(name -> [t1, t2, t3]) so the provenance of every number is visible:
+a row either came from the sweep's single sample or from a recorded
+median-of-3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_SF_DIR = os.environ.get("SPARK_GRAFT_WARM_SF_DIR",
+                             "/root/testdata/sf0.001")
+RUNS = 3
+
+
+def main() -> int:
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if not names:
+        print("usage: python tools/bench_repin.py name [name ...]")
+        return 2
+
+    from mapreducewordcounting_spark import registry
+    from mapreducewordcounting_spark.checkpoints import release_all_pinned
+    from mapreducewordcounting_spark.session import get_spark
+
+    qs = registry.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
+
+    path = os.path.join(REPO, "BENCH_FULL_sf01.json")
+    with open(path) as f:
+        bench = json.load(f)
+
+    spark = get_spark(app_name="mrwc-bench-repin")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def mat(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # same one-time JVM + Python-worker warmup as the sweep
+    mat(qs["wordcount_canonical"](spark, SF_DIR))
+
+    def _warm(it):
+        for pdf in it:
+            yield pdf
+
+    mat(spark.range(32, numPartitions=32).mapInPandas(_warm, "id long"))
+
+    repinned = bench.setdefault("repinned", {})
+    for name in names:
+        mat(qs[name](spark, WARM_SF_DIR))           # untimed warmup
+        release_all_pinned(spark)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            mat(qs[name](spark, SF_DIR))
+            samples.append(round(time.perf_counter() - t0, 3))
+            release_all_pinned(spark)
+        med = statistics.median(samples)
+        old = bench["queries"].get(name)
+        bench["queries"][name] = med
+        repinned[name] = samples
+        print(f"{name}: {old} -> median {med} of {samples}", flush=True)
+
+    bench["queries"] = dict(
+        sorted(bench["queries"].items(), key=lambda kv: -kv[1]))
+    bench["total_sec"] = round(sum(bench["queries"].values()), 1)
+    with open(path, "w") as f:
+        json.dump(bench, f, indent=1)
+    print(json.dumps({"repinned": len(names),
+                      "total_sec": bench["total_sec"], "file": path}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
