@@ -1164,3 +1164,146 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+#: repeated-span window width in tokens (ExactSubstr match length)
+REPEAT_SPAN_K = 8
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        w AS (
+            SELECT doc_id, len(toks) AS n_toks,
+                   list_transform(
+                       range(1, greatest(len(toks) - {REPEAT_SPAN_K} + 2, 1)),
+                       i -> struct_pack(
+                           pos := i,
+                           gram := array_to_string(
+                               toks[i:i+{REPEAT_SPAN_K}-1], ' '))) AS wins
+            FROM t),
+        g AS (SELECT doc_id, n_toks, unnest(wins) AS u FROM w),
+        g2 AS (SELECT doc_id, n_toks, u.pos AS pos, u.gram AS gram FROM g),
+        d AS (SELECT doc_id, n_toks, pos,
+                     count(*) OVER (PARTITION BY gram) > 1 AS dup
+              FROM g2),
+        p AS (SELECT doc_id, n_toks, pos, dup,
+                     max(CASE WHEN dup THEN pos + {REPEAT_SPAN_K} END)
+                         OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_end
+              FROM d)
+        SELECT doc_id,
+               CAST(n_toks AS BIGINT) AS n_toks,
+               count(*) AS n_windows,
+               count(CASE WHEN dup THEN 1 END) AS n_dup_windows,
+               CAST(coalesce(sum(CASE WHEN dup AND (prev_end IS NULL
+                                                    OR pos > prev_end)
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_spans,
+               CAST(coalesce(sum(CASE WHEN dup THEN greatest(
+                                          pos + {REPEAT_SPAN_K}
+                                          - greatest(pos,
+                                                     coalesce(prev_end, 0)),
+                                          0)
+                                      ELSE 0 END), 0) AS BIGINT)
+                   AS covered_tokens,
+               round(CAST(coalesce(sum(CASE WHEN dup THEN greatest(
+                                          pos + {REPEAT_SPAN_K}
+                                          - greatest(pos,
+                                                     coalesce(prev_end, 0)),
+                                          0)
+                                      ELSE 0 END), 0) AS DOUBLE)
+                     / n_toks, 6) AS dup_coverage
+        FROM p
+        GROUP BY doc_id, n_toks
+    """,
+    tags=("dedup", "exact-substring", "spans", "memorization"),
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span coverage: for every document,
+    the maximal spans of >= 8 consecutive tokens (REPEAT_SPAN_K) that appear
+    verbatim anywhere else in the corpus (another doc OR another
+    position of the same doc) — the span-level exact-substring dedup
+    of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed relationally. Where
+    text_dup_ngram_coverage scores docs by SHARED-VOCABULARY fraction
+    (distinct 3-shingles), this finds the literal copied REGIONS: a
+    window of {K} tokens is duplicated iff its exact token sequence
+    occurs at more than one (doc, position) site; overlapping /
+    adjacent duplicated windows then merge into maximal spans, whose
+    union length is the doc's memorization-risk mass (the text a
+    trainer would cut or down-weight).
+
+    The suffix-array formulation the paper uses is a shared-memory
+    algorithm; the relational rendition is two stacked windows over
+    ONE scan:
+      1. duplicate flag = ``count(*) over (partition by gram) > 1`` —
+         the same single-scan window-df pattern as
+         text_dup_ngram_coverage (no gram table join-back, no
+         vocabulary-sized broadcast);
+      2. per-doc interval union via running ``max(pos + K)`` over
+         preceding DUP rows only (the CASE inside the window skips
+         non-dup rows, so no pre-filter subsetting is needed): a
+         window starts a new span when its pos clears every earlier
+         span's end, and contributes ``end - max(pos, prev_end)``
+         clamped at 0 — the classic sweep, per doc.
+    Window grams build as zip_with over K shifted slices (the O(n)
+    form — transform(sequence) re-evaluates the tokenizer per element
+    when CollapseProject inlines it, the measured 47 s vs 3 s trap in
+    :func:`shingles`), then posexplode keeps 1-based positions. The
+    gram exchange partitions by the raw K-token string at fixture
+    scale; at 100 TB the key swaps to ``xxhash64(gram)`` (8-byte
+    shuffle key, collisions only ever MERGE two counts upward, which
+    cannot un-flag a true duplicate — acceptable for a filter whose
+    FPs are individually harmless). The doc-side window and the final
+    per-doc rollup share one hash partitioning on doc_id, so the
+    whole operator is two exchanges end-to-end.
+
+    Reference parity: the reference engine has no dedup at all (its
+    564 LoC compute one word count, sendFileByFile.cpp:69-392); this
+    operator is part of the SURVEY.md §2.3 training-pipeline tier.
+    """
+    from pyspark.sql import Window
+
+    K = REPEAT_SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _toks().alias("toks"))
+    m = F.greatest(F.size("toks") - (K - 1), F.lit(0))
+    parts = [F.slice("toks", k + 1, m) for k in range(K)]
+    joined = parts[0]
+    for part in parts[1:]:
+        joined = F.zip_with(joined, part,
+                            lambda x, y: F.concat(x, F.lit(" "), y))
+    rows = toks.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_toks"),
+        F.posexplode(joined).alias("pos0", "gram"))
+    flagged = rows.select(
+        "doc_id", "n_toks", (F.col("pos0") + 1).alias("pos"),
+        (F.count("*").over(Window.partitionBy("gram")) > 1).alias("dup"))
+    w_doc = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prev_end = F.max(
+        F.when(F.col("dup"), F.col("pos") + K)).over(w_doc)
+    swept = flagged.select(
+        "doc_id", "n_toks", "pos", "dup", prev_end.alias("prev_end"))
+    contrib = F.when(
+        F.col("dup"),
+        F.greatest(F.col("pos") + K
+                   - F.greatest(F.col("pos"),
+                                F.coalesce(F.col("prev_end"), F.lit(0))),
+                   F.lit(0))).otherwise(F.lit(0))
+    is_start = F.when(
+        F.col("dup") & (F.col("prev_end").isNull()
+                        | (F.col("pos") > F.col("prev_end"))),
+        F.lit(1)).otherwise(F.lit(0))
+    return (
+        swept.groupBy("doc_id", "n_toks")
+        .agg(F.count("*").alias("n_windows"),
+             F.count_if(F.col("dup")).alias("n_dup_windows"),
+             F.sum(is_start).cast("bigint").alias("n_spans"),
+             F.sum(contrib).cast("bigint").alias("covered_tokens"),
+             F.round(F.sum(contrib).cast("double") / F.col("n_toks"), 6)
+             .alias("dup_coverage"))
+    )

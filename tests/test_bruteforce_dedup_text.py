@@ -341,3 +341,45 @@ def test_table_udf_trigrams_matches_python(spark, sf_dir):
     got = rows_as_tuples(sql_table_udf_trigrams(spark, sf_dir),
                          ["g", "n"])
     assert got == expected
+
+
+# ------------------------------------------------------- repeated spans
+
+
+def test_repeated_spans_matches_python(spark, sf_dir):
+    """dedup_repeated_spans vs a dict/loop sweep: count every 8-token
+    window across the corpus, flag windows seen at >1 (doc, pos) site,
+    merge overlaps per doc, measure the union. No SQL, no windows —
+    the documented ExactSubstr-lite semantics only."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        REPEAT_SPAN_K,
+        dedup_repeated_spans,
+    )
+
+    K = REPEAT_SPAN_K
+    toks = doc_tokens(sf_dir)
+    sites: Counter = Counter()
+    for t in toks.values():
+        for g in word_ngrams(t, K):
+            sites[g] += 1
+
+    expected = []
+    for doc_id, t in sorted(toks.items()):
+        wins = word_ngrams(t, K)
+        dup_pos = [i + 1 for i, g in enumerate(wins) if sites[g] > 1]
+        n_spans = covered = 0
+        prev_end = 0
+        for p in dup_pos:
+            if p > prev_end:
+                n_spans += 1
+            covered += max(p + K - max(p, prev_end), 0)
+            prev_end = max(prev_end, p + K)
+        expected.append((doc_id, len(t), len(wins), len(dup_pos),
+                         n_spans, covered,
+                         round(covered / len(t), 6)))
+
+    got = rows_as_tuples(
+        dedup_repeated_spans(spark, sf_dir),
+        ["doc_id", "n_toks", "n_windows", "n_dup_windows",
+         "n_spans", "covered_tokens", "dup_coverage"])
+    assert got == expected

@@ -58,6 +58,10 @@ MIRRORED: dict[str, tuple[str, str]] = {
     "dedup_containment_pairs": (
         "3-shingle inverted index + containment ratio",
         "test_bruteforce_dedup_text.py::test_containment_pairs_match_python"),
+    "dedup_repeated_spans": (
+        "8-gram window df + per-doc interval-union sweep written in "
+        "both window-function dialects",
+        "test_bruteforce_dedup_text.py::test_repeated_spans_matches_python"),
     "text_dup_ngram_coverage": (
         "3-shingle document-frequency construction",
         "test_bruteforce_dedup_text.py::test_dup_ngram_coverage_matches_python"),
