@@ -428,6 +428,133 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_outer_join",
+    oracle=None,  # streaming; equality with the oracled batch twin
+    # (stream_outer_join_batch_twin) asserted in tests/test_streaming.py.
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantics the inner
+    join (stream_stream_join) cannot give: every error event appears,
+    with NULL purchase columns when no same-user purchase preceded it
+    within 10 minutes. The interesting part is WHEN the NULL row can be
+    emitted: only once the joint watermark guarantees no matching
+    purchase can still arrive — i.e. state eviction, not match failure,
+    produces the outer row. Under the deterministic AvailableNow replay
+    the emission rule is exact (verified against batch on the fixture):
+    a NULL row appears iff ``e_ts < min(max(p_ts), max(e_ts)) - 30min``
+    (the joint watermark is the MIN of the two inputs' watermarks —
+    multipleWatermarkPolicy default); matched rows appear regardless.
+    The batch twin (stream_outer_join_batch_twin) states that rule in
+    one SQL expression and is DuckDB-oracled, so the eviction semantics
+    themselves are externally checked.
+
+    Scale: same bounded-state argument as the inner join — watermarks
+    on both sides plus an event-time-bounded condition cap each side's
+    buffer at (watermark horizon + interval); the outer rows add no
+    state, they are emitted exactly at eviction."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("e_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "30 minutes")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("p_ts") < F.col("e_ts")),
+        "leftOuter",
+    ).select("e_id", "p_id", "e_user")
+    sink = f"mrwc_ossj_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "stream_outer_join_batch_twin",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   user_id, event_type
+            FROM events),
+        p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+              FROM ev WHERE event_type = 'purchase'),
+        e AS (SELECT event_id AS e_id, user_id AS e_user, ts AS e_ts
+              FROM ev WHERE event_type = 'error'),
+        wm AS (SELECT least((SELECT max(p_ts) FROM p),
+                            (SELECT max(e_ts) FROM e))
+                      - INTERVAL 30 MINUTE AS cut)
+        SELECT e.e_id, p.p_id, e.e_user
+        FROM e
+        LEFT JOIN p
+          ON e.e_user = p.p_user
+         AND p.p_ts >= e.e_ts - INTERVAL 10 MINUTE
+         AND p.p_ts < e.e_ts
+        CROSS JOIN wm
+        WHERE p.p_id IS NOT NULL OR e.e_ts < wm.cut
+    """,
+    tags=("streaming", "batch-twin", "join", "outer"),
+)
+def stream_outer_join_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch statement of stream_stream_outer_join's emission rule,
+    DuckDB-oracled: all matched (error, purchase) interval pairs, plus
+    a NULL row for every unmatched error whose event time the joint
+    watermark has passed (``e_ts < min(max(p_ts), max(e_ts)) - 30min``
+    — the MIN is Spark's default multipleWatermarkPolicy across the two
+    inputs). tests/test_streaming.py asserts the streaming result
+    equals this twin row-for-row under AvailableNow replay, so the
+    state-eviction semantics are pinned by an externally-checked query
+    rather than trusted. The oracle casts ns-parquet event times to
+    µs TIMESTAMP — the same truncation Spark applies — so interval
+    comparisons agree at the bit level; no raw timestamps appear in
+    the OUTPUT (driver-hash precision discipline).
+
+    Scale shape: one fact scan feeds both sides and the 1-row
+    watermark aggregate (broadcast); the interval join is the same
+    (user, time-bounded) equi+residual join as the streaming form."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"))
+    wm = ev.agg(
+        (F.least(F.max(F.when(F.col("event_type") == "purchase",
+                              F.col("ts"))),
+                 F.max(F.when(F.col("event_type") == "error",
+                              F.col("ts"))))
+         - F.expr("INTERVAL 30 MINUTES")).alias("cut"))
+    return (
+        e.join(
+            p,
+            (F.col("e_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("p_ts") < F.col("e_ts")),
+            "left")
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("p_id").isNotNull() | (F.col("e_ts") < F.col("cut")))
+        .select("e_id", "p_id", "e_user")
+    )
+
+
+@register(
     "stream_incremental_ingest",
     oracle=None,  # foreachBatch side-effecting pipeline; invariants
     # (kept == distinct content hashes == batch-dedup answer,

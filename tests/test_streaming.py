@@ -143,3 +143,31 @@ def test_transform_with_state_gate_and_twin(spark, sf_dir):
         assert "stream_transform_with_state" not in registered
         assert "stream_stateful_counter" in registered  # exercised twin
         assert callable(stream_transform_with_state)
+
+
+def test_stream_outer_join_equals_oracled_twin(spark, sf_dir):
+    """The LEFT OUTER stream-stream join must equal its batch twin
+    row-for-row: matched pairs identical to the inner join, plus NULL
+    rows exactly for unmatched errors the joint watermark has passed
+    (e_ts < min(max p_ts, max e_ts) - 30min). The twin is DuckDB-
+    oracled, so this pins Spark's outer-emission/state-eviction
+    semantics to an externally checked statement."""
+    from mapreducewordcounting_spark.streaming import (
+        stream_outer_join_batch_twin,
+        stream_stream_outer_join,
+    )
+
+    stream = stream_stream_outer_join(spark, sf_dir)
+    twin = stream_outer_join_batch_twin(spark, sf_dir)
+    srows, trows = _rows(stream), _rows(twin)
+    assert srows == trows
+    # the eviction path must be exercised (sf0.001 has no matched
+    # pairs — the matched path is covered at sf0.01 by the driver
+    # correctness run and by test_stream_stream_join_equals_batch)
+    n_null = sum(1 for r in srows if r[2] is None)  # p_id (sorted cols)
+    assert n_null > 0
+    # matched rows, when present, must be exactly the inner join's
+    matched = [r for r in srows if r[2] is not None]
+    from mapreducewordcounting_spark.streaming import stream_stream_join
+    inner = _rows(stream_stream_join(spark, sf_dir))
+    assert matched == inner
