@@ -745,3 +745,81 @@ def shard_assign_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_tokens").alias("sum_tokens"))
     )
+
+
+#: per-domain document cap (FineWeb/C4-style domain dominance control)
+DOMAIN_CAP = 8
+
+
+@register(
+    "sample_domain_cap",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents),
+        k AS (SELECT source, count(*) AS n_kept,
+                     CAST(sum(n_chars) AS BIGINT) AS kept_chars
+              FROM r WHERE rn <= {DOMAIN_CAP} GROUP BY source),
+        t AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars
+              FROM documents GROUP BY source)
+        SELECT t.source, t.n_docs, k.n_kept,
+               t.n_docs - k.n_kept AS n_dropped,
+               k.kept_chars,
+               round(CAST(k.kept_chars AS DOUBLE) / t.total_chars, 6)
+                   AS kept_char_share
+        FROM t JOIN k USING (source)
+    """,
+    tags=("training", "sampling", "domain-cap"),
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the FineWeb/C4-style dominance
+    control: keep at most DOMAIN_CAP documents per source (ranked by
+    a quality proxy, here n_chars descending with doc_id tie-break),
+    so no single crawl domain floods the training mix. Emits the
+    per-source audit a pipeline operator needs: how many docs the
+    domain had, how many survived the cap, and what character share
+    the kept set retains.
+
+    Scale shape — deliberately TWO scans, not one:
+      1. The cap itself is ``row_number() <= DOMAIN_CAP`` over
+         (source | n_chars DESC, doc_id), which Spark compiles to
+         partial+final **WindowGroupLimit**: each map task keeps only
+         its local top-DOMAIN_CAP per source BEFORE the exchange, so
+         the shuffle carries O(sources x cap) rows per task, not the
+         corpus (same mechanism as compact_keep_latest, asserted in
+         tests/test_plans.py). Folding the per-source totals into the
+         same window stage (count(*) over source) would DEFEAT that
+         pruning — every row would have to survive to be counted.
+      2. Per-source totals are a separate map-side-combined aggregate
+         over a two-column scan — |sources| result rows, broadcast
+         back onto the capped aggregate.
+    The deterministic (n_chars, doc_id) order makes the kept set
+    engine-exact — no RNG, no rank ties.
+
+    Reference parity: no analog in the reference (564-LoC word count);
+    SURVEY.md §2.3 training-pipeline tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    kept = (
+        docs.select("source", "n_chars",
+                    F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("n_chars").alias("kept_chars"))
+    )
+    totals = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"))
+    return (
+        kept.join(F.broadcast(totals), "source")
+        .select("source", "n_docs", "n_kept",
+                (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+                "kept_chars",
+                F.round(F.col("kept_chars").cast("double")
+                        / F.col("total_chars"), 6)
+                .alias("kept_char_share"))
+    )

@@ -386,3 +386,18 @@ def test_spatial_neighbors_equi_cell_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan)
+
+
+def test_domain_cap_plan_shape(spark, sf_dir):
+    """sample_domain_cap's scale contract: the per-source cap compiles
+    to partial+final WindowGroupLimit (each map task keeps its local
+    top-N per source BEFORE the exchange — the reason the totals are a
+    separate aggregate instead of a count-over-source in the same
+    window stage), and the |sources|-row totals attach by broadcast."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        sample_domain_cap,
+    )
+
+    plan = simple_plan(sample_domain_cap(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "BroadcastHashJoin" in plan
