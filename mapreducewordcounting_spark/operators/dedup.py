@@ -563,6 +563,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_band_rows(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """(doc_id, *extra_cols, band, bkey) LSH band rows under the
+    deterministic md5 MinHash family (8 hashes, 4 bands x 2 rows) —
+    the shared signature pipeline of dedup_minhash_det and
+    dedup_incremental_neardup (dedup_minhash_estimate keeps its own
+    variant: it must carry the shingle sets and signatures TOGETHER
+    through two checkpoints for the estimator columns). Zero-shingle
+    docs are dropped by their sentinel band key (see inline notes).
+
+    All 8 minhashes in ONE traversal: fold the shingle array with an
+    elementwise-min accumulator of 8 hashes. The obvious per-hash
+    ``array_min(transform(sh, ...))`` re-evaluates the entire
+    tokenize→shingle expression 8× when CollapseProject inlines it
+    into each lambda (the module's own zip_with note, measured
+    9.5 s → 2.5 s at sf0.1); a single aggregate references ``sh``
+    once. Init sentinel "g" sorts after every lowercase-hex md5, so
+    it never survives a non-empty fold."""
+    import hashlib
+
+    sh = docs.select("doc_id", *extra_cols, shingles(_toks()).alias("sh"))
+
+    def hash8(s):
+        return F.array(*[F.md5(F.concat(F.lit(f"{i}|"), s))
+                         for i in range(8)])
+
+    sig_arr = F.aggregate(
+        "sh",
+        F.array(*[F.lit("g") for _ in range(8)]),
+        lambda acc, s: F.zip_with(acc, hash8(s), lambda x, y: F.least(x, y)),
+    )
+    # Project the signature to a CONCRETE column before fanning out to
+    # 8 element_at references: multi-use of a non-cheap alias stops
+    # CollapseProject from inlining the aggregate 8×. Bands then explode
+    # from one array (one scan) instead of a 4-way union (4 scans).
+    sig = sh.select("doc_id", *extra_cols, sig_arr.alias("sig"))
+    h = [F.element_at("sig", i + 1) for i in range(8)]
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(h[2 * b], F.lit("|"), h[2 * b + 1])).alias("bkey"),
+        )
+        for b in range(4)
+    ])
+    # Zero-shingle docs fold to the all-"g" sentinel signature; their
+    # band key is the one constant md5("g|g"). Dropping them HERE (by
+    # that constant) instead of filter(size(sh) > 0) upstream saves a
+    # second evaluation of the whole tokenize→shingle pipeline (the
+    # predicate would be substituted through the projection).
+    empty_bkey = hashlib.md5(b"g|g").hexdigest()
+    return (
+        sig.select("doc_id", *extra_cols, F.explode(band_arr).alias("bs"))
+        .select("doc_id", *extra_cols,
+                F.col("bs.band").alias("band"),
+                F.col("bs.bkey").alias("bkey"))
+        .filter(F.col("bkey") != empty_bkey)
+    )
+
+
 @register(
     "dedup_minhash_det",
     # Engine-portable MinHash: hash function i = md5(i || '|' || shingle)
@@ -629,57 +687,11 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature is a constant, and md5-of-constant band keys would pair
     every short doc with every other short doc.
     """
-    import hashlib
-
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles(_toks()).alias("sh"))
-
-    # All 8 minhashes in ONE traversal: fold the shingle array with an
-    # elementwise-min accumulator of 8 hashes. The obvious per-hash
-    # ``array_min(transform(sh, ...))`` re-evaluates the entire
-    # tokenize→shingle expression 8× when CollapseProject inlines it
-    # into each lambda (the module's own zip_with note, measured here
-    # 9.5 s → 2.5 s at sf0.1); a single aggregate references ``sh``
-    # once. Init sentinel "g" sorts after every lowercase-hex md5, so
-    # it never survives a non-empty fold.
-    def hash8(s):
-        return F.array(*[F.md5(F.concat(F.lit(f"{i}|"), s))
-                         for i in range(8)])
-
-    sig_arr = F.aggregate(
-        "sh",
-        F.array(*[F.lit("g") for _ in range(8)]),
-        lambda acc, s: F.zip_with(acc, hash8(s), lambda x, y: F.least(x, y)),
-    )
-    # Project the signature to a CONCRETE column before fanning out to
-    # 8 element_at references: multi-use of a non-cheap alias stops
-    # CollapseProject from inlining the aggregate 8×. Bands then explode
-    # from one array (one scan) instead of a 4-way union (4 scans).
-    sig = sh.select("doc_id", sig_arr.alias("sig"))
-    h = [F.element_at("sig", i + 1) for i in range(8)]
-    band_arr = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat(h[2 * b], F.lit("|"), h[2 * b + 1])).alias("bkey"),
-        )
-        for b in range(4)
-    ])
-    # Zero-shingle docs fold to the all-"g" sentinel signature; their
-    # band key is the one constant md5("g|g"). Dropping them HERE (by
-    # that constant) instead of filter(size(sh) > 0) upstream saves a
-    # second evaluation of the whole tokenize→shingle pipeline (the
-    # predicate would be substituted through the projection).
-    empty_bkey = hashlib.md5(b"g|g").hexdigest()
-    bands = (
-        sig.select("doc_id", F.explode(band_arr).alias("bs"))
-        .select("doc_id", F.col("bs.band").alias("band"),
-                F.col("bs.bkey").alias("bkey"))
-        .filter(F.col("bkey") != empty_bkey)
-        # self-join below: without a lineage cut, both aliases re-derive
-        # the whole tokenize→shingle→signature pipeline (triangle-count
-        # lesson); the checkpoint is 4 tiny rows per doc
-        .localCheckpoint(eager=True)
-    )
+    # self-join below: without a lineage cut, both aliases re-derive
+    # the whole tokenize→shingle→signature pipeline (triangle-count
+    # lesson); the checkpoint is 4 tiny rows per doc
+    bands = minhash_band_rows(docs).localCheckpoint(eager=True)
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(bb, (F.col("a.band") == F.col("b.band"))
@@ -1306,4 +1318,134 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(contrib).cast("bigint").alias("covered_tokens"),
              F.round(F.sum(contrib).cast("double") / F.col("n_toks"), 6)
              .alias("dup_coverage"))
+    )
+
+
+#: exact-Jaccard threshold for the incremental near-dup gate
+NEARDUP_GATE_J = 0.8
+
+
+@register(
+    "dedup_incremental_neardup",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        sh AS (
+            SELECT t.doc_id, d.source,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' '
+                                      || toks[i+2])) AS shingles
+            FROM t JOIN documents d USING (doc_id)
+            ),
+        sig AS (
+            SELECT doc_id, source, shingles,
+                   list_min(list_transform(shingles, s -> md5('0|' || s))) AS h0,
+                   list_min(list_transform(shingles, s -> md5('1|' || s))) AS h1,
+                   list_min(list_transform(shingles, s -> md5('2|' || s))) AS h2,
+                   list_min(list_transform(shingles, s -> md5('3|' || s))) AS h3,
+                   list_min(list_transform(shingles, s -> md5('4|' || s))) AS h4,
+                   list_min(list_transform(shingles, s -> md5('5|' || s))) AS h5,
+                   list_min(list_transform(shingles, s -> md5('6|' || s))) AS h6,
+                   list_min(list_transform(shingles, s -> md5('7|' || s))) AS h7
+            FROM sh WHERE len(shingles) > 0
+        ),
+        bands AS (
+            SELECT doc_id, source, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+            UNION ALL SELECT doc_id, source, 1, md5(h2 || '|' || h3) FROM sig
+            UNION ALL SELECT doc_id, source, 2, md5(h4 || '|' || h5) FROM sig
+            UNION ALL SELECT doc_id, source, 3, md5(h6 || '|' || h7) FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+            FROM bands n JOIN bands c
+              ON n.band = c.band AND n.bkey = c.bkey
+            WHERE n.source <> 'src0' AND c.source = 'src0'
+        ),
+        verified AS (
+            SELECT cand.new_id, cand.corpus_id,
+                   len(list_intersect(a.shingles, b.shingles)) * 1.0
+                   / (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles))) AS j
+            FROM cand
+            JOIN sig a ON cand.new_id = a.doc_id
+            JOIN sig b ON cand.corpus_id = b.doc_id
+        )
+        SELECT new_id,
+               count(*) AS n_band_matches,
+               count(CASE WHEN j >= {NEARDUP_GATE_J} THEN 1 END)
+                   AS n_verified,
+               round(max(j), 6) AS best_jaccard
+        FROM verified
+        GROUP BY new_id
+    """,
+    tags=("dedup", "neardup", "incremental", "minhash"),
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup gate — the continuous-ingestion counterpart
+    of dedup_incremental_batch's exact gate: each NEW document (source
+    != 'src0') is checked against the STANDING corpus ('src0') for
+    near-duplication, never corpus-vs-corpus. Band keys from the
+    deterministic md5 MinHash family (shared pipeline:
+    :func:`minhash_band_rows`) form the index; a new doc that shares
+    >= 1 band with any corpus doc becomes a candidate, and candidates
+    only are verified with exact shingle Jaccard against the
+    {NEARDUP_GATE_J} gate. Output per flagged new doc: how many corpus
+    docs its bands hit, how many survive exact verification, and the
+    best exact Jaccard — the triage a crawl-ingest pipeline acts on
+    (reject, or human-review the band-hit-but-under-threshold tail).
+
+    Scale structure:
+    - In production the corpus band index is MATERIALIZED (appended
+      per batch, bucketed by (band, bkey)); here both sides derive
+      from one fixture scan, split by source after the shared
+      signature map stage — the join shape is identical.
+    - The band join's exchange carries (band, 16-byte key, doc_id) —
+      never text. Corpus docs that hit no new band keys never leave
+      their partitions (and with a materialized bucketed index, are
+      never even scanned beyond the bucket lookup).
+    - The verify stage joins shingle sets for the candidate ids ONLY:
+      the candidate id list is broadcast as a semi-join filter onto
+      the (checkpointed) shingle table, so corpus-wide shingle data
+      is reduced to candidates before the exact-Jaccard join — the
+      same candidates-only discipline as dedup_minhash_estimate.
+
+    Jaccard compares at the raw-double threshold on both engines —
+    IEEE division is correctly rounded, so the gate decision is
+    bit-identical (the sample_weighted_priority argument); only the
+    reported best_jaccard rounds to 6 digits."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_rows(
+        docs, extra_cols=("source",)).localCheckpoint(eager=True)
+    nb = (bands.filter(F.col("source") != "src0")
+          .select(F.col("doc_id").alias("new_id"), "band", "bkey"))
+    cb = (bands.filter(F.col("source") == "src0")
+          .select(F.col("doc_id").alias("corpus_id"), "band", "bkey"))
+    cand = (nb.join(cb, ["band", "bkey"])
+            .select("new_id", "corpus_id").distinct()
+            .localCheckpoint(eager=True))
+    # candidates-only shingle reduction: the tiny id list broadcasts
+    # as a semi-join filter, so the corpus-wide tokenize→shingle scan
+    # emits only candidate docs' sets before the Jaccard join
+    ids = (cand.select(F.col("new_id").alias("doc_id"))
+           .union(cand.select("corpus_id")).distinct())
+    sh_cand = (
+        docs.select("doc_id", shingles(_toks()).alias("sh"))
+        .join(F.broadcast(ids), "doc_id", "semi")
+        .withColumn("n_sh", F.size("sh"))
+        .localCheckpoint(eager=True)
+    )
+    sa = sh_cand.select(F.col("doc_id").alias("new_id"),
+                        F.col("sh").alias("sh_a"),
+                        F.col("n_sh").alias("n_a"))
+    sb = sh_cand.select(F.col("doc_id").alias("corpus_id"),
+                        F.col("sh").alias("sh_b"),
+                        F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    j = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(sa, "new_id").join(sb, "corpus_id")
+        .select("new_id", j.alias("j"))
+        .groupBy("new_id")
+        .agg(F.count("*").alias("n_band_matches"),
+             F.count_if(F.col("j") >= NEARDUP_GATE_J).alias("n_verified"),
+             F.round(F.max("j"), 6).alias("best_jaccard"))
     )

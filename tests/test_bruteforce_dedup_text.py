@@ -383,3 +383,50 @@ def test_repeated_spans_matches_python(spark, sf_dir):
         ["doc_id", "n_toks", "n_windows", "n_dup_windows",
          "n_spans", "covered_tokens", "dup_coverage"])
     assert got == expected
+
+
+# ---------------------------------------------- incremental near-dup gate
+
+
+def test_incremental_neardup_matches_python(spark, sf_dir):
+    """dedup_incremental_neardup vs plain Python: band new docs
+    (source != src0) against corpus docs (src0) with the documented
+    md5 family, verify candidates with exact set Jaccard, gate at
+    0.8. No SQL, no shared format strings."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_incremental_neardup,
+    )
+
+    docs = load_documents(sf_dir)
+    toks = {d["doc_id"]: canon_tokens(d["text"]) for d in docs}
+    source = {d["doc_id"]: d["source"] for d in docs}
+    sigs = _minhash_sigs(sf_dir)
+
+    by_band: dict[tuple[int, str], dict[str, list[int]]] = defaultdict(
+        lambda: {"new": [], "corpus": []})
+    for doc_id, sig in sigs.items():
+        side = "corpus" if source[doc_id] == "src0" else "new"
+        for b, key in enumerate(_band_keys(sig)):
+            by_band[(b, key)][side].append(doc_id)
+
+    cand = set()
+    for sides in by_band.values():
+        for n in sides["new"]:
+            for c in sides["corpus"]:
+                cand.add((n, c))
+
+    per_new: dict[int, list[float]] = defaultdict(list)
+    for n, c in sorted(cand):
+        a = set(word_ngrams(toks[n], 3))
+        b = set(word_ngrams(toks[c], 3))
+        inter = len(a & b)
+        per_new[n].append(inter / (len(a) + len(b) - inter))
+
+    expected = sorted(
+        (n, len(js), sum(1 for j in js if j >= 0.8),
+         round(max(js), 6))
+        for n, js in per_new.items())
+    got = rows_as_tuples(
+        dedup_incremental_neardup(spark, sf_dir),
+        ["new_id", "n_band_matches", "n_verified", "best_jaccard"])
+    assert got == expected
