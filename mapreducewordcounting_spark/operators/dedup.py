@@ -1277,13 +1277,20 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     564 LoC compute one word count, sendFileByFile.cpp:69-392); this
     operator is part of the SURVEY.md §2.3 training-pipeline tier.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_coverage(docs, REPEAT_SPAN_K)
+
+
+def repeated_span_coverage(docs: DataFrame, k: int) -> DataFrame:
+    """Library form of :func:`dedup_repeated_spans` over any docs
+    DataFrame with (doc_id, text) and a window width ``k`` —
+    hypothesis-tested on adversarial corpora in
+    tests/test_hypothesis_dedup.py."""
     from pyspark.sql import Window
 
-    K = REPEAT_SPAN_K
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _toks().alias("toks"))
-    m = F.greatest(F.size("toks") - (K - 1), F.lit(0))
-    parts = [F.slice("toks", k + 1, m) for k in range(K)]
+    m = F.greatest(F.size("toks") - (k - 1), F.lit(0))
+    parts = [F.slice("toks", i + 1, m) for i in range(k)]
     joined = parts[0]
     for part in parts[1:]:
         joined = F.zip_with(joined, part,
@@ -1297,12 +1304,12 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_doc = (Window.partitionBy("doc_id").orderBy("pos")
              .rowsBetween(Window.unboundedPreceding, -1))
     prev_end = F.max(
-        F.when(F.col("dup"), F.col("pos") + K)).over(w_doc)
+        F.when(F.col("dup"), F.col("pos") + k)).over(w_doc)
     swept = flagged.select(
         "doc_id", "n_toks", "pos", "dup", prev_end.alias("prev_end"))
     contrib = F.when(
         F.col("dup"),
-        F.greatest(F.col("pos") + K
+        F.greatest(F.col("pos") + k
                    - F.greatest(F.col("pos"),
                                 F.coalesce(F.col("prev_end"), F.lit(0))),
                    F.lit(0))).otherwise(F.lit(0))

@@ -101,3 +101,57 @@ def test_quantize_codes_in_range(spark, vecs):
         F.col("scale")).collect()
     for r in rows:
         assert 0 <= r.lo <= r.hi <= 255, (r.lo, r.hi, r.scale)
+
+
+def _brute_spans(corpus, k):
+    """Documented repeated-span semantics in plain Python: a k-window
+    is duplicated iff its token sequence occurs at >1 (doc, pos) site
+    corpus-wide; per doc, merge overlapping dup windows and measure
+    the union."""
+    from collections import Counter
+
+    toks = {i: _norm_tokens(doc) for i, doc in enumerate(corpus)}
+    sites: Counter = Counter()
+    for t in toks.values():
+        for i in range(len(t) - k + 1):
+            sites[" ".join(t[i:i + k])] += 1
+    out = {}
+    for i, t in toks.items():
+        wins = [" ".join(t[j:j + k]) for j in range(len(t) - k + 1)]
+        if not wins:
+            continue
+        dup_pos = [j + 1 for j, g in enumerate(wins) if sites[g] > 1]
+        n_spans = covered = 0
+        prev_end = 0
+        for p in dup_pos:
+            if p > prev_end:
+                n_spans += 1
+            covered += max(p + k - max(p, prev_end), 0)
+            prev_end = max(prev_end, p + k)
+        out[i] = (len(t), len(wins), len(dup_pos), n_spans, covered,
+                  round(covered / len(t), 6))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=_corpus)
+def test_repeated_span_sweep_matches_python(spark, corpus):
+    """Interval-union sweep invariants on adversarial corpora the
+    fixture can't produce: fully-duplicated docs (coverage 1.0),
+    single-window docs, same-doc repeats, windows whose spans chain
+    across the whole doc. k=3 so tiny docs still produce windows."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        repeated_span_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(doc)) for i, doc in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["n_windows"], r["n_dup_windows"],
+                      r["n_spans"], r["covered_tokens"],
+                      r["dup_coverage"])
+        for r in repeated_span_coverage(docs, 3).collect()
+    }
+    assert got == _brute_spans(corpus, 3)
