@@ -68,6 +68,7 @@ BNL_ALLOWED = {
     "join_theta": "demo (explicit theta/non-equi join)",
     "layout_zorder": "1-row (global coordinate bounds)",
     "rfm_segmentation": "1-row (global quantile edges)",
+    "stream_outer_join_batch_twin": "1-row (joint-watermark cutoff)",
     "similarity_ann_ivf": "K-row (IVF centroid table)",
     "similarity_topk_bruteforce": "K-row (query vector set)",
     "text_heavy_hitters": "1-row (corpus token total)",
