@@ -50,8 +50,9 @@ def _toks() -> "F.Column":
     return F.filter(tokenize_canonical("text"), lambda w: F.length(w) > 0)
 
 
-def shingles(toks: "F.Column", n: int = 3) -> "F.Column":
-    """Distinct word n-gram shingles of a token array (built-ins only).
+def ngrams(toks: "F.Column", n: int = 3) -> "F.Column":
+    """Positional word n-grams of a token array (built-ins only) —
+    element i of the result is the n-gram starting at token i+1.
 
     Built as ``zip_with`` over n shifted ``slice``s — element-wise over
     already-materialized arrays. The obvious alternative,
@@ -62,16 +63,23 @@ def shingles(toks: "F.Column", n: int = 3) -> "F.Column":
     ever touches its two input slices, so the tokenizer runs O(n) times
     per row no matter how the projection collapses.
 
-    Guarded: docs with < n tokens yield an empty shingle set (slice
-    with a negative length would throw).
+    Guarded: docs with < n tokens yield an empty array (slice with a
+    negative length would throw).
     """
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # shingle count
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # n-gram count
     parts = [F.slice(toks, k + 1, m) for k in range(n)]
     joined = parts[0]
     for p in parts[1:]:
         joined = F.zip_with(joined, p,
                             lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.array_distinct(joined)
+    return joined
+
+
+def shingles(toks: "F.Column", n: int = 3) -> "F.Column":
+    """Distinct word n-gram shingles of a token array — the set form
+    of :func:`ngrams` (which see for the CollapseProject trap the
+    construction avoids)."""
+    return F.array_distinct(ngrams(toks, n))
 
 
 @register(
@@ -1289,15 +1297,9 @@ def repeated_span_coverage(docs: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window
 
     toks = docs.select("doc_id", _toks().alias("toks"))
-    m = F.greatest(F.size("toks") - (k - 1), F.lit(0))
-    parts = [F.slice("toks", i + 1, m) for i in range(k)]
-    joined = parts[0]
-    for part in parts[1:]:
-        joined = F.zip_with(joined, part,
-                            lambda x, y: F.concat(x, F.lit(" "), y))
     rows = toks.select(
         "doc_id", F.size("toks").cast("bigint").alias("n_toks"),
-        F.posexplode(joined).alias("pos0", "gram"))
+        F.posexplode(ngrams(F.col("toks"), k)).alias("pos0", "gram"))
     flagged = rows.select(
         "doc_id", "n_toks", (F.col("pos0") + 1).alias("pos"),
         (F.count("*").over(Window.partitionBy("gram")) > 1).alias("dup"))

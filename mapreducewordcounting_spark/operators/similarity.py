@@ -316,18 +316,12 @@ def similarity_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       differs per engine/topology, and ln is only ulp-reproducible —
       the same libm-parity contract as text_tfidf.
     """
-    from mapreducewordcounting_spark.operators.dedup import _toks
+    from mapreducewordcounting_spark.operators.dedup import _toks, ngrams
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _toks().alias("toks"))
-    m = F.greatest(F.size("toks") - 2, F.lit(0))
-    grams = F.zip_with(
-        F.zip_with(F.slice("toks", 1, m), F.slice("toks", 2, m),
-                   lambda x, y: F.concat(x, F.lit(" "), y)),
-        F.slice("toks", 3, m),
-        lambda xy, z: F.concat(xy, F.lit(" "), z),
-    )
-    words = toks.select("doc_id", F.explode(grams).alias("word"))
+    words = toks.select(
+        "doc_id", F.explode(ngrams(F.col("toks"), 3)).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = tf.select(F.count_distinct("doc_id").alias("n_docs"))

@@ -382,18 +382,13 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(enriched)
 
 
-@register(
-    "stream_stream_join",
-    oracle=None,  # streaming; equality with the equivalent batch
-    # interval join asserted in tests/test_streaming.py.
-    tags=("streaming", "join", "stream-stream"),
-)
-def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join: each error event matched to the
-    same user's purchases in the preceding 10 minutes. Both sides carry
-    watermarks, and the join condition bounds event-time distance, so
-    each side's state buffer is capped at (watermark + interval) — the
-    two requirements that make an unbounded×unbounded join feasible."""
+def _interval_joined_stream(spark: SparkSession, sf_dir: str,
+                            how: str) -> DataFrame:
+    """The (errors x preceding-10-min purchases) interval join both
+    stream-stream queries share — ONE definition of the sides, the
+    watermarks, and the condition, so the inner and outer variants can
+    never drift apart (the outer test asserts its matched rows equal
+    the inner result, which requires exactly this)."""
     purchases = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -410,12 +405,28 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").alias("e_ts"))
         .withWatermark("e_ts", "30 minutes")
     )
-    joined = errors.join(
+    return errors.join(
         purchases,
         (F.col("e_user") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("p_ts") < F.col("e_ts")),
+        how,
     ).select("e_id", "p_id", "e_user")
+
+
+@register(
+    "stream_stream_join",
+    oracle=None,  # streaming; equality with the equivalent batch
+    # interval join asserted in tests/test_streaming.py.
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each error event matched to the
+    same user's purchases in the preceding 10 minutes. Both sides carry
+    watermarks, and the join condition bounds event-time distance, so
+    each side's state buffer is capped at (watermark + interval) — the
+    two requirements that make an unbounded×unbounded join feasible."""
+    joined = _interval_joined_stream(spark, sf_dir, "inner")
     sink = f"mrwc_ssj_{uuid.uuid4().hex[:8]}"
     # A two-sided stream join keeps FOUR state stores per shuffle
     # partition; at 32 partitions the fixed per-store setup cost
@@ -453,29 +464,7 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both sides plus an event-time-bounded condition cap each side's
     buffer at (watermark horizon + interval); the outer rows add no
     state, they are emitted exactly at eviction."""
-    purchases = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(F.col("event_id").alias("p_id"),
-                F.col("user_id").alias("p_user"),
-                F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "30 minutes")
-    )
-    errors = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "error")
-        .select(F.col("event_id").alias("e_id"),
-                F.col("user_id").alias("e_user"),
-                F.col("ts").alias("e_ts"))
-        .withWatermark("e_ts", "30 minutes")
-    )
-    joined = errors.join(
-        purchases,
-        (F.col("e_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
-        & (F.col("p_ts") < F.col("e_ts")),
-        "leftOuter",
-    ).select("e_id", "p_id", "e_user")
+    joined = _interval_joined_stream(spark, sf_dir, "leftOuter")
     sink = f"mrwc_ossj_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
         q = (joined.writeStream.format("memory").queryName(sink)

@@ -60,3 +60,13 @@ def rows_as_tuples(df, cols: list[str]) -> list[tuple]:
 
 def counter_tokens(toks: list[str]) -> Counter:
     return Counter(toks)
+
+
+def round6(x: float) -> float:
+    """round(x, 6) with HALF-UP ties — Spark's F.round semantics.
+    Python's built-in round() is banker's (half-to-even), which
+    diverges on exact half-way values like 1/128 = 0.0078125."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))

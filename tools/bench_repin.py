@@ -74,31 +74,46 @@ def main() -> int:
 
     mat(spark.range(32, numPartitions=32).mapInPandas(_warm, "id long"))
 
+    def flush() -> None:
+        bench["queries"] = dict(
+            sorted(bench["queries"].items(), key=lambda kv: -kv[1]))
+        bench["total_sec"] = round(sum(bench["queries"].values()), 1)
+        with open(path, "w") as f:
+            json.dump(bench, f, indent=1)
+
     repinned = bench.setdefault("repinned", {})
+    failed: dict[str, str] = {}
     for name in names:
-        mat(qs[name](spark, WARM_SF_DIR))           # untimed warmup
-        release_all_pinned(spark)
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            mat(qs[name](spark, SF_DIR))
-            samples.append(round(time.perf_counter() - t0, 3))
+        # per-query isolation + write-after-each: one failing query
+        # (transient OOM, a broken edit) must not discard the completed
+        # medians-of-3 of the queries before it (bench_full.py rule)
+        try:
+            mat(qs[name](spark, WARM_SF_DIR))       # untimed warmup
             release_all_pinned(spark)
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                mat(qs[name](spark, SF_DIR))
+                samples.append(round(time.perf_counter() - t0, 3))
+                release_all_pinned(spark)
+        except Exception as exc:
+            failed[name] = str(exc)[:300]
+            release_all_pinned(spark)
+            print(f"{name}: ERROR {failed[name]}", flush=True)
+            continue
         med = statistics.median(samples)
         old = bench["queries"].get(name)
         bench["queries"][name] = med
         repinned[name] = samples
+        bench.get("errors", {}).pop(name, None)  # row is now measured
+        flush()
         print(f"{name}: {old} -> median {med} of {samples}", flush=True)
 
-    bench["queries"] = dict(
-        sorted(bench["queries"].items(), key=lambda kv: -kv[1]))
-    bench["total_sec"] = round(sum(bench["queries"].values()), 1)
-    with open(path, "w") as f:
-        json.dump(bench, f, indent=1)
-    print(json.dumps({"repinned": len(names),
+    print(json.dumps({"repinned": len(names) - len(failed),
+                      "failed": sorted(failed),
                       "total_sec": bench["total_sec"], "file": path}))
     spark.stop()
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
