@@ -1274,10 +1274,14 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     when CollapseProject inlines it, the measured 47 s vs 3 s trap in
     :func:`shingles`), then posexplode keeps 1-based positions. The
     gram exchange partitions by the raw K-token string at fixture
-    scale; at 100 TB the key swaps to ``xxhash64(gram)`` (8-byte
-    shuffle key, collisions only ever MERGE two counts upward, which
-    cannot un-flag a true duplicate — acceptable for a filter whose
-    FPs are individually harmless). The doc-side window and the final
+    scale (so the DuckDB oracle covers the exchange key itself); at
+    100 TB the key swaps to ``xxhash64(gram)`` — measured at sf0.1 the
+    two are a wash (1.60 vs 1.69 s medians, identical output;
+    BASELINE.md r7 A/B) because the local shuffle is not the
+    bottleneck, but the 8-byte key is ~5x narrower than the ~45-byte
+    gram string where cluster network is, and a 64-bit collision can
+    only MERGE two counts upward, which cannot un-flag a true
+    duplicate. The doc-side window and the final
     per-doc rollup share one hash partitioning on doc_id, so the
     whole operator is two exchanges end-to-end.
 
