@@ -823,3 +823,122 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("total_chars"), 6)
                 .alias("kept_char_share"))
     )
+
+
+#: fraction of total corpus characters the mixed budget may spend
+MIX_BUDGET_FRAC_NUM, MIX_BUDGET_FRAC_DEN = 1, 4
+
+
+@register(
+    "sample_token_budget_mix",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)))
+                        AS BIGINT) AS w
+            FROM documents GROUP BY source),
+        g AS (SELECT CAST(sum(total_chars) AS BIGINT) AS corpus_chars,
+                     CAST(sum(w) AS BIGINT) AS w_sum
+              FROM s),
+        q AS (
+            SELECT s.source, s.n_docs, s.total_chars,
+                   ((g.corpus_chars * 1 // 4) * s.w) // g.w_sum
+                       AS quota_chars
+            FROM s CROSS JOIN g),
+        r AS (
+            SELECT doc_id, source, n_chars,
+                   sum(n_chars) OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS cum
+            FROM documents),
+        sel AS (
+            SELECT r.source,
+                   count(*) AS n_selected,
+                   CAST(sum(r.n_chars) AS BIGINT) AS selected_chars
+            FROM r JOIN q ON r.source = q.source
+            WHERE r.cum <= q.quota_chars
+            GROUP BY r.source)
+        SELECT q.source, q.n_docs, q.total_chars, q.quota_chars,
+               coalesce(sel.n_selected, 0) AS n_selected,
+               coalesce(sel.selected_chars, 0) AS selected_chars,
+               round(CAST(coalesce(sel.selected_chars, 0) AS DOUBLE)
+                     / q.quota_chars, 6) AS fill_ratio
+        FROM q LEFT JOIN sel ON q.source = sel.source
+    """,
+    tags=("training", "sampling", "mixing", "budget"),
+)
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained data mixing — the step that materializes a
+    mixing recipe: spend a corpus-wide character budget (1/4 of total
+    chars) across sources with SUB-LINEAR weights (w_s = isqrt of the
+    source's chars — the temperature-flattening that keeps big crawl
+    sources from drowning small curated ones, the same idea as
+    lang_temperature_sampling's tau), then fill each source's quota
+    with its best documents (n_chars DESC, doc_id tie-break) by
+    cumulative sum until the next doc would exceed the quota. Output
+    per source: quota, docs selected, chars actually spent, fill
+    ratio.
+
+    Engine-exactness is designed in, not hoped for: weights, the
+    weight sum, the budget, and every quota are ALL-INTEGER
+    (floor(sqrt(bigint-valued double)) is deterministic because sqrt
+    is IEEE-correctly-rounded; integer sums are order-independent;
+    quota = (budget * w) DIV w_sum in bigint) — a float weight sum
+    would be summation-order-dependent across engines and could flip
+    the boundary document of a quota. The per-source cumsum is exact
+    bigint.
+
+    Scale shape: the quota table is |sources| rows (two map-side-
+    combined aggregates + a 1-row grand total, broadcast); the
+    selection is ONE window cumsum per source partition over the docs
+    scan, filtered by the broadcast quota — no joins at doc grain, no
+    global sort. At 100 TB the per-source full ordering is the cost
+    center: the production form pre-filters with an approximate
+    quality threshold (quantile sketch) and exact-ranks only the
+    boundary region; the fixture form IS the exact reference those
+    two-phase results are validated against.
+
+    Distinct from sample_domain_cap: that is a COUNT cap per domain
+    (WindowGroupLimit prunes map-side); this is a cumulative RESOURCE
+    budget, which needs the running sum and therefore a real window —
+    the two operators bracket the cost/precision trade."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.floor(F.sqrt(F.sum("n_chars").cast("double")))
+        .cast("bigint").alias("w"))
+    g = s.agg(F.sum("total_chars").alias("corpus_chars"),
+              F.sum("w").alias("w_sum"))
+    # integral `div` end-to-end: double division + cast would be
+    # correctly-rounded-then-truncated (provably safe only by a
+    # granularity argument); `div` IS DuckDB's `//` by construction
+    quota = F.expr(
+        f"((corpus_chars * {MIX_BUDGET_FRAC_NUM} "
+        f"div {MIX_BUDGET_FRAC_DEN}) * w) div w_sum")
+    q = (s.crossJoin(F.broadcast(g))
+         .select("source", "n_docs", "total_chars",
+                 quota.cast("bigint").alias("quota_chars")))
+    w_cum = (Window.partitionBy("source")
+             .orderBy(F.desc("n_chars"), "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = docs.select("doc_id", "source", "n_chars",
+                    F.sum("n_chars").over(w_cum).alias("cum"))
+    sel = (r.join(F.broadcast(q.select("source", "quota_chars")), "source")
+           .filter(F.col("cum") <= F.col("quota_chars"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_selected"),
+                F.sum("n_chars").alias("selected_chars")))
+    return (
+        q.join(sel, "source", "left")
+        .select("source", "n_docs", "total_chars", "quota_chars",
+                F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+                F.coalesce("selected_chars", F.lit(0))
+                .alias("selected_chars"),
+                F.round(F.coalesce("selected_chars", F.lit(0))
+                        .cast("double") / F.col("quota_chars"), 6)
+                .alias("fill_ratio"))
+    )

@@ -68,6 +68,9 @@ BNL_ALLOWED = {
     "join_theta": "demo (explicit theta/non-equi join)",
     "layout_zorder": "1-row (global coordinate bounds)",
     "rfm_segmentation": "1-row (global quantile edges)",
+    "sample_token_budget_mix": "1-row (corpus totals + weight sum; the "
+                               "NLJ left side is the |sources| table, "
+                               "not data)",
     "stream_outer_join_batch_twin": "1-row (joint-watermark cutoff)",
     "similarity_ann_ivf": "K-row (IVF centroid table)",
     "similarity_topk_bruteforce": "K-row (query vector set)",
