@@ -1293,6 +1293,58 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_coverage(docs, REPEAT_SPAN_K)
 
 
+def doc_windows(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, n_toks, pos, gram) k-token window rows of a docs
+    DataFrame — positions 1-based, grams from :func:`ngrams`."""
+    toks = docs.select("doc_id", _toks().alias("toks"))
+    return (
+        toks.select(
+            "doc_id", F.size("toks").cast("bigint").alias("n_toks"),
+            F.posexplode(ngrams(F.col("toks"), k)).alias("pos0", "gram"))
+        .select("doc_id", "n_toks", (F.col("pos0") + 1).alias("pos"),
+                "gram"))
+
+
+def span_union_per_doc(flagged: DataFrame, k: int,
+                       flag_alias: str = "dup") -> DataFrame:
+    """Per-doc maximal-span merge + interval union over flagged
+    k-token window rows (doc_id, n_toks, pos, <flag>): the classic
+    sweep as a running max(pos+k) over preceding FLAGGED rows (CASE
+    inside the window — no pre-filter subsetting, so docs with zero
+    flagged windows still emit a zero row). Shared by
+    dedup_repeated_spans and contamination_span_coverage; the final
+    rollup reuses the doc_id hash partitioning from the sweep window
+    (no third exchange)."""
+    from pyspark.sql import Window
+
+    flag = F.col(flag_alias)
+    w_doc = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prev_end = F.max(F.when(flag, F.col("pos") + k)).over(w_doc)
+    swept = flagged.select(
+        "doc_id", "n_toks", "pos", flag.alias("flag"),
+        prev_end.alias("prev_end"))
+    contrib = F.when(
+        F.col("flag"),
+        F.greatest(F.col("pos") + k
+                   - F.greatest(F.col("pos"),
+                                F.coalesce(F.col("prev_end"), F.lit(0))),
+                   F.lit(0))).otherwise(F.lit(0))
+    is_start = F.when(
+        F.col("flag") & (F.col("prev_end").isNull()
+                         | (F.col("pos") > F.col("prev_end"))),
+        F.lit(1)).otherwise(F.lit(0))
+    return (
+        swept.groupBy("doc_id", "n_toks")
+        .agg(F.count("*").alias("n_windows"),
+             F.count_if(F.col("flag")).alias("n_flagged_windows"),
+             F.sum(is_start).cast("bigint").alias("n_spans"),
+             F.sum(contrib).cast("bigint").alias("covered_tokens"),
+             F.round(F.sum(contrib).cast("double") / F.col("n_toks"), 6)
+             .alias("coverage"))
+    )
+
+
 def repeated_span_coverage(docs: DataFrame, k: int) -> DataFrame:
     """Library form of :func:`dedup_repeated_spans` over any docs
     DataFrame with (doc_id, text) and a window width ``k`` —
@@ -1300,37 +1352,16 @@ def repeated_span_coverage(docs: DataFrame, k: int) -> DataFrame:
     tests/test_hypothesis_dedup.py."""
     from pyspark.sql import Window
 
-    toks = docs.select("doc_id", _toks().alias("toks"))
-    rows = toks.select(
-        "doc_id", F.size("toks").cast("bigint").alias("n_toks"),
-        F.posexplode(ngrams(F.col("toks"), k)).alias("pos0", "gram"))
+    rows = doc_windows(docs, k)
     flagged = rows.select(
-        "doc_id", "n_toks", (F.col("pos0") + 1).alias("pos"),
+        "doc_id", "n_toks", "pos",
         (F.count("*").over(Window.partitionBy("gram")) > 1).alias("dup"))
-    w_doc = (Window.partitionBy("doc_id").orderBy("pos")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    prev_end = F.max(
-        F.when(F.col("dup"), F.col("pos") + k)).over(w_doc)
-    swept = flagged.select(
-        "doc_id", "n_toks", "pos", "dup", prev_end.alias("prev_end"))
-    contrib = F.when(
-        F.col("dup"),
-        F.greatest(F.col("pos") + k
-                   - F.greatest(F.col("pos"),
-                                F.coalesce(F.col("prev_end"), F.lit(0))),
-                   F.lit(0))).otherwise(F.lit(0))
-    is_start = F.when(
-        F.col("dup") & (F.col("prev_end").isNull()
-                        | (F.col("pos") > F.col("prev_end"))),
-        F.lit(1)).otherwise(F.lit(0))
     return (
-        swept.groupBy("doc_id", "n_toks")
-        .agg(F.count("*").alias("n_windows"),
-             F.count_if(F.col("dup")).alias("n_dup_windows"),
-             F.sum(is_start).cast("bigint").alias("n_spans"),
-             F.sum(contrib).cast("bigint").alias("covered_tokens"),
-             F.round(F.sum(contrib).cast("double") / F.col("n_toks"), 6)
-             .alias("dup_coverage"))
+        span_union_per_doc(flagged, k)
+        .select("doc_id", "n_toks", "n_windows",
+                F.col("n_flagged_windows").alias("n_dup_windows"),
+                "n_spans", "covered_tokens",
+                F.col("coverage").alias("dup_coverage"))
     )
 
 

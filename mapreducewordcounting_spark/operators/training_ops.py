@@ -942,3 +942,108 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("double") / F.col("quota_chars"), 6)
                 .alias("fill_ratio"))
     )
+
+
+#: window width for span-level contamination (matches contamination_5gram)
+CONTAM_SPAN_K = 5
+
+
+@register(
+    "contamination_span_coverage",
+    oracle=f"""
+        WITH t AS ({{_SQL_TOKS}}),
+        w AS (
+            SELECT doc_id, source, len(toks) AS n_toks,
+                   list_transform(
+                       range(1, greatest(len(toks) - {CONTAM_SPAN_K} + 2, 1)),
+                       i -> struct_pack(
+                           pos := i,
+                           gram := array_to_string(
+                               toks[i:i+{CONTAM_SPAN_K}-1], ' '))) AS wins
+            FROM t),
+        g AS (SELECT doc_id, source, n_toks, unnest(wins) AS u FROM w),
+        g2 AS (SELECT doc_id, source, n_toks,
+                      u.pos AS pos, u.gram AS gram FROM g),
+        bench AS (SELECT DISTINCT gram FROM g2 WHERE source = 'src0'),
+        d AS (SELECT g2.doc_id, g2.n_toks, g2.pos,
+                     b.gram IS NOT NULL AS hit
+              FROM g2 LEFT JOIN bench b ON g2.gram = b.gram
+              WHERE g2.source <> 'src0'),
+        p AS (SELECT doc_id, n_toks, pos, hit,
+                     max(CASE WHEN hit THEN pos + {CONTAM_SPAN_K} END)
+                         OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_end
+              FROM d)
+        SELECT doc_id,
+               CAST(n_toks AS BIGINT) AS n_toks,
+               count(*) AS n_windows,
+               count(CASE WHEN hit THEN 1 END) AS n_contam_windows,
+               CAST(coalesce(sum(CASE WHEN hit AND (prev_end IS NULL
+                                                    OR pos > prev_end)
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_spans,
+               CAST(coalesce(sum(CASE WHEN hit THEN greatest(
+                                          pos + {CONTAM_SPAN_K}
+                                          - greatest(pos,
+                                                     coalesce(prev_end, 0)),
+                                          0)
+                                      ELSE 0 END), 0) AS BIGINT)
+                   AS covered_tokens,
+               round(CAST(coalesce(sum(CASE WHEN hit THEN greatest(
+                                          pos + {CONTAM_SPAN_K}
+                                          - greatest(pos,
+                                                     coalesce(prev_end, 0)),
+                                          0)
+                                      ELSE 0 END), 0) AS DOUBLE)
+                     / n_toks, 6) AS contam_coverage
+        FROM p
+        GROUP BY doc_id, n_toks
+    """.format(_SQL_TOKS=_SQL_TOKS),
+    tags=("training", "contamination", "spans", "memorization"),
+)
+def contamination_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark contamination — contamination_5gram tells
+    you WHICH training docs share a 5-gram with the benchmark
+    ('src0'); this tells you HOW MUCH of each one is verbatim
+    benchmark text: windows whose exact 5-token sequence occurs in
+    the benchmark merge into maximal spans per doc (the
+    dedup_repeated_spans sweep, different flag source), and the
+    interval-union mass is what an eval-integrity report quotes —
+    'doc X is 40% benchmark text' is actionable; 'doc X shares a
+    gram' is not. EVERY training doc emits a row (zero-contamination
+    docs report 0.0), so the output is also the denominator.
+
+    Plan: benchmark grams reduce to a DISTINCT set and broadcast
+    (control-sized — the contamination_5gram argument); the training
+    side takes ONE tokenize→window pass, a map-side broadcast left
+    join sets the hit flag, and the per-doc sweep + rollup share one
+    doc_id exchange (span_union_per_doc). The join key here is the
+    raw gram so the DuckDB oracle covers the key itself; at corpus
+    scale swap xxhash64, measured a local wash with a bounded failure
+    mode (BASELINE.md r7 gram-key A/B — hash collisions only
+    over-flag)."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        doc_windows,
+        span_union_per_doc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        doc_windows(docs.filter(F.col("source") == "src0"), CONTAM_SPAN_K)
+        .select("gram").distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    flagged = (
+        doc_windows(docs.filter(F.col("source") != "src0"), CONTAM_SPAN_K)
+        .join(F.broadcast(bench), "gram", "left")
+        .select("doc_id", "n_toks", "pos",
+                F.coalesce("hit", F.lit(False)).alias("hit"))
+    )
+    return (
+        span_union_per_doc(flagged, CONTAM_SPAN_K, flag_alias="hit")
+        .select("doc_id", "n_toks", "n_windows",
+                F.col("n_flagged_windows").alias("n_contam_windows"),
+                "n_spans", "covered_tokens",
+                F.col("coverage").alias("contam_coverage"))
+    )

@@ -433,3 +433,50 @@ def test_incremental_neardup_matches_python(spark, sf_dir):
         dedup_incremental_neardup(spark, sf_dir),
         ["new_id", "n_band_matches", "n_verified", "best_jaccard"])
     assert got == expected
+
+
+# ------------------------------------------------- contamination spans
+
+
+def test_contamination_spans_match_python(spark, sf_dir):
+    """contamination_span_coverage vs plain Python: benchmark = src0
+    docs' 5-gram set; per training doc, flag windows whose exact
+    sequence is in the benchmark, merge overlaps, measure the union.
+    Every training doc with >= 5 tokens emits a row."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        CONTAM_SPAN_K,
+        contamination_span_coverage,
+    )
+
+    K = CONTAM_SPAN_K
+    docs = load_documents(sf_dir)
+    toks = {d["doc_id"]: canon_tokens(d["text"]) for d in docs}
+    source = {d["doc_id"]: d["source"] for d in docs}
+    bench = set()
+    for doc_id, t in toks.items():
+        if source[doc_id] == "src0":
+            bench.update(word_ngrams(t, K))
+
+    expected = []
+    for doc_id, t in sorted(toks.items()):
+        if source[doc_id] == "src0":
+            continue
+        wins = word_ngrams(t, K)
+        if not wins:
+            continue
+        hit_pos = [i + 1 for i, g in enumerate(wins) if g in bench]
+        n_spans = covered = 0
+        prev_end = 0
+        for p in hit_pos:
+            if p > prev_end:
+                n_spans += 1
+            covered += max(p + K - max(p, prev_end), 0)
+            prev_end = max(prev_end, p + K)
+        expected.append((doc_id, len(t), len(wins), len(hit_pos),
+                         n_spans, covered, round6(covered / len(t))))
+
+    got = rows_as_tuples(
+        contamination_span_coverage(spark, sf_dir),
+        ["doc_id", "n_toks", "n_windows", "n_contam_windows",
+         "n_spans", "covered_tokens", "contam_coverage"])
+    assert got == expected

@@ -55,6 +55,14 @@ ACKNOWLEDGED: dict[str, str] = {
                              "corrupt rows in PERMISSIVE + badRecords "
                              "modes; per-row parse+quarantine is the "
                              "semantics under test",
+    "contamination_span_coverage": "gram-grain work among doc-grain "
+                                   "training peers: a corpus-wide 5-gram "
+                                   "window stream + benchmark flag join + "
+                                   "per-doc sweep (two window shuffles) vs "
+                                   "peers that are single map stages; same "
+                                   "structural class as "
+                                   "text_dup_ngram_coverage, already the "
+                                   "single-scan minimal form",
     "text_dup_ngram_coverage": "shingle-grain shuffle: the 3-gram stream "
                                "is ~3x the token stream its text-family "
                                "peers shuffle; r7 rewrote it single-scan "

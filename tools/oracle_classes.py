@@ -58,6 +58,11 @@ MIRRORED: dict[str, tuple[str, str]] = {
     "dedup_containment_pairs": (
         "3-shingle inverted index + containment ratio",
         "test_bruteforce_dedup_text.py::test_containment_pairs_match_python"),
+    "contamination_span_coverage": (
+        "5-gram window flag vs benchmark set + per-doc interval-union "
+        "sweep written in both window-function dialects",
+        "test_bruteforce_dedup_text.py::"
+        "test_contamination_spans_match_python"),
     "dedup_incremental_neardup": (
         "md5 minhash banding + candidates-only exact-Jaccard verify "
         "generated on both sides",
