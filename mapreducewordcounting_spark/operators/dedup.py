@@ -1250,7 +1250,7 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Models Better"), re-expressed relationally. Where
     text_dup_ngram_coverage scores docs by SHARED-VOCABULARY fraction
     (distinct 3-shingles), this finds the literal copied REGIONS: a
-    window of {K} tokens is duplicated iff its exact token sequence
+    window of REPEAT_SPAN_K tokens is duplicated iff its exact token sequence
     occurs at more than one (doc, position) site; overlapping /
     adjacent duplicated windows then merge into maximal spans, whose
     union length is the doc's memorization-risk mass (the text a

@@ -1011,8 +1011,12 @@ def contamination_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_repeated_spans sweep, different flag source), and the
     interval-union mass is what an eval-integrity report quotes —
     'doc X is 40% benchmark text' is actionable; 'doc X shares a
-    gram' is not. EVERY training doc emits a row (zero-contamination
-    docs report 0.0), so the output is also the denominator.
+    gram' is not. Every training doc with at least CONTAM_SPAN_K (5)
+    tokens emits a row (zero-contamination docs report 0.0); shorter
+    docs produce no 5-token window on either engine (posexplode of an
+    empty ngram array here, unnest of an empty list in the oracle)
+    and are excluded — the output is the denominator over docs long
+    enough to contaminate, not over all docs.
 
     Plan: benchmark grams reduce to a DISTINCT set and broadcast
     (control-sized — the contamination_5gram argument); the training

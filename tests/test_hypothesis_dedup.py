@@ -18,6 +18,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from mapreducewordcounting_spark.operators.dedup import ngram_jaccard_pairs
+from tests.bruteforce_util import round6
 
 #: tiny vocabulary incl. tokens the normalizer mangles or drops
 _VOCAB = ("aa", "ab", "ba", "bb", "a-b", "x1", "...", "don't")
@@ -128,8 +129,13 @@ def _brute_spans(corpus, k):
                 n_spans += 1
             covered += max(p + k - max(p, prev_end), 0)
             prev_end = max(prev_end, p + k)
+        # round6, not built-in round(): Spark's F.round is HALF_UP
+        # while Python's is half-to-even; no 6-decimal tie is
+        # constructible from these <=10-token corpora today, but the
+        # reference must pin the same convention as the engine
+        # (ADVICE r7) so growing _corpus can't silently diverge.
         out[i] = (len(t), len(wins), len(dup_pos), n_spans, covered,
-                  round(covered / len(t), 6))
+                  round6(covered / len(t)))
     return out
 
 
