@@ -103,46 +103,27 @@ def test_incremental_ingest_matches_batch_dedup(spark, sf_dir):
     assert row["n_distinct"] == batch_distinct
 
 
-def test_transform_with_state_gate_and_twin(spark, sf_dir):
-    """transformWithStateInPandas twin of the stateful counter. The
-    protobuf dependency (the Python↔JVM state-server wire protocol) is
-    environment-optional, so this test asserts BOTH sides of the gate
-    instead of skipping (VERDICT r4 item 8 — a skip recorded no
-    evidence):
+def test_stateful_surface_is_apply_in_pandas_with_state():
+    """transformWithStateInPandas was RETIRED in r8 (VERDICT r7 item
+    5): the protobuf runtime its state-server protocol needs is absent
+    from the frozen container and may not be installed or vendored.
+    This pins the decision so it cannot silently regress into a
+    half-registered operator again:
 
-    * protobuf present → run the operator end-to-end and pin it to the
-      batch aggregate (the real twin check);
-    * protobuf absent → pin the GATE CONTRACT: the query must NOT be
-      registered (a registered-but-crashing operator is worse than an
-      honest gate), the applyInPandasWithState fallback twin MUST be
-      registered, and the implementation stays importable up to the
-      protobuf boundary so the present-branch lights up unchanged the
-      moment the dependency appears.
+    * ``stream_transform_with_state`` is NOT registered and NOT
+      importable — the capability flag is gone, not dormant;
+    * ``stream_stateful_counter`` (applyInPandasWithState) IS
+      registered — it is the engine's supported custom-stateful
+      surface, and its batch-twin equivalence is tested above.
     """
     from mapreducewordcounting_spark.registry import all_queries
-    from mapreducewordcounting_spark.streaming import (
-        _has_protobuf,
-        stream_transform_with_state,
-    )
+    import mapreducewordcounting_spark.streaming as streaming
 
     registered = set(all_queries())
-    if _has_protobuf():
-        stream = stream_transform_with_state(spark, sf_dir)
-        ev = load_table(spark, sf_dir, "events")
-        batch = ev.groupBy("user_id").agg(
-            F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
-        )
-        s = {r.user_id: (r.n_events, round(r.total_value, 6))
-             for r in stream.collect()}
-        b = {r.user_id: (r.n_events, round(r.total_value, 6))
-             for r in batch.collect()}
-        assert s == b
-        assert "stream_transform_with_state" in registered
-    else:
-        assert "stream_transform_with_state" not in registered
-        assert "stream_stateful_counter" in registered  # exercised twin
-        assert callable(stream_transform_with_state)
+    assert "stream_transform_with_state" not in registered
+    assert not hasattr(streaming, "stream_transform_with_state")
+    assert not hasattr(streaming, "_has_protobuf")
+    assert "stream_stateful_counter" in registered
 
 
 def test_stream_outer_join_equals_oracled_twin(spark, sf_dir):
