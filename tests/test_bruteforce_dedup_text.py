@@ -480,3 +480,55 @@ def test_contamination_spans_match_python(spark, sf_dir):
         ["doc_id", "n_toks", "n_windows", "n_contam_windows",
          "n_spans", "covered_tokens", "contam_coverage"])
     assert got == expected
+
+
+# ------------------------------------------------- perceptual hash (mm)
+
+
+def _phash_sig(text: str) -> tuple[int, int, int]:
+    """dHash-structured perceptual signature (docstring spec of
+    mm_phash_neardup): 65 two-char blocks from the first 130 chars,
+    intensity = first 8 md5 hex chars as uint32, bit i = I[i] < I[i+1];
+    n_blocks = ceil(len/2) capped at 65."""
+    inten = []
+    for i in range(65):
+        blk = text[i * 2:i * 2 + 2]
+        inten.append(int(_md5(blk)[:8], 16))
+    lo = sum(1 << i for i in range(32) if inten[i] < inten[i + 1])
+    hi = sum(1 << (i - 32) for i in range(32, 64) if inten[i] < inten[i + 1])
+    return hi, lo, min((len(text) + 1) // 2, 65)
+
+
+def _phash_pairs(texts: dict[int, str]) -> list[tuple[int, int, int]]:
+    """Candidates = shared ELIGIBLE 16-bit band (band k requires
+    16k < n_blocks on BOTH sides); emit hamming <= 3."""
+    sigs = {d: _phash_sig(t) for d, t in texts.items()}
+    ids = sorted(sigs)
+    out = []
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            (ah, al, an), (bh, bl, bn) = sigs[a], sigs[b]
+            keys_a = (al & 0xFFFF, al >> 16, ah & 0xFFFF, ah >> 16)
+            keys_b = (bl & 0xFFFF, bl >> 16, bh & 0xFFFF, bh >> 16)
+            if not any(16 * k < an and 16 * k < bn
+                       and keys_a[k] == keys_b[k] for k in range(4)):
+                continue
+            ham = bin(ah ^ bh).count("1") + bin(al ^ bl).count("1")
+            if ham <= 3:
+                out.append((a, b, ham))
+    return sorted(out)
+
+
+def test_phash_neardup_matches_python(spark, sf_dir):
+    """Raw text (the asset payload bytes), NOT canon_tokens — the
+    perceptual hash sees the payload exactly as stored."""
+    from mapreducewordcounting_spark.operators.multimodal import (
+        mm_phash_neardup,
+    )
+
+    texts = {d["doc_id"]: d["text"] for d in load_documents(sf_dir)}
+    expected = _phash_pairs(texts)
+    got = rows_as_tuples(mm_phash_neardup(spark, sf_dir),
+                         ["id_a", "id_b", "hamming"])
+    assert got == expected
+    assert expected, "fixture must keep the threshold non-vacuous"

@@ -161,3 +161,39 @@ def test_repeated_span_sweep_matches_python(spark, corpus):
         for r in repeated_span_coverage(docs, 3).collect()
     }
     assert got == _brute_spans(corpus, 3)
+
+
+# ------------------------------------------------- perceptual hash (mm)
+
+_payload = st.text(alphabet="abcdef gh", min_size=0, max_size=40)
+_phash_corpus = st.lists(_payload, min_size=0, max_size=6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(base=_phash_corpus, tail=st.text(alphabet="xyz", max_size=4))
+def test_phash_core_matches_python(spark, base, tail):
+    """phash_signatures + phash_neardup_pairs on adversarial payloads
+    the fixture can't produce: empty payloads (zero blocks -> zero
+    eligible bands -> excluded from pairing entirely), exact
+    duplicates (hamming 0), sub-block docs, and PLANTED TAIL EDITS
+    (every base doc also appears with `tail` appended — the fixture's
+    near-dup shape, here at arbitrary lengths including the 16-block
+    band-eligibility boundaries). Compared against the pure-Python
+    reimplementation from the docstring spec."""
+    from tests.test_bruteforce_dedup_text import _phash_pairs
+    from mapreducewordcounting_spark.operators.multimodal import (
+        phash_neardup_pairs,
+        phash_signatures,
+    )
+
+    texts = dict(enumerate(base + [t + tail for t in base]))
+    if not texts:
+        return
+    assets = spark.createDataFrame(
+        [(i, bytearray(t.encode("utf-8"))) for i, t in texts.items()],
+        "asset_id long, payload binary",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_neardup_pairs(phash_signatures(assets)).collect())
+    assert got == _phash_pairs(texts)

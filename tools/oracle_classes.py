@@ -47,6 +47,11 @@ MIRRORED: dict[str, tuple[str, str]] = {
     "dedup_simhash_det": (
         "64 generated vote sums / bit assembly / 16-bit band predicates",
         "test_bruteforce_dedup_text.py::test_simhash_det_matches_python"),
+    "mm_phash_neardup": (
+        "md5-fold block intensities / dHash gradient bits / "
+        "eligibility-gated 16-bit bands on both sides",
+        "test_bruteforce_dedup_text.py::test_phash_neardup_matches_python"
+        " (+ test_hypothesis_dedup.py::test_phash_core_matches_python)"),
     "similarity_ann_rp_det": (
         "md5-derived hyperplanes inlined into both sides; 4-bit bands",
         "test_bruteforce_formulas.py::test_ann_rp_det_matches_python"),
