@@ -505,39 +505,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each iteration is one groupBy exchange on doc_id; iterations are
     bounded by component diameter (near-dup clusters are tiny — planted
-    fixture components converge in ≤ 4). The same loop is connected
-    components for any edge list.
+    fixture components converge in ≤ 4). The loop itself is
+    :func:`component_labels` — shared with the leakage-safe split
+    (training_ops.sample_split_leakage_safe), which consumes the labels
+    per-doc instead of aggregating them per cluster.
     """
+    labels = neardup_component_labels(spark, sf_dir)
+    return labels.groupBy(F.col("label").alias("cluster_survivor")).agg(
+        F.count("*").alias("n_members"),
+        # '|'-joined (not an array column): list-typed result columns
+        # aren't hashable by the driver's canonicalizer (see agg_collect)
+        F.array_join(F.sort_array(F.collect_list("node")), "|")
+        .alias("members"),
+    )
+
+
+def neardup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(node, label)`` connected-component labels over the 3-gram
+    Jaccard ≥ 0.8 near-dup pair graph — the shared front half of
+    dedup_clusters and training_ops.sample_split_leakage_safe.
+
+    Checkpoint hygiene (VERDICT r5 item 5): the symmetric edge list is
+    lineage-cut before iterating — without this, every iteration's
+    labels plan re-embeds the whole jaccard DAG and the loop goes
+    exponential (measured 24.7 s → ~5 s at sf0.1). The jaccard
+    sub-plan's own shingle checkpoint is freed as soon as the edge
+    list is materialized, and the edge list itself is dropped before
+    return — only the final label snapshot (which the returned plan
+    scans) stays pinned."""
     before_ids = pinned_ids(spark)
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-    # Truncate lineage before iterating: without this, every iteration's
-    # `labels` plan re-embeds the whole jaccard DAG and the loop goes
-    # exponential (measured 24.7 s → ~5 s at sf0.1). localCheckpoint
-    # materializes on executors; recompute-on-loss is acceptable for a
-    # bounded 4-step loop (standard iterative-DataFrame practice).
-    # Rotators (VERDICT r5 item 5): each iteration's label snapshot is
-    # unpersisted as soon as its successor is materialized, and the
-    # loop-scoped edge list is dropped before return — only the final
-    # snapshot (which the returned plan scans) stays pinned.
-    spark_ = edges.sparkSession
-    scratch = CheckpointRotator(spark_)
-    steps = CheckpointRotator(spark_)
+    scratch = CheckpointRotator(spark)
     edges = scratch.rotate(edges)
-    # the jaccard sub-plan checkpointed its shingle table for ITS OWN
-    # three-branch reuse; materializing `edges` just consumed it for
-    # the last time — free it before the loop runs
-    release_created_since(spark_, before_ids, keep=scratch.live_ids)
+    release_created_since(spark, before_ids, keep=scratch.live_ids)
+    labels = component_labels(edges)
+    scratch.release()  # edge list: not read by the returned plan
+    return labels
+
+
+def component_labels(edges: DataFrame) -> DataFrame:
+    """Connected-component labels ``(node, label)`` — label = component
+    minimum id — by iterative min-label propagation over a SYMMETRIC
+    ``(id_a, id_b)`` edge list (callers union both directions and
+    should lineage-cut the edge list first; this function only rotates
+    its own per-iteration snapshots and leaves the FINAL one pinned for
+    the returned plan — harness sweeps free it later).
+
+    Iterates to convergence (bounded at 20): components merge along
+    minimum labels, and a fixed small iteration count would silently
+    mis-cluster any component whose min-label eccentricity exceeds it.
+    Each iteration is one groupBy exchange on the node id; the
+    convergence check is a filter over the already-materialized step
+    output, not another join against the previous labels (which cost
+    one extra shuffle per iteration)."""
+    steps = CheckpointRotator(edges.sparkSession)
     # start: every node labels itself
     labels = steps.rotate(
         edges.select(F.col("id_a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    # iterate to convergence (bounded): components merge along minimum
-    # labels; a fixed small iteration count would silently mis-cluster
-    # any component whose min-label eccentricity exceeds it
     for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.node)
@@ -553,22 +582,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.coalesce("nbr_label", "label")).alias("label"),
             )
         )
-        # convergence check on the already-materialized step output —
-        # a filter over the checkpoint, not another join against the
-        # previous labels (which cost one extra shuffle per iteration)
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.select("node", "label")
         if changed == 0:
             break
-    scratch.release()  # edge list: not read by the returned plan
-    steps.keep()       # final label snapshot: read by the returned plan
-    return labels.groupBy(F.col("label").alias("cluster_survivor")).agg(
-        F.count("*").alias("n_members"),
-        # '|'-joined (not an array column): list-typed result columns
-        # aren't hashable by the driver's canonicalizer (see agg_collect)
-        F.array_join(F.sort_array(F.collect_list("node")), "|")
-        .alias("members"),
-    )
+    steps.keep()  # final label snapshot: read by the returned plan
+    return labels
 
 
 def minhash_band_rows(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:

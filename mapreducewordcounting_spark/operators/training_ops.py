@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
 from mapreducewordcounting_spark.functions.text import words_canonical
+# dedup's shared 3-gram-Jaccard CTE block, reused verbatim by the
+# leakage-safe split's oracle (the split IS a dedup composition; the
+# similarity module imports dedup's tokenizer the same way).
+from mapreducewordcounting_spark.operators.dedup import _SQL_JACCARD_CTES
 from mapreducewordcounting_spark.registry import register
 
 #: chunking geometry: 500-char windows every 400 chars (100 overlap) —
@@ -515,6 +519,105 @@ def sample_split_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@register(
+    "sample_split_leakage_safe",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_JACCARD_CTES},
+        edges AS (
+            SELECT id_a, id_b FROM jacc
+            UNION ALL
+            SELECT id_b, id_a FROM jacc
+        ),
+        reach(node, label) AS (
+            SELECT DISTINCT id_a, id_a FROM edges
+            UNION
+            SELECT e.id_a, r.label
+            FROM edges e JOIN reach r ON e.id_b = r.node
+        ),
+        labels AS (
+            SELECT node, min(label) AS label FROM reach GROUP BY node
+        ),
+        keyed AS (
+            SELECT d.doc_id, d.n_chars,
+                   coalesce(l.label, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+        ),
+        b AS (
+            SELECT doc_id, n_chars, split_key,
+                   {_SQL_BUCKET.format(key='split_key')} AS bucket
+            FROM keyed
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               count(DISTINCT split_key) AS n_clusters,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM b
+        GROUP BY 1
+    """,
+    tags=("training", "sampling", "split", "dedup"),
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware 80/10/10 train/val/test split: the md5 bucket is
+    taken over the near-dup COMPONENT label (component min doc_id;
+    singletons label themselves), not the doc_id — so a whole cluster
+    of near-duplicates moves to one split atomically and no document
+    can leak an eval answer into train via a near-copy. This is the
+    split discipline eval-contamination audits demand: with
+    sample_split_3way's per-doc hashing, a pair of 0.9-Jaccard
+    near-dups lands in different splits with probability ~2·p·(1-p);
+    here that probability is 0 BY CONSTRUCTION — every member of a
+    component shares one split_key, so one bucket, so one split.
+
+    Composition: dedup_ngram_jaccard pairs → component_labels
+    min-label propagation (both shared with dedup_clusters via
+    neardup_component_labels) → left join docs to attach labels
+    (singleton docs keep their own id) → hash-bucket the label →
+    aggregate per split. The id_checksum pins exact membership.
+
+    100 TB posture: the pair graph + label loop is dedup_clusters'
+    cost (prefix-filtered SSJoin, then one exchange per iteration
+    bounded by component diameter); the split itself adds one
+    doc_id-keyed left join (sort-merge by plan — labels carry a row
+    for every doc that appears in some near-dup pair, which at
+    crawl-corpus dup rates is a constant fraction of the corpus, NOT
+    broadcastable; the join key is the narrow 8-byte id either side)
+    and a 3-row aggregate.
+    Assignment stays recomputable from (doc_id → label) alone, so
+    incremental corpora re-split without moving old docs unless their
+    component grew — the property RNG splits can't give."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        neardup_component_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = neardup_component_labels(spark, sf_dir)
+    keyed = (
+        docs.select("doc_id", "n_chars")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", "n_chars",
+                F.coalesce("label", "doc_id").alias("split_key"))
+    )
+    bucket = _bucket_spark(F.col("split_key"))
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        keyed.select(split.alias("split"), "doc_id", "n_chars", "split_key")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("split_key").alias("n_clusters"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
     )
 
 

@@ -151,6 +151,73 @@ def test_split_3way_matches_python(spark, sf_dir):
     assert got == expected
 
 
+def test_split_leakage_safe_matches_python(spark, sf_dir):
+    """Full pipeline recomputed structure-free: canon tokens → distinct
+    3-gram shingle sets → exact Jaccard >= 0.8 pairs (O(n²) is fine on
+    the sf0.001 fixture) → connected components by BFS → label =
+    component min id (singletons label themselves) → md5 %100 bucket of
+    the LABEL → 80/10/10 split → per-split aggregate. Also asserts the
+    operator's defining property directly: both ends of every near-dup
+    pair land in the same split."""
+    from tests.bruteforce_util import word_ngrams
+
+    from mapreducewordcounting_spark.operators.training_ops import (
+        sample_split_leakage_safe,
+    )
+
+    docs = load_documents(sf_dir)
+    sh = {d["doc_id"]: set(word_ngrams(canon_tokens(d["text"]), 3))
+          for d in docs}
+    ids = sorted(i for i, s in sh.items() if s)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a] | sh[b]) >= 0.8:
+                adj[a].add(b)
+                adj[b].add(a)
+    label: dict[int, int] = {}
+    for start in sorted(adj):
+        if start in label:
+            continue
+        comp = {start}
+        changed = True
+        while changed:
+            changed = False
+            for node in list(comp):
+                new = adj[node] - comp
+                if new:
+                    comp |= new
+                    changed = True
+        m = min(comp)
+        for node in comp:
+            label[node] = m
+
+    def split_of(key: int) -> str:
+        b = _bucket100(key)
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    # defining property: near-dup pairs never straddle splits
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            assert split_of(label[a]) == split_of(label[b])
+
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, set(), 0, 0])
+    for d in docs:
+        key = label.get(d["doc_id"], d["doc_id"])
+        s = split_of(key)
+        agg[s][0] += 1
+        agg[s][1].add(key)
+        agg[s][2] += d["n_chars"]
+        agg[s][3] += d["doc_id"]
+    expected = sorted((s, n, len(ks), c, i)
+                      for s, (n, ks, c, i) in agg.items())
+    got = rows_as_tuples(
+        sample_split_leakage_safe(spark, sf_dir),
+        ["split", "n_docs", "n_clusters", "total_chars", "id_checksum"])
+    assert got == expected
+
+
 def test_stratified_hash_matches_python(spark, sf_dir):
     from mapreducewordcounting_spark.operators.training_ops import (
         sample_stratified_hash,

@@ -41,6 +41,14 @@ ABS_FLOOR_SEC = 1.5
 #: name -> reason this >2x-of-peers row is accepted (reviewed, not
 #: ignored). Keep this list SHORT — every entry is a standing debt.
 ACKNOWLEDGED: dict[str, str] = {
+    "sample_split_leakage_safe": "composite over the near-dup pair "
+                                 "graph: embeds dedup_ngram_jaccard + "
+                                 "the dedup_clusters min-label loop "
+                                 "(iterative tier; dedup_clusters alone "
+                                 "pins 4.2 s) — the split adds ~1.5 s of "
+                                 "doc join + 3-row aggregate on top; its "
+                                 "'training' family peers are single map "
+                                 "stages",
     "pyds_stream_ledger": "custom Python streaming source round-trip; "
                           "per-batch Python RPC is the cost being "
                           "demonstrated",

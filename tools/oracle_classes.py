@@ -73,6 +73,12 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "generated on both sides",
         "test_bruteforce_dedup_text.py::"
         "test_incremental_neardup_matches_python"),
+    "sample_split_leakage_safe": (
+        "shared jaccard CTEs + md5 %100 bucket of the component label "
+        "on both sides (components themselves differ: min-label loop "
+        "vs recursive CTE)",
+        "test_bruteforce_sketch_sample.py::"
+        "test_split_leakage_safe_matches_python"),
     "dedup_repeated_spans": (
         "8-gram window df + per-doc interval-union sweep written in "
         "both window-function dialects",
