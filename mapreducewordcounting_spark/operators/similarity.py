@@ -668,3 +668,171 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("corpus_id", F.col("bench_id").alias("nearest_bench"),
                 F.round("cos", 6).alias("max_cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — lexical + semantic rankings fused by RRF
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 20     # per-modality candidate pool depth
+RRF_TOPK = 10     # fused results returned per query
+
+
+@register(
+    "similarity_hybrid_rrf",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS_DEDUP}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS shingles
+            FROM t
+        ),
+        inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        lex_overlap AS (
+            SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+                   count(*) AS n_shared
+            FROM inv q JOIN inv c
+              ON q.shingle = c.shingle AND q.doc_id <> c.doc_id
+            WHERE q.doc_id < {N_QUERIES}
+            GROUP BY q.doc_id, c.doc_id
+        ),
+        lex AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n_shared DESC, doc_id)
+                       AS lex_rank
+            FROM lex_overlap
+        ),
+        sem_scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                   round(
+                       list_sum(list_transform(range(1, len(q.embedding) + 1),
+                            i -> CAST(q.embedding[i] AS DOUBLE)
+                                 * CAST(c.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(q.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(c.embedding,
+                                x -> CAST(x AS DOUBLE)
+                                     * CAST(x AS DOUBLE))))), 6) AS cos6
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        sem AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos6 DESC, doc_id)
+                       AS sem_rank
+            FROM sem_scored
+        ),
+        fused AS (
+            SELECT coalesce(l.query_id, s.query_id) AS query_id,
+                   coalesce(l.doc_id, s.doc_id) AS doc_id,
+                   l.lex_rank, s.sem_rank,
+                   coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + l.lex_rank),
+                            CAST(0 AS DOUBLE))
+                   + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + s.sem_rank),
+                              CAST(0 AS DOUBLE)) AS rrf
+            FROM (SELECT * FROM lex WHERE lex_rank <= {RRF_POOL}) l
+            FULL OUTER JOIN
+                 (SELECT * FROM sem WHERE sem_rank <= {RRF_POOL}) s
+              ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+        )
+        SELECT query_id, doc_id, lex_rank, sem_rank, rrf AS rrf_score,
+               fused_rank
+        FROM (SELECT *,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf DESC, doc_id)
+                         AS fused_rank
+              FROM fused)
+        WHERE fused_rank <= {RRF_TOPK}
+    """,
+    tags=("similarity", "hybrid", "rrf", "retrieval"),
+)
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the
+    lexical+semantic fusion every modern RAG / search stack runs
+    (Cormack et al., SIGIR 2009): two independent rankings per query
+    (sparse lexical, dense embedding), fused by
+    ``Σ 1/(k + rank)`` with k = {RRF_K}, so a document strong in
+    either modality surfaces without any score normalization between
+    incomparable scales.
+
+    Engine-exactness by construction (SURVEY.md §5.2 float rules):
+    the LEXICAL rank orders on an integer (count of shared distinct
+    3-gram shingles, doc_id tie-break); the SEMANTIC rank orders on
+    the ROUNDED cosine (round-6 both engines — raw doubles are
+    summation-order-sensitive); the fused score is a sum of exactly
+    TWO IEEE doubles, each 1/(k+rank) of an integer rank, identical
+    bit patterns either engine — so the output needs no tolerance.
+
+    Scale structure: queries are a tiny set — both modality scans are
+    one pass over the corpus with the query side broadcast (shingle
+    inverted-index semi-join for lexical, the contamination_embedding
+    scan shape for semantic); each modality keeps a {RRF_POOL}-deep
+    pool via its ranking window (partial TopK per query under AQE),
+    and fusion joins two |queries|×{RRF_POOL} pools — tiny,
+    exchange-free after the pools. At 100 TB the corpus never
+    self-joins; candidate volume is bounded by query count × pool."""
+    from mapreducewordcounting_spark.operators.dedup import _toks, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two-step projection (the dedup_ngram_jaccard lesson): materialize
+    # the token array before shingling, or shingles() re-runs the
+    # tokenizer per n-gram access
+    sh = (docs.select("doc_id", _toks().alias("toks"))
+          .select("doc_id", shingles(F.col("toks")).alias("shingles")))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv_c = inv.alias("c")
+    inv_q = inv.filter(F.col("doc_id") < N_QUERIES).alias("q")
+    lex_overlap = (
+        inv_c.join(F.broadcast(inv_q),
+                   (F.col("q.shingle") == F.col("c.shingle"))
+                   & (F.col("q.doc_id") != F.col("c.doc_id")))
+        .groupBy(F.col("q.doc_id").alias("query_id"),
+                 F.col("c.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("n_shared"), F.asc("doc_id"))
+    lex = (lex_overlap
+           .withColumn("lex_rank", F.row_number().over(w_lex))
+           .filter(F.col("lex_rank") <= RRF_POOL)
+           .select("query_id", "doc_id", "lex_rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_emb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    sem_scored = (
+        emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").alias("c_emb"))
+        .join(F.broadcast(q_emb), F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id",
+                F.round(cosine_similarity("q_emb", "c_emb"), 6)
+                .alias("cos6"))
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.desc("cos6"), F.asc("doc_id"))
+    sem = (sem_scored
+           .withColumn("sem_rank", F.row_number().over(w_sem))
+           .filter(F.col("sem_rank") <= RRF_POOL)
+           .select("query_id", "doc_id", "sem_rank"))
+
+    fused = (
+        lex.join(sem, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id", "doc_id", "lex_rank", "sem_rank",
+            (F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")),
+                        F.lit(0.0))
+             + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")),
+                          F.lit(0.0))).alias("rrf_score"),
+        )
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_fused))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+    )

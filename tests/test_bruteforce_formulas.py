@@ -25,6 +25,7 @@ from tests.bruteforce_util import (
     doc_tokens,
     load_documents,
     load_table_rows,
+    round6,
     rows_as_tuples,
     word_ngrams,
 )
@@ -506,3 +507,59 @@ def test_ann_rp_det_matches_python(spark, sf_dir):
     assert [r[:3] for r in got] == [r[:3] for r in sorted(expected)]
     for g, e in zip(got, sorted(expected)):
         assert abs(g[3] - e[3]) < TOL
+
+
+def test_hybrid_rrf_matches_python(spark, sf_dir):
+    """Hybrid retrieval recomputed structure-free: distinct-3-shingle
+    overlap counts -> lexical ranks; float cosine (rounded 6) ->
+    semantic ranks; RRF = 1/(60+r) summed over the pools a doc appears
+    in; fused top-10 per query. Ranks and the fused order are exact
+    integers / two-term IEEE sums, so the compare is equality."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        N_QUERIES,
+        RRF_K,
+        RRF_POOL,
+        RRF_TOPK,
+        similarity_hybrid_rrf,
+    )
+
+    toks = doc_tokens(sf_dir)
+    sh = {d: set(word_ngrams(t, 3)) for d, t in toks.items()}
+    lex_rank: dict[tuple[int, int], int] = {}
+    for q in (i for i in sorted(sh) if i < N_QUERIES):
+        pool = sorted(((len(sh[q] & sh[d]), d) for d in sorted(sh)
+                       if d != q and sh[q] & sh[d]),
+                      key=lambda x: (-x[0], x[1]))[:RRF_POOL]
+        for r, (_, d) in enumerate(pool, 1):
+            lex_rank[(q, d)] = r
+
+    emb = {r["vec_id"]: [float(x) for x in r["embedding"]]
+           for r in load_table_rows(sf_dir, "embeddings")}
+    norm = {d: math.sqrt(sum(x * x for x in v)) for d, v in emb.items()}
+    sem_rank: dict[tuple[int, int], int] = {}
+    for q in (i for i in sorted(emb) if i < N_QUERIES):
+        pool = sorted(
+            ((round6(sum(a * b for a, b in zip(emb[q], emb[d]))
+                     / (norm[q] * norm[d])), d)
+             for d in sorted(emb) if d != q),
+            key=lambda x: (-x[0], x[1]))[:RRF_POOL]
+        for r, (_, d) in enumerate(pool, 1):
+            sem_rank[(q, d)] = r
+
+    by_q: dict[int, list] = defaultdict(list)
+    for (q, d) in set(lex_rank) | set(sem_rank):
+        lr = lex_rank.get((q, d))
+        sr = sem_rank.get((q, d))
+        rrf = ((1.0 / (RRF_K + lr) if lr else 0.0)
+               + (1.0 / (RRF_K + sr) if sr else 0.0))
+        by_q[q].append((rrf, d, lr, sr))
+    expected = []
+    for q, lst in by_q.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        for r, (rrf, d, lr, sr) in enumerate(lst[:RRF_TOPK], 1):
+            expected.append((q, d, lr, sr, rrf, r))
+    got = rows_as_tuples(
+        similarity_hybrid_rrf(spark, sf_dir),
+        ["query_id", "doc_id", "lex_rank", "sem_rank",
+         "rrf_score", "fused_rank"])
+    assert got == sorted(expected)

@@ -73,6 +73,10 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "generated on both sides",
         "test_bruteforce_dedup_text.py::"
         "test_incremental_neardup_matches_python"),
+    "similarity_hybrid_rrf": (
+        "shared shingle-overlap construction + round-6 cosine ordering "
+        "+ the RRF 1/(k+rank) formula on both sides",
+        "test_bruteforce_formulas.py::test_hybrid_rrf_matches_python"),
     "sample_split_leakage_safe": (
         "shared jaccard CTEs + md5 %100 bucket of the component label "
         "on both sides (components themselves differ: min-label loop "

@@ -74,6 +74,9 @@ BNL_ALLOWED = {
     "stream_outer_join_batch_twin": "1-row (joint-watermark cutoff)",
     "similarity_ann_ivf": "K-row (IVF centroid table)",
     "similarity_topk_bruteforce": "K-row (query vector set)",
+    "similarity_hybrid_rrf": "K-row (query vector set, semantic scan "
+                             "side; the lexical side is an equi-join "
+                             "on shingle)",
     "text_heavy_hitters": "1-row (corpus token total)",
     "text_tfidf": "1-row (corpus doc count)",
     "text_unigram_logprob": "1-row (unigram grand total)",
