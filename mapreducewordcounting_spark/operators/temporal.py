@@ -257,8 +257,26 @@ def time_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last(value, ignorenulls=True)`` and a rows-unbounded-preceding
     frame: per-partition streaming state of exactly one value. Days
     before a user's first event stay NULL (nothing to carry)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "value", "event_id")
+    return _daily_grid_closes(
+        load_table(spark, sf_dir, "events")).select(
+        "user_id", "day",
+        F.last("value", ignorenulls=True).over(
+            Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("close_value"),
+        F.col("value").isNull().alias("was_gap"),
+    )
+
+
+def _daily_grid_closes(ev: DataFrame) -> DataFrame:
+    """``(user_id, day, value)`` over the dense |users|×|days| daily
+    grid, ``value`` = that user's last event value that day (NULL on
+    gap days) — the shared resample front half of time_resample_ffill
+    and time_interpolate_linear. Daily closes use the keep-latest
+    idiom (row_number = 1 per (user, day), WindowGroupLimit map-side
+    pruning); the calendar is a 1-row bounds aggregate exploded and
+    broadcast against distinct users."""
+    ev = ev.select("user_id", "ts", "value", "event_id")
     day = F.date_trunc("day", "ts").cast("date")
     closes = (
         ev.select("user_id", day.alias("day"), "value", "ts", "event_id")
@@ -273,16 +291,135 @@ def time_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("mn", "mx")).alias("day"))
     users = ev.select("user_id").distinct()
     grid = users.crossJoin(F.broadcast(days))
-    fill_w = (Window.partitionBy("user_id").orderBy("day")
+    return grid.join(closes, ["user_id", "day"], "left")
+
+
+#: shared DuckDB CTE block producing the same (user_id, day, value)
+#: dense grid as _daily_grid_closes (the resample oracles' front half)
+_SQL_DAILY_GRID = """
+        daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events),
+        closes AS (SELECT user_id, day, value FROM daily WHERE rn = 1),
+        bounds AS (
+            SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS mn,
+                   CAST(max(date_trunc('day', ts)) AS DATE) AS mx
+            FROM events),
+        days AS (
+            SELECT CAST(unnest(generate_series(mn, mx,
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM bounds WHERE mn IS NOT NULL),
+        grid AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN days d),
+        dense AS (
+            SELECT g.user_id, g.day, c.value
+            FROM grid g
+            LEFT JOIN closes c ON g.user_id = c.user_id AND g.day = c.day)
+"""
+
+
+@register(
+    "time_interpolate_linear",
+    oracle=f"""
+        WITH {_SQL_DAILY_GRID},
+        anchored AS (
+            SELECT user_id, day, value,
+                   last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev_val,
+                   last_value(CASE WHEN value IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev_day,
+                   first_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_val,
+                   first_value(CASE WHEN value IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_day
+            FROM dense)
+        SELECT user_id, day,
+               round(CASE
+                   WHEN value IS NOT NULL THEN value
+                   WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
+                   THEN prev_val + (next_val - prev_val)
+                        * (CAST(day - prev_day AS DOUBLE)
+                           / CAST(next_day - prev_day AS DOUBLE))
+                   END, 6) AS value_interp,
+               CASE WHEN value IS NOT NULL THEN 'obs'
+                    WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
+                    THEN 'interp'
+                    ELSE 'edge' END AS fill_kind
+        FROM anchored
+    """,
+    tags=("temporal", "resample", "interpolate"),
+)
+def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto the daily grid and
+    LINEARLY INTERPOLATE interior gaps between the surrounding daily
+    closes (pandas ``interpolate('linear')`` semantics on a
+    distributed grid) — the fill you want for continuous quantities
+    (sensor readings, balances, rates) where ffill's step function
+    biases everything downstream toward the stale side. Leading /
+    trailing gaps have only one anchor and stay NULL, tagged 'edge'
+    (no extrapolation); observed days pass through as 'obs'.
+
+    Interpolation weight = (day − prev_day) / (next_day − prev_day)
+    on integer day distances; the value is rounded at 6 per the
+    engine-boundary float discipline (the arithmetic is a fixed
+    4-op IEEE tree, but rounding keeps the contract uniform with the
+    rest of the temporal family).
+
+    Scale structure: _daily_grid_closes' keep-latest + broadcast
+    calendar (a SIZE POLICY — |users|×|days| regardless of event
+    volume), then exactly TWO window passes over the grid sharing one
+    (user_id) exchange and sort: the backward pass carries
+    (prev_val, prev_day), the forward pass (next_val, next_day) —
+    constant per-partition streaming state, no self-join against the
+    observation table. Spark evaluates both frame directions over the
+    same Sort + Exchange (plan-asserted in tests/test_plans.py)."""
+    w_prev = (Window.partitionBy("user_id").orderBy("day")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (
-        grid.join(closes, ["user_id", "day"], "left")
-        .select(
-            "user_id", "day",
-            F.last("value", ignorenulls=True).over(fill_w)
-            .alias("close_value"),
-            F.col("value").isNull().alias("was_gap"),
-        )
+    w_next = (Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_day = F.when(F.col("value").isNotNull(), F.col("day"))
+    anchored = _daily_grid_closes(
+        load_table(spark, sf_dir, "events")).select(
+        "user_id", "day", "value",
+        F.last("value", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first("value", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    interior = F.col("prev_val").isNotNull() & F.col("next_val").isNotNull()
+    interp = (
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .when(interior,
+              F.col("prev_val") + (F.col("next_val") - F.col("prev_val"))
+              * (F.datediff("day", "prev_day").cast("double")
+                 / F.datediff("next_day", "prev_day").cast("double")))
+    )
+    fill_kind = (
+        F.when(F.col("value").isNotNull(), F.lit("obs"))
+        .when(interior, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+    )
+    return anchored.select(
+        "user_id", "day",
+        F.round(interp, 6).alias("value_interp"),
+        fill_kind.alias("fill_kind"),
     )
 
 

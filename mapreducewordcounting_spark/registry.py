@@ -47,11 +47,11 @@ def register(name: str, oracle: str | None = None,
 # entries of ``queries()`` in dict order; the window ROTATES each
 # round (VERDICT r3 item 4) so external evidence accumulates.
 # Round-8 order (VERDICT r7 items 1-2):
-#   (1) positions 0-46: ALL never-externally-sampled oracled
-#       queries, including the three r8-new operators appended when
+#   (1) positions 0-47: ALL never-externally-sampled oracled
+#       queries, including the four r8-new operators appended when
 #       they registered mid-round (mm_phash_neardup at 44,
 #       sample_split_leakage_safe at 45, similarity_hybrid_rrf at
-#       46) — otherwise 14 TPC-H
+#       46, time_interpolate_linear at 47) — otherwise 14 TPC-H
 #       shapes, the three r6 operators (graph_bfs_hops /
 #       snapshot_diff_audit / shard_assign_balanced), the six r7
 #       operators (dedup_repeated_spans / dedup_incremental_neardup /
@@ -59,15 +59,15 @@ def register(name: str, oracle: str | None = None,
 #       contamination_span_coverage / stream_outer_join_batch_twin),
 #       and fn_try_arithmetic (never externally verified since the r6
 #       void).  With this window harvested, never-sampled ORACLED = 0;
-#   (2) positions 47-48: the 2-entry probe canary kept every round
+#   (2) positions 48-49: the 2-entry probe canary kept every round
 #       (env version readout + the deliberate uncast-HUGEINT sentinel
 #       whose hash-fail IS the measurement — it guards against a
-#       silent driver-side DuckDB upgrade);
-#   (3) position 49: one never-sampled rows-only query
-#       (text_vocab_approx) — the cheap head of the VERDICT r7
-#       item-3 rows-only tail, harvested early so the r9 window
-#       only needs the remaining 17;
-#   (4) positions 50+: the fully-harvested r7 window (all green),
+#       silent driver-side DuckDB upgrade). The rows-only fills the
+#       round opened with (text_vocab_approx etc.) were displaced
+#       back to the tail as r8-new ORACLED queries claimed their
+#       slots — the r9 window picks the 18-query rows-only set up
+#       (VERDICT r7 item 3);
+#   (3) positions 50+: the fully-harvested r7 window (all green),
 #       then the retired probe family, previously-sampled passing
 #       queries, and rows-only queries last — the r9 plan (VERDICT r7
 #       item 3) promotes the ~18 rows-only forms into the window.
@@ -83,9 +83,9 @@ _PRIORITY: tuple[str, ...] = (
     'pagerank_nation_trade', 'graph_bfs_hops', 'snapshot_diff_audit', 'shard_assign_balanced',
     'probe_fn_list_agg_order', 'probe_fn_collation_minmax', 'dedup_repeated_spans', 'dedup_incremental_neardup',
     'sample_domain_cap', 'sample_token_budget_mix', 'contamination_span_coverage', 'stream_outer_join_batch_twin',
-    'mm_phash_neardup', 'sample_split_leakage_safe', 'similarity_hybrid_rrf', 'probe_env_duckdb_version',
-    'probe_type_hugeint_sum_uncast', 'text_vocab_approx', 'lang_temperature_sampling', 'join_interval_overlap',
-    'interval_max_concurrency', 'quality_filter_report', 'join_spatial_neighbors', 'compact_keep_latest',
+    'mm_phash_neardup', 'sample_split_leakage_safe', 'similarity_hybrid_rrf', 'time_interpolate_linear',
+    'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast', 'stream_full_outer_join_batch_twin', 'lang_temperature_sampling',
+    'join_interval_overlap', 'interval_max_concurrency', 'quality_filter_report', 'join_spatial_neighbors', 'compact_keep_latest',
     'mv_incremental_refresh', 'fn_array_quantifiers', 'fn_map_hof', 'fn_array_setops',
     'fn_string_format', 'fn_datetime_extras', 'fn_csv_codec', 'fn_na_clean',
     'sketch_bloom_det', 'sketch_hll_det', 'agg_quantile_hist_est', 'retention_cohort_weekly',
@@ -136,9 +136,9 @@ _PRIORITY: tuple[str, ...] = (
     'window_first_last', 'probe_env_pyarrow_version', 'probe_env_pandas_version', 'agg_approx_distinct',
     'sample_seeded', 'text_tfidf_ml', 'dedup_minhash_lsh', 'dedup_simhash',
     'similarity_ann_lsh', 'similarity_ann_ivf', 'sketch_count_min', 'sketch_hll_union',
-    'agg_percentile_approx', 'kmeans_embeddings', 'pack_sequences_greedy', 'stream_tumbling', 'stream_dedup',
+    'agg_percentile_approx', 'text_vocab_approx', 'kmeans_embeddings', 'pack_sequences_greedy', 'stream_tumbling', 'stream_dedup',
     'stream_stateful_counter', 'stream_static_join', 'stream_stream_join', 'stream_incremental_ingest',
-    'stream_stream_outer_join',
+    'stream_stream_outer_join', 'stream_stream_full_outer_join',
 )
 
 

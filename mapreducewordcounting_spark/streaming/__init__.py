@@ -382,13 +382,16 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(enriched)
 
 
-def _interval_joined_stream(spark: SparkSession, sf_dir: str,
-                            how: str) -> DataFrame:
-    """The (errors x preceding-10-min purchases) interval join both
-    stream-stream queries share — ONE definition of the sides, the
+def _interval_joined_stream(spark: SparkSession, sf_dir: str, how: str,
+                            cols: tuple = ("e_id", "p_id", "e_user"),
+                            ) -> DataFrame:
+    """The (errors x preceding-10-min purchases) interval join all
+    stream-stream join queries share — ONE definition of the sides, the
     watermarks, and the condition, so the inner and outer variants can
-    never drift apart (the outer test asserts its matched rows equal
-    the inner result, which requires exactly this)."""
+    never drift apart (the outer tests assert their matched rows equal
+    the inner result, which requires exactly this). ``cols`` widens the
+    projection for the full-outer form, whose purchase-only rows need
+    p_user (e_user is NULL there)."""
     purchases = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -411,7 +414,7 @@ def _interval_joined_stream(spark: SparkSession, sf_dir: str,
         & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("p_ts") < F.col("e_ts")),
         how,
-    ).select("e_id", "p_id", "e_user")
+    ).select(*cols)
 
 
 @register(
@@ -540,6 +543,124 @@ def stream_outer_join_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(wm))
         .filter(F.col("p_id").isNotNull() | (F.col("e_ts") < F.col("cut")))
         .select("e_id", "p_id", "e_user")
+    )
+
+
+@register(
+    "stream_stream_full_outer_join",
+    oracle=None,  # streaming; equality with the oracled batch twin
+    # (stream_full_outer_join_batch_twin) asserted in
+    # tests/test_streaming.py.
+    tags=("streaming", "join", "stream-stream", "outer", "full"),
+)
+def stream_stream_full_outer_join(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the engine's
+    stream-stream matrix (inner / left outer / full outer): every
+    error AND every purchase appears, NULL-padded on whichever side
+    found no interval match. Each side's NULL row is emitted at state
+    EVICTION, and the two sides evict at different event times
+    because the interval condition is asymmetric: an error at e_ts
+    can only match purchases at p_ts ∈ [e_ts−10min, e_ts), so the
+    error side needs no future input once the joint watermark passes
+    e_ts itself, while a purchase at p_ts can still match errors up
+    to e_ts = p_ts+10min — its NULL row waits 10 minutes longer.
+    The batch twin (stream_full_outer_join_batch_twin) states both
+    cutoffs in one SQL expression and is DuckDB-oracled;
+    tests/test_streaming.py asserts stream == twin row-for-row and
+    matched == inner.
+
+    Scale: identical bounded-state argument to the inner join —
+    watermarks both sides + the time-bounded condition cap both
+    buffers; outer rows add no state."""
+    joined = _interval_joined_stream(
+        spark, sf_dir, "fullOuter",
+        cols=("e_id", "p_id", "e_user", "p_user"))
+    sink = f"mrwc_fossj_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "stream_full_outer_join_batch_twin",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   user_id, event_type
+            FROM events),
+        p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+              FROM ev WHERE event_type = 'purchase'),
+        e AS (SELECT event_id AS e_id, user_id AS e_user, ts AS e_ts
+              FROM ev WHERE event_type = 'error'),
+        wm AS (SELECT least((SELECT max(p_ts) FROM p),
+                            (SELECT max(e_ts) FROM e))
+                      - INTERVAL 30 MINUTE AS cut)
+        SELECT e.e_id, p.p_id, e.e_user, p.p_user
+        FROM e
+        FULL OUTER JOIN p
+          ON e.e_user = p.p_user
+         AND p.p_ts >= e.e_ts - INTERVAL 10 MINUTE
+         AND p.p_ts < e.e_ts
+        CROSS JOIN wm
+        WHERE (e.e_id IS NOT NULL AND p.p_id IS NOT NULL)
+           OR (p.p_id IS NULL AND e.e_ts < wm.cut)
+           OR (e.e_id IS NULL
+               AND p.p_ts + INTERVAL 10 MINUTE < wm.cut)
+    """,
+    tags=("streaming", "batch-twin", "join", "outer", "full"),
+)
+def stream_full_outer_join_batch_twin(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Batch statement of stream_stream_full_outer_join's emission
+    rule, DuckDB-oracled: all matched interval pairs, plus a NULL-
+    purchase row for every unmatched error the joint watermark passed
+    (``e_ts < cut``), plus a NULL-error row for every unmatched
+    purchase whose LAST possible match time the watermark passed
+    (``p_ts + 10min < cut`` — the asymmetry is the join condition's:
+    future errors can match a buffered purchase for another interval
+    length, so purchase state must outlive error state by exactly the
+    interval). cut = min(max p_ts, max e_ts) − 30min, Spark's default
+    MIN multipleWatermarkPolicy. tests/test_streaming.py asserts the
+    streaming result equals this twin row-for-row under AvailableNow
+    replay. No raw timestamps in the output (driver-hash precision
+    discipline; the oracle casts ns→µs like Spark).
+
+    Scale shape: one fact scan feeds both sides and the 1-row
+    watermark aggregate (broadcast); the interval join is the same
+    (user, time-bounded) equi+residual join as the streaming form."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"))
+    wm = ev.agg(
+        (F.least(F.max(F.when(F.col("event_type") == "purchase",
+                              F.col("ts"))),
+                 F.max(F.when(F.col("event_type") == "error",
+                              F.col("ts"))))
+         - F.expr("INTERVAL 30 MINUTES")).alias("cut"))
+    return (
+        e.join(
+            p,
+            (F.col("e_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("p_ts") < F.col("e_ts")),
+            "full_outer")
+        .crossJoin(F.broadcast(wm))
+        .filter(
+            (F.col("e_id").isNotNull() & F.col("p_id").isNotNull())
+            | (F.col("p_id").isNull() & (F.col("e_ts") < F.col("cut")))
+            | (F.col("e_id").isNull()
+               & (F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")
+                  < F.col("cut"))))
+        .select("e_id", "p_id", "e_user", "p_user")
     )
 
 

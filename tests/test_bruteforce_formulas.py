@@ -463,6 +463,53 @@ def test_resample_ffill_matches_python(spark, sf_dir):
     assert got == sorted(expected)
 
 
+def test_interpolate_linear_matches_python(spark, sf_dir):
+    """Daily last-value resample + linear interpolation of interior
+    gaps ((day-prev)/(next-prev) weights, round6), edges left NULL."""
+    from mapreducewordcounting_spark.operators.temporal import (
+        time_interpolate_linear,
+    )
+
+    evs = load_table_rows(sf_dir, "events")
+    closes: dict[tuple[int, object], tuple] = {}
+    days = set()
+    users = set()
+    for e in evs:
+        day = e["ts"].date()
+        days.add(day)
+        users.add(e["user_id"])
+        key = (e["user_id"], day)
+        mark = (e["ts"], e["event_id"])
+        if key not in closes or mark > closes[key][0]:
+            closes[key] = (mark, e["value"])
+    d0, d1 = min(days), max(days)
+    grid = [d0 + timedelta(days=i) for i in range((d1 - d0).days + 1)]
+    expected = []
+    for u in sorted(users):
+        obs = [(day, closes[(u, day)][1]) for day in grid
+               if (u, day) in closes and closes[(u, day)][1] is not None]
+        for day in grid:
+            c = closes.get((u, day))
+            if c is not None and c[1] is not None:
+                expected.append((u, day, round6(c[1]), "obs"))
+                continue
+            prev = max(((d, v) for d, v in obs if d < day),
+                       default=None, key=lambda x: x[0])
+            nxt = min(((d, v) for d, v in obs if d > day),
+                      default=None, key=lambda x: x[0])
+            if prev is None or nxt is None:
+                expected.append((u, day, None, "edge"))
+            else:
+                w = (day - prev[0]).days / (nxt[0] - prev[0]).days
+                expected.append(
+                    (u, day, round6(prev[1] + (nxt[1] - prev[1]) * w),
+                     "interp"))
+    got = rows_as_tuples(
+        time_interpolate_linear(spark, sf_dir),
+        ["user_id", "day", "value_interp", "fill_kind"])
+    assert got == sorted(expected)
+
+
 # ----------------------------------------------------------- ANN / RP
 
 

@@ -401,3 +401,21 @@ def test_domain_cap_plan_shape(spark, sf_dir):
     plan = simple_plan(sample_domain_cap(spark, sf_dir))
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
     assert "BroadcastHashJoin" in plan
+
+
+def test_interpolate_linear_single_window_stage(spark, sf_dir):
+    """time_interpolate_linear's scale contract: all four anchor
+    expressions (prev/next value and day) evaluate in ONE Window node
+    over one (user_id) sort — Spark batches same-partition/same-order
+    frames — so the fill costs a single exchange past the grid build,
+    and the daily closes keep-latest prunes map-side
+    (WindowGroupLimit, the time_resample_ffill shape)."""
+    from mapreducewordcounting_spark.operators.temporal import (
+        time_interpolate_linear,
+    )
+
+    plan = simple_plan(time_interpolate_linear(spark, sf_dir))
+    fill_windows = [ln for ln in plan.splitlines()
+                    if "Window [" in ln and "row_number" not in ln]
+    assert len(fill_windows) == 1, fill_windows
+    assert "WindowGroupLimit" in plan

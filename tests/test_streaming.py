@@ -152,3 +152,33 @@ def test_stream_outer_join_equals_oracled_twin(spark, sf_dir):
     from mapreducewordcounting_spark.streaming import stream_stream_join
     inner = _rows(stream_stream_join(spark, sf_dir))
     assert matched == inner
+
+
+def test_stream_full_outer_join_equals_oracled_twin(spark, sf_dir):
+    """The FULL OUTER stream-stream join must equal its batch twin
+    row-for-row: matched pairs identical to the inner join, NULL-
+    purchase rows exactly for watermark-passed unmatched errors
+    (e_ts < cut), and NULL-error rows exactly for unmatched purchases
+    whose last possible match time passed (p_ts + 10min < cut — the
+    condition's asymmetry). The twin is DuckDB-oracled, so Spark's
+    two-sided eviction semantics are pinned externally."""
+    from mapreducewordcounting_spark.streaming import (
+        stream_full_outer_join_batch_twin,
+        stream_stream_full_outer_join,
+    )
+
+    stream = stream_stream_full_outer_join(spark, sf_dir)
+    twin = stream_full_outer_join_batch_twin(spark, sf_dir)
+    srows, trows = _rows(stream), _rows(twin)
+    assert srows == trows
+    # both eviction paths must be exercised (cols sorted: e_id, e_user,
+    # p_id, p_user)
+    assert sum(1 for r in srows if r[2] is None) > 0   # p_id NULL
+    assert sum(1 for r in srows if r[0] is None) > 0   # e_id NULL
+    # matched rows, when present, must be exactly the inner join's
+    matched = sorted((r[0], r[2], r[1]) for r in srows
+                     if r[0] is not None and r[2] is not None)
+    from mapreducewordcounting_spark.streaming import stream_stream_join
+    inner = sorted((r[0], r[2], r[1])
+                   for r in _rows(stream_stream_join(spark, sf_dir)))
+    assert matched == inner

@@ -73,6 +73,11 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "generated on both sides",
         "test_bruteforce_dedup_text.py::"
         "test_incremental_neardup_matches_python"),
+    "time_interpolate_linear": (
+        "shared dense-grid CTE + anchor-window directions + the "
+        "(day-prev)/(next-prev) weight formula on both sides",
+        "test_bruteforce_formulas.py::"
+        "test_interpolate_linear_matches_python"),
     "similarity_hybrid_rrf": (
         "shared shingle-overlap construction + round-6 cosine ordering "
         "+ the RRF 1/(k+rank) formula on both sides",

@@ -72,6 +72,8 @@ BNL_ALLOWED = {
                                "NLJ left side is the |sources| table, "
                                "not data)",
     "stream_outer_join_batch_twin": "1-row (joint-watermark cutoff)",
+    "stream_full_outer_join_batch_twin": "1-row (joint-watermark "
+                                         "cutoff)",
     "similarity_ann_ivf": "K-row (IVF centroid table)",
     "similarity_topk_bruteforce": "K-row (query vector set)",
     "similarity_hybrid_rrf": "K-row (query vector set, semantic scan "
@@ -81,6 +83,9 @@ BNL_ALLOWED = {
     "text_tfidf": "1-row (corpus doc count)",
     "text_unigram_logprob": "1-row (unigram grand total)",
     "time_resample_ffill": "1-row (global time-range bounds)",
+    "time_interpolate_linear": "1-row (global time-range bounds — the "
+                               "shared _daily_grid_closes calendar "
+                               "broadcast)",
     "tpch_q11_important_stock": "1-row (global value threshold)",
     "tpch_q22_dormant_customers": "1-row (avg balance subquery)",
 }
