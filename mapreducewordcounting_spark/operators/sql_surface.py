@@ -302,3 +302,49 @@ def web_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count_distinct("lang").alias("n_langs"),
              F.sum("n_chars").alias("total_chars"))
     )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+        SELECT n.n_name, t.c_custkey, t.acctbal_cents
+        FROM nation n,
+        LATERAL (SELECT c_custkey,
+                        CAST(round(c_acctbal * 100) AS BIGINT)
+                            AS acctbal_cents
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 3) t
+    """,
+    tags=("sql", "lateral", "topk", "correlated"),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    surface for per-row top-k ("for each nation, its 3 richest
+    customers") that arrives with Spark's lateral-join support; the
+    same sentence every warehouse dialect writes with CROSS APPLY /
+    LATERAL. Ties break on c_custkey so the k-set is deterministic;
+    balances surface as integer cents (double ordering is on the raw
+    parquet values, identical bits both engines).
+
+    Scale posture: Catalyst DECORRELATES the lateral limit into a
+    rank-over-partition on the inner table joined back to the outer —
+    the executed plan (asserted in tests/test_plans.py) is one Window
+    + rank filter + a BroadcastHashJoin on the correlation key, zero
+    nested-loop/cartesian nodes — so the declarative LATERAL costs
+    the same as the hand-written window_topk_per_group form; nations
+    × 3 output rows."""
+    _view(spark, sf_dir, "nation", "nation_lat_v")
+    _view(spark, sf_dir, "customer", "customer_lat_v")
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, t.acctbal_cents
+        FROM nation_lat_v n,
+        LATERAL (SELECT c_custkey,
+                        CAST(round(c_acctbal * 100) AS BIGINT)
+                            AS acctbal_cents
+                 FROM customer_lat_v c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 3) t
+    """)

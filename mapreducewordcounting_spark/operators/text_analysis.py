@@ -1012,3 +1012,77 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> substring(word, i, 2))")).alias("pair"))
     return (pairs.groupBy("pair").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), "pair").limit(BPE_TOP_PAIRS))
+
+
+#: posting lists are emitted only for terms rarer than this df bound —
+#: the stop-term cut every real index applies (hot terms carry no
+#: selectivity and dominate index bytes; cf. TFIDF_DF_CAP's rationale)
+INDEX_DF_CAP = 390
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        pos AS (
+            SELECT doc_id, u.p.term AS term, u.p.pos AS pos
+            FROM t, unnest(list_transform(range(1, len(toks) + 1),
+                           i -> struct_pack(pos := i, term := toks[i])))
+                     AS u(p)),
+        postings AS (
+            SELECT term, doc_id,
+                   count(*) AS tf,
+                   min(pos) AS first_pos,
+                   string_agg(pos, '|' ORDER BY pos) AS positions
+            FROM pos GROUP BY term, doc_id),
+        df AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+        SELECT p.term, p.doc_id, p.tf, p.first_pos, p.positions, df.df
+        FROM postings p JOIN df USING (term)
+        WHERE df.df <= {INDEX_DF_CAP}
+    """,
+    tags=("text", "index", "postings"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL inverted index build — the IR structure under every
+    phrase/proximity search engine, materialized as doc-grain posting
+    rows: for each (term, doc) a term frequency, first position, and
+    the full 1-based position list ('|'-joined string: array-typed
+    result columns aren't driver-hashable, the agg_collect rule);
+    per-term document frequency rides along for query planning.
+    Terms with df > {INDEX_DF_CAP} are cut — the standard stop-term
+    economy (they carry no selectivity and dominate index bytes). The
+    fixture's 31-word vocabulary is nearly uniform (df 373-402 over
+    500 docs, plus one planted df=25 rare term), so the bound sits at
+    390 to exercise BOTH outcomes: the hottest handful of stop terms
+    are cut, the rest index normally (~10k posting rows at sf0.01).
+
+    Shape at scale: ONE corpus scan; posexplode emits (term, doc,
+    pos) bounded by total token count; the posting aggregate shuffles
+    once on (term, doc_id) — map-side combined since positions within
+    a doc-partition collapse locally — and df is a second, |vocab|-
+    sized aggregate of the already-aggregated postings (the tf→df
+    reuse lesson from text_tfidf), broadcast back for the cap filter.
+    Doc-grain rows (not one giant row per term) are the point: at
+    100 TB a term's posting LIST is itself distributed, and the
+    natural physical layout is these rows bucketed by term."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_canonical("text").alias("toks")) \
+        .select("doc_id", F.filter("toks",
+                                   lambda w: F.length(w) > 0).alias("toks"))
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "term")) \
+        .select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    postings = (
+        pos.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"),
+             F.min("pos").alias("first_pos"),
+             F.array_join(F.sort_array(F.collect_list("pos")), "|")
+             .alias("positions"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        postings
+        .join(F.broadcast(dfreq.filter(F.col("df") <= INDEX_DF_CAP)),
+              "term")
+        .select("term", "doc_id", "tf", "first_pos", "positions", "df")
+    )

@@ -419,3 +419,17 @@ def test_interpolate_linear_single_window_stage(spark, sf_dir):
                     if "Window [" in ln and "row_number" not in ln]
     assert len(fill_windows) == 1, fill_windows
     assert "WindowGroupLimit" in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """sql_lateral_topk's scale contract: the correlated LATERAL
+    LIMIT decorrelates into rank-over-partition + an equi-join on the
+    correlation key — never a per-outer-row nested loop."""
+    from mapreducewordcounting_spark.operators.sql_surface import (
+        sql_lateral_topk,
+    )
+
+    plan = simple_plan(sql_lateral_topk(spark, sf_dir))
+    assert "Window" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
