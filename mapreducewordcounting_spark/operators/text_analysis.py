@@ -1086,3 +1086,101 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
               "term")
         .select("term", "doc_id", "tf", "first_pos", "positions", "df")
     )
+
+
+#: number of BPE merges the learner performs (each = one pair-count
+#: aggregate over the vocab-sized word table + one map-side rewrite)
+BPE_N_MERGES = 8
+
+
+@register(
+    "text_bpe_learn_merges",
+    oracle=None,  # iterative argmax loop (kmeans/pagerank tier):
+    # SQL cannot express the data-dependent merge sequence; pinned
+    # instead by a structure-free Python BPE reference
+    # (tests/test_bruteforce_formulas.py::test_bpe_merges_match_python).
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the iterative loop text_bpe_pair_counts
+    is one step of: repeatedly find the highest-weight adjacent symbol
+    pair across the corpus vocabulary and fuse it, emitting the learned
+    merge table (rank, left, right, merged, pair_count) that a
+    tokenizer ships as its merges.txt. Greedy left-to-right fusion
+    within a word ('aaa' + merge(a,a) → [aa, a]); ties break on
+    (left, right) so the table is deterministic and engine-portable.
+
+    100 TB shape — the part that matters: the CORPUS-scale work is
+    exactly one word-count aggregate (the reference query!); the merge
+    loop then iterates over the |vocab|-sized (word, weight, symbols)
+    table — millions of rows at web scale, never the corpus. Each
+    iteration is one pair explode + weighted sum (shuffle on pair,
+    map-side combined, domain ≤ |alphabet|²·growth), a 1-ROW argmax
+    collect (driver-bounded control state, the kmeans-centroid
+    precedent), and a pure map-side HOF rewrite of the symbol arrays
+    — no corpus rescan, no growing state. Snapshots rotate via
+    CheckpointRotator so the loop's lineage stays flat."""
+    from mapreducewordcounting_spark.checkpoints import CheckpointRotator
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.filter(tokenize_canonical("text"),
+                                       lambda w: F.length(w) >= 2))
+                    .alias("word"))
+        .groupBy("word").agg(F.count("*").alias("weight"))
+        .select(F.split("word", "").alias("symbols"), "weight")
+    )
+    steps = CheckpointRotator(spark)
+    words = steps.rotate(words)
+    merges = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        pairs = (
+            words.select(
+                "weight",
+                F.explode(F.expr(
+                    "transform(sequence(1, size(symbols) - 1), j -> "
+                    "struct(element_at(symbols, j) as l, "
+                    "element_at(symbols, j + 1) as r))")).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("weight").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        left, right, n = pairs[0]["l"], pairs[0]["r"], pairs[0]["n"]
+        merges.append((rank, left, right, left + right, n))
+        a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
+        # greedy left-to-right fusion: a sequential scan with a
+        # one-element "consumed" lookbehind, expressed as a pure
+        # fold — map-side, no shuffle
+        empty = F.expr("cast(array() as array<string>)")
+        sym = F.col("symbols")
+        rewritten = F.aggregate(
+            F.sequence(F.lit(1), F.size(sym)),
+            F.struct(empty.alias("out"), F.lit(False).alias("consumed")),
+            lambda acc, i: F.when(
+                acc.consumed,
+                F.struct(acc.out.alias("out"),
+                         F.lit(False).alias("consumed")),
+            ).when(
+                (i < F.size(sym))
+                & (F.element_at(sym, i) == a)
+                & (F.element_at(sym, i + F.lit(1)) == b),
+                F.struct(F.concat(acc.out, F.array(ab)).alias("out"),
+                         F.lit(True).alias("consumed")),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc.out,
+                             F.array(F.element_at(sym, i))).alias("out"),
+                    F.lit(False).alias("consumed"))),
+            lambda acc: acc.out,
+        )
+        words = steps.rotate(
+            words.select(rewritten.alias("symbols"), "weight"))
+    steps.release()  # merge table below is built driver-side
+    return spark.createDataFrame(
+        merges,
+        "rank INT, left STRING, right STRING, merged STRING, "
+        "pair_count BIGINT")

@@ -137,7 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     'window_first_last', 'probe_env_pyarrow_version', 'probe_env_pandas_version', 'agg_approx_distinct',
     'sample_seeded', 'text_tfidf_ml', 'dedup_minhash_lsh', 'dedup_simhash',
     'similarity_ann_lsh', 'similarity_ann_ivf', 'sketch_count_min', 'sketch_hll_union',
-    'agg_percentile_approx', 'text_vocab_approx', 'kmeans_embeddings', 'pack_sequences_greedy', 'stream_tumbling', 'stream_dedup',
+    'agg_percentile_approx', 'text_vocab_approx', 'text_bpe_learn_merges', 'kmeans_embeddings', 'pack_sequences_greedy', 'stream_tumbling', 'stream_dedup',
     'stream_stateful_counter', 'stream_static_join', 'stream_stream_join', 'stream_incremental_ingest',
     'stream_stream_outer_join', 'stream_stream_full_outer_join',
 )

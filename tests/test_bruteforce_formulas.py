@@ -610,3 +610,45 @@ def test_hybrid_rrf_matches_python(spark, sf_dir):
         ["query_id", "doc_id", "lex_rank", "sem_rank",
          "rrf_score", "fused_rank"])
     assert got == sorted(expected)
+
+
+def test_bpe_merges_match_python(spark, sf_dir):
+    """The distributed BPE learner must reproduce textbook BPE run in
+    plain Python: word counts (len >= 2) -> 8 rounds of (argmax
+    weighted adjacent pair, ties (left, right) ascending) + greedy
+    left-to-right fusion."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        BPE_N_MERGES,
+        text_bpe_learn_merges,
+    )
+
+    vocab = Counter()
+    for toks in doc_tokens(sf_dir).values():
+        vocab.update(w for w in toks if len(w) >= 2)
+    words = {w: (list(w), n) for w, n in vocab.items()}
+    expected = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        counts: Counter = Counter()
+        for syms, n in words.values():
+            for j in range(len(syms) - 1):
+                counts[(syms[j], syms[j + 1])] += n
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, left, right, left + right, n))
+        for w, (syms, wn) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, wn)
+    got = rows_as_tuples(
+        text_bpe_learn_merges(spark, sf_dir),
+        ["rank", "left", "right", "merged", "pair_count"])
+    assert got == sorted(expected)
