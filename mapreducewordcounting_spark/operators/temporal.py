@@ -764,3 +764,92 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (n.join(mx, "l_suppkey")
             .select(F.col("l_suppkey").alias("suppkey"),
                     "n_shipments", "max_inflight"))
+
+
+#: staleness bound for the nearest-direction as-of join (15 min in µs)
+ASOF_NEAREST_TOL_US = 900_000_000
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+        WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'error'),
+        p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'purchase')
+        SELECT e.event_id, e.user_id, t.p_id, t.delta_us,
+               CASE WHEN t.p_id IS NULL THEN NULL
+                    WHEN t.delta_us <= 0 THEN 'backward'
+                    ELSE 'forward' END AS direction
+        FROM e LEFT JOIN LATERAL (
+            SELECT p.p_id,
+                   epoch_us(p.ts) - epoch_us(e.ts) AS delta_us
+            FROM p
+            WHERE p.user_id = e.user_id
+              AND abs(epoch_us(p.ts) - epoch_us(e.ts))
+                  <= {ASOF_NEAREST_TOL_US}
+            ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)),
+                     CASE WHEN epoch_us(p.ts) <= epoch_us(e.ts)
+                          THEN 0 ELSE 1 END,
+                     CASE WHEN epoch_us(p.ts) <= epoch_us(e.ts)
+                          THEN -p.p_id ELSE p.p_id END
+            LIMIT 1) t ON true
+    """,
+    tags=("temporal", "join", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (``merge_asof(direction=
+    'nearest')``): each error matched to the same user's closest-in-
+    time purchase within ±15 min, whichever side of the event it
+    falls on — the lookup for 'what was this user doing around the
+    failure'. Deterministic tie policy: equal distances prefer the
+    BACKWARD match; among same-timestamp purchases the backward
+    representative is the max p_id (the last the sort sees) and the
+    forward one the min p_id — stated in the oracle's ORDER BY so
+    both engines agree even on degenerate data. Unmatched errors
+    surface with NULLs (the staleness-policy signal, as in
+    join_asof_tolerance).
+
+    Scale shape: the nearest purchase is necessarily the immediately
+    PRECEDING or FOLLOWING one, so this is the union-window as-of
+    idiom run in both frame directions over ONE (user_id) sort (the
+    two frames batch into a single Window node, the
+    time_interpolate_linear lesson): tag sides, carry
+    struct(ts, id) with last-ignorenulls backward and
+    first-ignorenulls forward, pick per row in a codegen'd CASE. One
+    exchange total regardless of per-user history length; the
+    oracle's per-row LATERAL probe is the semantics, not the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("side"))
+    tagged = errors.unionByName(purchases)
+    order = [F.col("ts"), F.col("side"), F.col("event_id")]
+    w_back = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy("user_id").orderBy(*order)
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    p_struct = F.when(F.col("side") == 0,
+                      F.struct(F.unix_micros("ts").alias("us"),
+                               F.col("event_id").alias("p_id")))
+    anchored = tagged.select(
+        "event_id", "user_id", "ts", "side",
+        F.last(p_struct, ignorenulls=True).over(w_back).alias("prev"),
+        F.first(p_struct, ignorenulls=True).over(w_fwd).alias("next"),
+    ).filter(F.col("side") == 1)
+    e_us = F.unix_micros("ts")
+    d_prev = e_us - F.col("prev.us")
+    d_next = F.col("next.us") - e_us
+    ok_prev = F.col("prev").isNotNull() & (d_prev <= ASOF_NEAREST_TOL_US)
+    ok_next = F.col("next").isNotNull() & (d_next <= ASOF_NEAREST_TOL_US)
+    use_prev = ok_prev & (~ok_next | (d_prev <= d_next))
+    return anchored.select(
+        "event_id", "user_id",
+        F.when(use_prev, F.col("prev.p_id"))
+        .when(ok_next, F.col("next.p_id")).alias("p_id"),
+        F.when(use_prev, -d_prev)
+        .when(ok_next, d_next).alias("delta_us"),
+        F.when(use_prev, F.lit("backward"))
+        .when(ok_next, F.lit("forward")).alias("direction"),
+    )

@@ -1154,3 +1154,111 @@ def contamination_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_spans", "covered_tokens",
                 F.col("coverage").alias("contam_coverage"))
     )
+
+
+#: k-anonymity threshold: a quasi-identifier class releasable only
+#: when at least this many records share it
+K_ANON = 5
+
+#: account-balance band width for the level-0 quasi-identifier
+K_ANON_BAND = 2000
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_custkey,
+                   c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(floor(c_acctbal / {K_ANON_BAND}) AS BIGINT) AS band
+            FROM customer),
+        s3 AS (SELECT nat, seg, band, count(*) AS n
+               FROM c GROUP BY nat, seg, band),
+        ok3 AS (SELECT * FROM s3 WHERE n >= {K_ANON}),
+        r3 AS (SELECT c.c_custkey, c.nat, c.seg FROM c
+               LEFT JOIN ok3 ON c.nat = ok3.nat AND c.seg = ok3.seg
+                            AND c.band = ok3.band
+               WHERE ok3.n IS NULL),
+        s2 AS (SELECT nat, seg, count(*) AS n FROM r3 GROUP BY nat, seg),
+        ok2 AS (SELECT * FROM s2 WHERE n >= {K_ANON}),
+        r2 AS (SELECT r3.c_custkey, r3.seg FROM r3
+               LEFT JOIN ok2 ON r3.nat = ok2.nat AND r3.seg = ok2.seg
+               WHERE ok2.n IS NULL),
+        s1 AS (SELECT seg, count(*) AS n FROM r2 GROUP BY seg),
+        ok1 AS (SELECT * FROM s1 WHERE n >= {K_ANON}),
+        r1 AS (SELECT r2.c_custkey FROM r2
+               LEFT JOIN ok1 ON r2.seg = ok1.seg WHERE ok1.n IS NULL)
+        SELECT 0 AS level, count(*) AS n_classes,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n_records,
+               min(n) AS min_class_size
+        FROM ok3
+        UNION ALL
+        SELECT 1, count(*), CAST(coalesce(sum(n), 0) AS BIGINT), min(n)
+        FROM ok2
+        UNION ALL
+        SELECT 2, count(*), CAST(coalesce(sum(n), 0) AS BIGINT), min(n)
+        FROM ok1
+        UNION ALL
+        SELECT 3, 0, count(*), NULL FROM r1
+    """,
+    tags=("training", "privacy", "k-anonymity", "governance"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity MINIMAL-GENERALIZATION cascade over the customer
+    quasi-identifiers (nation, market segment, balance band) — the
+    release-governance check a training pipeline runs before user-
+    derived features ship: a QI class is releasable only when ≥
+    {K_ANON} records share it. Classes that fail generalize one rung
+    up the ladder (drop the balance band, then the nation) and retry;
+    whatever still fails at the coarsest rung is SUPPRESSED. Emits one
+    row per ladder level: classes released there, records they cover,
+    and the level's min class size (the k actually achieved) —
+    level 3 is the suppression row. Records counts sum to |customer|
+    by construction (each record exits at exactly one level).
+
+    Scale shape: each rung is one aggregate over the RESIDUAL records
+    plus an anti-join of the residual against its released class keys
+    (class-key tables are group-cardinality-sized — broadcastable;
+    AQE picks broadcast here) — and the residual shrinks every rung,
+    so the ladder costs ≤ L shrinking exchanges, data-grain rows
+    never collect anywhere. Rung stats are 1-row aggregates unioned
+    DataFrame-side."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / K_ANON_BAND).cast("bigint")
+        .alias("band"),
+    )
+    ladders = (["nat", "seg", "band"], ["nat", "seg"], ["seg"])
+    remaining = cust
+    level_rows = []
+    for level, keys in enumerate(ladders):
+        sizes = remaining.groupBy(*keys).agg(F.count("*").alias("n"))
+        # Each rung's released-class table is read TWICE (its stat row
+        # + the residual anti-join) and the residual feeds the next
+        # rung — without lineage cuts the 4-branch union re-derives
+        # the whole cascade per branch (measured 29 exchanges vs 13).
+        # Class tables are group-cardinality-sized, residuals shrink;
+        # both are result-referenced checkpoints (checkpoints.py),
+        # freed by the harness sweep.
+        ok = sizes.filter(F.col("n") >= K_ANON).localCheckpoint(eager=True)
+        level_rows.append(ok.agg(
+            F.lit(level).alias("level"),
+            F.count("*").alias("n_classes"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint")
+            .alias("n_records"),
+            F.min("n").alias("min_class_size"),
+        ))
+        remaining = remaining.join(ok.select(*keys), keys, "left_anti") \
+            .localCheckpoint(eager=True)
+    suppressed = remaining.agg(
+        F.lit(3).alias("level"),
+        F.lit(0).cast("bigint").alias("n_classes"),
+        F.count("*").alias("n_records"),
+        F.lit(None).cast("bigint").alias("min_class_size"),
+    )
+    out = level_rows[0]
+    for df in level_rows[1:]:
+        out = out.unionByName(df)
+    return out.unionByName(suppressed)
