@@ -336,10 +336,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
-        WITH pairs AS (
+#: DuckDB CTE body computing the exact cosine > 0.45 pair graph over
+#: the embeddings table (shared by dedup_embedding_cosine's oracle and
+#: the semantic-clusters oracle).
+_SQL_COSINE_CTES = """
+        cpairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    list_sum(list_transform(range(1, len(a.embedding) + 1),
                         i -> CAST(a.embedding[i] AS DOUBLE)
@@ -350,9 +351,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
                        AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        )
-        SELECT id_a, id_b, round(cos, 6) AS cosine
-        FROM pairs WHERE cos > 0.45
+        ),
+        cosedges AS (SELECT id_a, id_b, cos FROM cpairs WHERE cos > 0.45)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH {_SQL_COSINE_CTES}
+        SELECT id_a, id_b, round(cos, 6) AS cosine FROM cosedges
     """,
     tags=("dedup", "neardup", "embedding"),
 )
@@ -515,6 +523,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         # '|'-joined (not an array column): list-typed result columns
         # aren't hashable by the driver's canonicalizer (see agg_collect)
+        F.array_join(F.sort_array(F.collect_list("node")), "|")
+        .alias("members"),
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    # same recursive-CTE reachability oracle as dedup_clusters, over
+    # the cosine pair graph instead of the jaccard one
+    oracle=f"""
+        WITH RECURSIVE {_SQL_COSINE_CTES},
+        edges AS (
+            SELECT id_a, id_b FROM cosedges
+            UNION ALL
+            SELECT id_b, id_a FROM cosedges
+        ),
+        reach(node, label) AS (
+            SELECT DISTINCT id_a, id_a FROM edges
+            UNION
+            SELECT e.id_a, r.label
+            FROM edges e JOIN reach r ON e.id_b = r.node
+        ),
+        labels AS (
+            SELECT node, min(label) AS label FROM reach GROUP BY node
+        )
+        SELECT label AS cluster_survivor,
+               count(*) AS n_members,
+               array_to_string(list_sort(list(node)), '|') AS members
+        FROM labels
+        GROUP BY label
+    """,
+    tags=("dedup", "neardup", "embedding", "clusters", "iterative"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup decisions: connected components over the
+    embedding-cosine near-dup pair graph (dedup_embedding_cosine's
+    exact block-matmul pairs at cos > 0.45) — the semantic twin of
+    dedup_clusters' lexical components, and the step SemDeDup-style
+    pipelines run after pairwise scoring: keep min vec_id per
+    component, drop the rest. Reuses component_labels (min-label
+    propagation, one exchange per iteration, bounded by component
+    diameter); the pair sub-plan's scratch checkpoints are freed once
+    the edge list materializes, exactly as in the lexical form.
+
+    100 TB posture: pair generation is the block-matmul scan (or the
+    ANN-bucketed variant past ~10⁷ vectors — dedup_embedding_cosine's
+    documented dial); components add one |pairs|-bounded iterative
+    loop — semantic near-dup graphs are sparser than lexical ones
+    (planted fixture: cos 0.45 keeps component count > 1, sizes
+    small), so the loop converges in a handful of sweeps."""
+    before_ids = pinned_ids(spark)
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b")))
+    scratch = CheckpointRotator(spark)
+    edges = scratch.rotate(edges)
+    release_created_since(spark, before_ids, keep=scratch.live_ids)
+    labels = component_labels(edges)
+    scratch.release()
+    return labels.groupBy(F.col("label").alias("cluster_survivor")).agg(
+        F.count("*").alias("n_members"),
         F.array_join(F.sort_array(F.collect_list("node")), "|")
         .alias("members"),
     )

@@ -512,3 +512,83 @@ def sink_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
         .alias("total_value"),
     )
+
+
+#: columns whose parquet footer statistics the introspection op reads
+FOOTER_STAT_COLS = ("l_orderkey", "l_quantity")
+
+
+@register(
+    "source_parquet_footer_stats",
+    # Data-derived oracle: parquet writes EXACT min/max/value-count
+    # statistics for numeric columns, so the footer path must agree
+    # bit-for-bit with aggregating the data itself — which is the
+    # whole data-skipping contract this op exists to surface.
+    oracle="""
+        SELECT 'l_orderkey' AS column_name,
+               count(l_orderkey) AS n_values,
+               CAST(min(l_orderkey) AS DOUBLE) AS vmin,
+               CAST(max(l_orderkey) AS DOUBLE) AS vmax
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', count(l_quantity),
+               min(l_quantity), max(l_quantity)
+        FROM lineitem
+    """,
+    tags=("source", "parquet", "metadata", "data-skipping"),
+)
+def source_parquet_footer_stats(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Scan-layer introspection: read lineitem's parquet FOOTER
+    statistics (per-row-group min/max/value counts, folded per
+    column) without touching a single data page — the zone-map layer
+    predicate pushdown prunes against, surfaced as a queryable table.
+    The oracle aggregates the DATA instead, so the correctness gate
+    is exactly the data-skipping contract: footer stats must equal
+    the truth they promise (a writer that truncated or dropped stats
+    would fail here, and would silently break row-group pruning).
+
+    Shape at scale: file paths fan out through mapInPandas, so a
+    100k-file table reads 100k footers in parallel executor-side —
+    KBs per task, no data pages, no driver bottleneck beyond the
+    listing every scan already performs; the per-column fold across
+    files is a |files|x|cols|-row aggregate. The per-ROW-GROUP grain
+    (what pruning actually tests) is asserted in
+    tests/test_io_roundtrip.py: every row group's footer range must
+    contain its rows and the value counts must sum."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    files = spark.createDataFrame([(path,)], "path string")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+        for pdf in batches:
+            out = {"column_name": [], "n_values": [],
+                   "vmin": [], "vmax": []}
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+                for col in FOOTER_STAT_COLS:
+                    n, mn, mx = 0, None, None
+                    for rg in range(md.num_row_groups):
+                        cc = md.row_group(rg).column(idx[col])
+                        st = cc.statistics
+                        n += st.num_values
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                    out["column_name"].append(col)
+                    out["n_values"].append(n)
+                    out["vmin"].append(float(mn))
+                    out["vmax"].append(float(mx))
+            yield pd.DataFrame(out)
+
+    per_file = files.mapInPandas(
+        read_footers,
+        "column_name string, n_values long, vmin double, vmax double")
+    return per_file.groupBy("column_name").agg(
+        F.sum("n_values").alias("n_values"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )

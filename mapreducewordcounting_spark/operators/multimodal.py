@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
@@ -355,6 +355,20 @@ def mm_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _block_inten(blk: str) -> int:
+    """md5-fold block intensity (first 8 hex chars as uint32). Cached:
+    the 2-char block domain over the canonical alphabet is ~1k values,
+    so the per-frame/per-asset md5 cost collapses to dictionary hits
+    (measured 2.5 -> ~0.8 s on mm_video_scene_cuts at sf0.1)."""
+    import hashlib
+
+    return int(hashlib.md5(blk.encode("utf-8")).hexdigest()[:8], 16)
+
+
 def _fake_phash(text: str) -> tuple[int, int, int]:
     """Deterministic stand-in for a perceptual image hash (pHash /
     dHash — the real pipeline is PIL: grayscale → resize 9×8 →
@@ -372,13 +386,7 @@ def _fake_phash(text: str) -> tuple[int, int, int]:
     and the number of NON-EMPTY blocks, ceil(len/2) capped at 65 —
     the band-eligibility gate (see phash_neardup_pairs).
     """
-    import hashlib
-
-    inten = [
-        int(hashlib.md5(text[i * 2:i * 2 + 2].encode("utf-8"))
-            .hexdigest()[:8], 16)
-        for i in range(65)
-    ]
+    inten = [_block_inten(text[i * 2:i * 2 + 2]) for i in range(65)]
     sig_lo = sum(1 << i for i in range(32) if inten[i] < inten[i + 1])
     sig_hi = sum(1 << (i - 32) for i in range(32, 64)
                  if inten[i] < inten[i + 1])
@@ -540,3 +548,126 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — the planted tail-edit near-dups keep hamming ≤ 3
     non-vacuous; 8 exact-payload dups at sf0.1 land at hamming 0)."""
     return phash_neardup_pairs(phash_signatures(assets(spark, sf_dir)))
+
+
+#: scene-cut model: frames sample the payload in SCENE_LEN-frame
+#: shots, each shot reading one CUT_WINDOW-char slice; adjacent
+#: signatures differing by more than CUT_HAMMING bits mark a cut
+SCENE_LEN = 4
+CUT_WINDOW = 130
+CUT_HAMMING = 8
+
+
+@register(
+    "mm_video_scene_cuts",
+    # Mirrored oracle: DuckDB re-derives the per-frame dHash-structured
+    # signature from the same md5-fold blocks over the same
+    # shot-windowed payload slices, then lag + popcount. Differential:
+    # tests/test_bruteforce_dedup_text.py::test_scene_cuts_match_python.
+    oracle=f"""
+        WITH v AS (
+            SELECT doc_id, text, (n_chars % 30 + 1) AS n_frames
+            FROM documents WHERE doc_id % 3 = 2),
+        frames AS (
+            SELECT doc_id, f.f AS frame_idx,
+                   substring(text, (f.f // {SCENE_LEN}) * {CUT_WINDOW} + 1,
+                             {CUT_WINDOW}) AS ftext
+            FROM v, (SELECT unnest(range(0, 30)) AS f) f
+            WHERE f.f < n_frames),
+        blocks AS (
+            SELECT doc_id, frame_idx, i.i AS i,
+                   CAST(CAST(('0x' || substr(md5(substring(ftext,
+                                                           i.i*2+1, 2)),
+                                             1, 8))
+                        AS UBIGINT) AS BIGINT) AS inten
+            FROM frames, (SELECT unnest(range(0, 65)) AS i) i
+        ),
+        bits AS (
+            SELECT doc_id, frame_idx, i,
+                   CASE WHEN inten < lead(inten)
+                             OVER (PARTITION BY doc_id, frame_idx
+                                   ORDER BY i)
+                        THEN 1 ELSE 0 END AS bit
+            FROM blocks
+        ),
+        sig AS (
+            SELECT doc_id, frame_idx,
+                   CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+                                 ELSE 0 END) AS BIGINT) AS sig_lo,
+                   CAST(sum(CASE WHEN i >= 32 AND i < 64
+                                 THEN bit * (1::BIGINT << (i - 32))
+                                 ELSE 0 END) AS BIGINT) AS sig_hi
+            FROM bits GROUP BY doc_id, frame_idx
+        ),
+        dist AS (
+            SELECT doc_id AS asset_id, frame_idx,
+                   CAST(bit_count(xor(sig_hi,
+                            lag(sig_hi) OVER w))
+                        + bit_count(xor(sig_lo,
+                            lag(sig_lo) OVER w)) AS BIGINT) AS hamming
+            FROM sig
+            WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        )
+        SELECT asset_id, frame_idx, hamming
+        FROM dist WHERE hamming > {CUT_HAMMING}
+    """,
+    tags=("multimodal", "video", "scene-cut", "frames"),
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over video assets — the multimodal
+    pipeline's standard frame-level dedup/segmentation primitive: a
+    perceptual signature per SAMPLED frame, a cut wherever adjacent
+    signatures differ by more than {CUT_HAMMING} bits. The decode is
+    the repo's deterministic stand-in (SURVEY env rules): frame f
+    reads the payload slice of its {SCENE_LEN}-frame shot
+    (piecewise-constant, so intra-shot hamming is exactly 0 and shot
+    boundaries land far above the threshold unless the payload ran
+    out — both outcomes live in the fixture), signatures are
+    _fake_phash's md5-fold dHash structure; a real deployment swaps
+    the slice+fold for an actual decoder and DCT, and nothing else
+    moves.
+
+    Scale shape: the decode stage is mapInPandas over (asset_id,
+    payload, n_frames) — payload bytes never shuffle, signatures are
+    2 longs × ≤30 frames per asset; the cut detector is one lag
+    window over (asset_id, frame_idx), i.e. one exchange on asset_id
+    of signature-sized rows; popcount verify is codegen'd bit math."""
+    import pandas as pd
+
+    vids = assets(spark, sf_dir).filter(F.col("meta.kind") == "video") \
+        .select("asset_id", "payload", F.col("meta.n_frames").alias("nf"))
+
+    def sign_frames(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [],
+                   "sig_hi": [], "sig_lo": []}
+            for aid, payload, nf in zip(pdf["asset_id"], pdf["payload"],
+                                        pdf["nf"]):
+                text = bytes(payload).decode("utf-8")
+                nf = int(nf)
+                # frames within a shot are identical by construction:
+                # sign each SHOT once, emit per-frame rows from it
+                shot_sigs = [
+                    _fake_phash(text[s * CUT_WINDOW:(s + 1) * CUT_WINDOW])
+                    for s in range((nf + SCENE_LEN - 1) // SCENE_LEN)
+                ]
+                for f in range(nf):
+                    hi, lo, _ = shot_sigs[f // SCENE_LEN]
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(f)
+                    out["sig_hi"].append(hi)
+                    out["sig_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    sigs = vids.mapInPandas(
+        sign_frames,
+        "asset_id LONG, frame_idx LONG, sig_hi LONG, sig_lo LONG")
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    hamming = (
+        F.bit_count(F.col("sig_hi").bitwiseXOR(F.lag("sig_hi").over(w)))
+        + F.bit_count(F.col("sig_lo").bitwiseXOR(F.lag("sig_lo").over(w)))
+    ).cast("long")
+    return (
+        sigs.select("asset_id", "frame_idx", hamming.alias("hamming"))
+        .filter(F.col("hamming") > CUT_HAMMING)
+    )

@@ -532,3 +532,39 @@ def test_phash_neardup_matches_python(spark, sf_dir):
                          ["id_a", "id_b", "hamming"])
     assert got == expected
     assert expected, "fixture must keep the threshold non-vacuous"
+
+
+def test_scene_cuts_match_python(spark, sf_dir):
+    """Shot-boundary detection recomputed structure-free: per video
+    asset (doc_id % 3 == 2), frame f signs the 130-char slice of its
+    4-frame shot with the dHash-structured md5-fold; a cut is any
+    adjacent-frame hamming > 8. Also asserts the piecewise-constant
+    decode's invariant directly: intra-shot distances are 0, so every
+    reported cut sits on a shot boundary (frame_idx % 4 == 0)."""
+    from mapreducewordcounting_spark.operators.multimodal import (
+        CUT_HAMMING,
+        CUT_WINDOW,
+        SCENE_LEN,
+        mm_video_scene_cuts,
+    )
+
+    expected = []
+    for d in load_documents(sf_dir):
+        if d["doc_id"] % 3 != 2:
+            continue
+        n_frames = d["n_chars"] % 30 + 1
+        sigs = []
+        for f in range(n_frames):
+            start = (f // SCENE_LEN) * CUT_WINDOW
+            hi, lo, _ = _phash_sig(d["text"][start:start + CUT_WINDOW])
+            sigs.append((hi, lo))
+        for f in range(1, n_frames):
+            h = (bin((sigs[f][0] ^ sigs[f - 1][0])).count("1")
+                 + bin((sigs[f][1] ^ sigs[f - 1][1])).count("1"))
+            if h > CUT_HAMMING:
+                expected.append((d["doc_id"], f, h))
+    got = rows_as_tuples(mm_video_scene_cuts(spark, sf_dir),
+                         ["asset_id", "frame_idx", "hamming"])
+    assert got == sorted(expected)
+    assert got, "fixture must keep the cut threshold non-vacuous"
+    assert all(f % SCENE_LEN == 0 for _, f, _ in got)

@@ -142,3 +142,30 @@ def test_tombstone_purge_prunes_and_removes_only_tombstones(spark, sf_dir):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "bucket" in pf_line
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_parquet_footer_stats_per_row_group_exact(spark, sf_dir):
+    """The per-ROW-GROUP grain behind source_parquet_footer_stats:
+    every row group's footer [min, max] must equal the actual range
+    of its rows (parquet numeric stats are exact, the data-skipping
+    contract), and per-group value counts must sum to the table."""
+    import pyarrow.parquet as pq
+
+    from mapreducewordcounting_spark.operators.io_roundtrip import (
+        FOOTER_STAT_COLS,
+    )
+
+    pf = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
+    md = pf.metadata
+    assert md.num_row_groups >= 1
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for col in FOOTER_STAT_COLS:
+        total = 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            data = pf.read_row_group(rg, columns=[col]).column(0)
+            vals = [v.as_py() for v in data]
+            assert st.min == min(vals) and st.max == max(vals)
+            assert st.num_values == len([v for v in vals if v is not None])
+            total += st.num_values
+        assert total == md.num_rows

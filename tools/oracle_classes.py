@@ -52,6 +52,10 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "eligibility-gated 16-bit bands on both sides",
         "test_bruteforce_dedup_text.py::test_phash_neardup_matches_python"
         " (+ test_hypothesis_dedup.py::test_phash_core_matches_python)"),
+    "mm_video_scene_cuts": (
+        "md5-fold frame signatures over shot-windowed payload slices "
+        "+ lag/popcount on both sides",
+        "test_bruteforce_dedup_text.py::test_scene_cuts_match_python"),
     "similarity_ann_rp_det": (
         "md5-derived hyperplanes inlined into both sides; 4-bit bands",
         "test_bruteforce_formulas.py::test_ann_rp_det_matches_python"),
