@@ -379,3 +379,67 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n").cast("double") / F.col("n_out"), 6)
                 .alias("p"))
     )
+
+
+#: journey patterns: conversion = signup, then only clicks/views,
+#: then purchase; abandonment = the same prefix ending in an error
+CONVERT_PATTERN = "s[cv]*p"
+ABANDON_PATTERN = "s[cv]*e"
+
+
+@register(
+    "events_pattern_regex",
+    oracle=f"""
+        WITH j AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id)
+        SELECT user_id, journey,
+               CAST(len(regexp_extract_all(journey, '{CONVERT_PATTERN}'))
+                    AS BIGINT) AS n_convert,
+               CAST(len(regexp_extract_all(journey, '{ABANDON_PATTERN}'))
+                    AS BIGINT) AS n_abandon
+        FROM j
+    """,
+    tags=("analytics", "pattern", "sequence", "regex"),
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event journeys — the
+    MATCH_RECOGNIZE-lite every product-analytics stack ships: encode
+    each user's time-ordered events as a character string (c/e/p/s/v
+    initials — distinct by construction here; a real deployment maps
+    through an explicit dictionary) and count non-overlapping regex
+    matches: conversions (signup → only clicks/views → purchase) and
+    abandonments (same prefix ending in an error). Regexes this
+    simple (no alternation, single greedy class) match identically
+    under Java regex and RE2, so the count is engine-portable; the
+    journey string itself is emitted for auditability, ordered by
+    (ts, event_id) so ties are deterministic.
+
+    Scale shape: one exchange on user_id (the collect_list +
+    array_sort reassembly — same idiom as tokenize-to-ids); pattern
+    counting is a codegen'd regexp over the reassembled string. The
+    unbounded-journey hazard is real at 100 TB — production bounds
+    the string per (user, session window), which this op composes
+    with the sessionization operators; per-user journeys here are
+    event-rate-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    journey = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                "ts", "event_id",
+                F.substring("event_type", 1, 1).alias("i")))),
+            lambda x: x["i"],
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        journey.alias("journey"),
+    ).select(
+        "user_id", "journey",
+        F.regexp_count("journey", F.lit(CONVERT_PATTERN)).cast("bigint")
+        .alias("n_convert"),
+        F.regexp_count("journey", F.lit(ABANDON_PATTERN)).cast("bigint")
+        .alias("n_abandon"),
+    )

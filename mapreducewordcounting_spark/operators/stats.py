@@ -315,3 +315,73 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("wx2").cast("double") / dw - mean * mean), 6)
         .alias("weighted_std"),
     )
+
+
+@register(
+    "agg_gini_lorenz",
+    oracle="""
+        WITH c AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                   c_custkey
+            FROM customer),
+        ranked AS (
+            SELECT seg, cents,
+                   row_number() OVER (PARTITION BY seg
+                                      ORDER BY cents, c_custkey) AS i,
+                   count(*) OVER (PARTITION BY seg) AS n
+            FROM c)
+        SELECT seg,
+               count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               round((2.0 * sum(i * cents)) / (count(*) * sum(cents))
+                     - (count(*) + 1.0) / count(*), 6) AS gini,
+               round(CAST(sum(CASE WHEN i <= n // 2 THEN cents
+                                   ELSE 0 END) AS DOUBLE)
+                     / sum(cents), 6) AS bottom_half_share
+        FROM ranked
+        GROUP BY seg
+    """,
+    tags=("aggregation", "stats", "inequality", "gini"),
+)
+def agg_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality analytics per market segment: exact Gini coefficient
+    of account balances via the sorted-rank identity
+    ``G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n`` plus the Lorenz-curve
+    checkpoint every concentration report quotes (share of total held
+    by the bottom half). All interior arithmetic is INTEGER — cents,
+    ranks, and their products sum exactly (rank ≤ n and cents ≤ 10⁸
+    keep i·x far inside int64) — so the only doubles are two final
+    fixed-shape divisions, rounded at 6; rank ties break on
+    c_custkey so the i·x sum is deterministic.
+
+    Scale shape: one exchange on the segment key, the ranking window
+    and the aggregate sharing its sort; per-partition window state is
+    O(1). (A single global-key Gini would instead use the two-pass
+    percentile-style form — the per-group shape here is the
+    production one: inequality is always reported per cohort.)"""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "c_custkey")
+    wn = Window.partitionBy("seg")
+    ranked = c.select(
+        "seg", "cents",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wn).alias("n"),
+    )
+    n, s = F.count("*"), F.sum("cents")
+    s1 = F.sum(F.col("i") * F.col("cents"))
+    return ranked.groupBy("seg").agg(
+        n.alias("n_customers"),
+        s.cast("bigint").alias("total_cents"),
+        F.round((F.lit(2.0) * s1) / (n * s) - (n + F.lit(1.0)) / n, 6)
+        .alias("gini"),
+        F.round(F.sum(F.when(F.col("i") <= F.floor(F.col("n") / 2),
+                             F.col("cents")).otherwise(F.lit(0)))
+                .cast("double") / s, 6).alias("bottom_half_share"),
+    )

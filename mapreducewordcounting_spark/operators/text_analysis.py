@@ -1184,3 +1184,95 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "rank INT, left STRING, right STRING, merged STRING, "
         "pair_count BIGINT")
+
+
+#: interpolation weight on the bigram term of the smoothed LM;
+#: the 1-λ remainder backs off to the unigram distribution
+LM_LAMBDA = 0.8
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+        WITH t AS ({{_SQL_TOKS}}),
+        words AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        uni AS (SELECT word, count(*) AS c2 FROM words GROUP BY word),
+        tot AS (SELECT count(*) AS n_total FROM words),
+        big AS (
+            SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2
+            FROM t, unnest(list_transform(range(1, len(toks)),
+                           j -> struct_pack(w1 := toks[j],
+                                            w2 := toks[j+1]))) AS u(b)),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1)
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(ln({LM_LAMBDA} * CAST(c12.c12 AS DOUBLE) / c1.c1
+                            + (1.0 - {LM_LAMBDA}) * CAST(uni.c2 AS DOUBLE)
+                              / tot.n_total)), 6) AS avg_logprob
+        FROM big b
+        JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        JOIN c1 ON b.w1 = c1.w1
+        JOIN uni ON b.w2 = uni.word
+        CROSS JOIN tot
+        GROUP BY b.doc_id
+    """.format(_SQL_TOKS=_SQL_TOKS),
+    tags=("text", "quality", "language-model", "bigram"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with unigram back-off — the step up
+    from text_unigram_logprob that actually catches scrambled or
+    templated text (a shuffled document keeps its unigram score but
+    its bigrams collapse to the back-off term): score = mean
+    ln(LM_LAMBDA·c(w1,w2)/c(w1·) + (1-LM_LAMBDA)·c(w2)/N), i.e.
+    0.8/0.2 interpolation, over the
+    document's adjacent token pairs, so unseen corpus
+    bigrams (impossible here — the model is fit on the same corpus —
+    but not in train/apply splits) stay finite.
+
+    Scale structure mirrors the unigram op: the bigram and context
+    count relations come from ONE exploded pair stream (map-side
+    combined); both are model-sized. Here they broadcast; at web
+    scale the bigram relation outgrows broadcast and the score join
+    becomes a (w1,w2)-keyed shuffle of the pair stream against the
+    model — the documented fallback, same plan Spark picks when the
+    broadcast hint is dropped. ln is ulp-stable and the mean rounds
+    at 6 (the libm-parity contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # four consumers (uni, tot, c12/c1 via big, and the score stream)
+    # would each re-run tokenize without a lineage cut — the text_bm25
+    # base-checkpoint discipline (doc-grain rows, never the pair
+    # stream, which is the corpus-scale thing you must NOT materialize)
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokenize_canonical("text"),
+                 lambda w: F.length(w) > 0).alias("toks")) \
+        .localCheckpoint(eager=True)
+    words = toks.select("doc_id", F.explode("toks").alias("word"))
+    uni = words.groupBy("word").agg(F.count("*").alias("c2"))
+    tot = words.select(F.count("*").alias("n_total"))
+    pair_arr = F.when(
+        F.size("toks") >= 2,
+        F.expr("transform(sequence(1, size(toks) - 1), j -> "
+               "struct(element_at(toks, j) as w1, "
+               "element_at(toks, j + 1) as w2))"),
+    ).otherwise(F.expr(
+        "cast(array() as array<struct<w1:string, w2:string>>)"))
+    big = (toks.select("doc_id", F.explode(pair_arr).alias("b"))
+           .select("doc_id", F.col("b.w1").alias("w1"),
+                   F.col("b.w2").alias("w2")))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    lam = F.lit(LM_LAMBDA)
+    p = (lam * F.col("c12").cast("double") / F.col("c1")
+         + (F.lit(1.0) - lam) * F.col("c2").cast("double")
+         / F.col("n_total"))
+    return (
+        big.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(uni), big.w2 == F.col("word"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.avg(F.log(p)), 6).alias("avg_logprob"))
+    )

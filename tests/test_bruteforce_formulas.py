@@ -652,3 +652,69 @@ def test_bpe_merges_match_python(spark, sf_dir):
         text_bpe_learn_merges(spark, sf_dir),
         ["rank", "left", "right", "merged", "pair_count"])
     assert got == sorted(expected)
+
+
+def test_bigram_logprob_matches_python(spark, sf_dir):
+    """Interpolated bigram LM (lambda=0.8, unigram back-off)
+    recomputed in plain Python."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        LM_LAMBDA,
+        text_bigram_logprob,
+    )
+
+    toks = doc_tokens(sf_dir)
+    uni: Counter = Counter()
+    for t in toks.values():
+        uni.update(t)
+    total = sum(uni.values())
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    expected = []
+    for d, t in toks.items():
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            continue
+        avg = sum(
+            math.log(LM_LAMBDA * c12[(a, b)] / c1[a]
+                     + (1.0 - LM_LAMBDA) * uni[b] / total)
+            for a, b in pairs) / len(pairs)
+        expected.append((d, len(pairs), avg))
+    got = rows_as_tuples(text_bigram_logprob(spark, sf_dir),
+                         ["doc_id", "n_bigrams", "avg_logprob"])
+    assert [r[:2] for r in got] == [r[:2] for r in sorted(expected)]
+    for g, e in zip(got, sorted(expected)):
+        assert abs(g[2] - e[2]) < TOL
+
+
+def test_gini_lorenz_matches_python(spark, sf_dir):
+    """Sorted-rank Gini identity + bottom-half share recomputed in
+    plain Python over integer cents."""
+    from mapreducewordcounting_spark.operators.stats import (
+        agg_gini_lorenz,
+    )
+
+    by_seg: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for r in load_table_rows(sf_dir, "customer"):
+        cents = round6(r["c_acctbal"] * 100)  # exact .5 ties: half-up
+        by_seg[r["c_mktsegment"]].append(
+            (int(round(cents)), r["c_custkey"]))
+    expected = []
+    for seg, rows in by_seg.items():
+        rows.sort()
+        n = len(rows)
+        s = sum(c for c, _ in rows)
+        s1 = sum(i * c for i, (c, _) in enumerate(rows, 1))
+        gini = (2.0 * s1) / (n * s) - (n + 1.0) / n
+        bottom = sum(c for c, _ in rows[: n // 2]) / s
+        expected.append((seg, n, s, gini, bottom))
+    got = rows_as_tuples(
+        agg_gini_lorenz(spark, sf_dir),
+        ["seg", "n_customers", "total_cents", "gini",
+         "bottom_half_share"])
+    assert [r[:3] for r in got] == [r[:3] for r in sorted(expected)]
+    for g, e in zip(got, sorted(expected)):
+        assert abs(g[3] - e[3]) < TOL and abs(g[4] - e[4]) < TOL

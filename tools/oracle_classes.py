@@ -52,6 +52,12 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "eligibility-gated 16-bit bands on both sides",
         "test_bruteforce_dedup_text.py::test_phash_neardup_matches_python"
         " (+ test_hypothesis_dedup.py::test_phash_core_matches_python)"),
+    "text_bigram_logprob": (
+        "shared interpolated bigram-LM formula (lambda=0.8)",
+        "test_bruteforce_formulas.py::test_bigram_logprob_matches_python"),
+    "agg_gini_lorenz": (
+        "shared sorted-rank Gini identity + bottom-half share formula",
+        "test_bruteforce_formulas.py::test_gini_lorenz_matches_python"),
     "mm_video_scene_cuts": (
         "md5-fold frame signatures over shot-windowed payload slices "
         "+ lag/popcount on both sides",
