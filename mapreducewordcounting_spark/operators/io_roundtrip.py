@@ -574,14 +574,20 @@ def source_parquet_footer_stats(spark: SparkSession,
                     n, mn, mx = 0, None, None
                     for rg in range(md.num_row_groups):
                         cc = md.row_group(rg).column(idx[col])
+                        n += cc.num_values
                         st = cc.statistics
-                        n += st.num_values
+                        # zero-row / stats-less chunks carry no
+                        # min/max — the empty-partition case the
+                        # zero-row gate exercises; the oracle's
+                        # aggregate yields NULLs there too
+                        if st is None or not st.has_min_max:
+                            continue
                         mn = st.min if mn is None else min(mn, st.min)
                         mx = st.max if mx is None else max(mx, st.max)
                     out["column_name"].append(col)
                     out["n_values"].append(n)
-                    out["vmin"].append(float(mn))
-                    out["vmax"].append(float(mx))
+                    out["vmin"].append(None if mn is None else float(mn))
+                    out["vmax"].append(None if mx is None else float(mx))
             yield pd.DataFrame(out)
 
     per_file = files.mapInPandas(
