@@ -197,3 +197,49 @@ def test_phash_core_matches_python(spark, base, tail):
         (r["id_a"], r["id_b"], r["hamming"])
         for r in phash_neardup_pairs(phash_signatures(assets)).collect())
     assert got == _phash_pairs(texts)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=_edges)
+def test_component_labels_match_union_find(spark, edges):
+    """component_labels (the min-label loop shared by dedup_clusters,
+    dedup_semantic_clusters, and sample_split_leakage_safe) must equal
+    a plain union-find on arbitrary small graphs — including chains
+    whose min-label eccentricity forces multiple convergence sweeps,
+    the regime the fixture's tiny clusters never reach."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordcounting_spark.operators.dedup import (
+        component_labels,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expected = sorted((n, find(n)) for n in nodes)
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "id_a long, id_b long")
+    got = sorted(
+        (r.node, r.label)
+        for r in component_labels(
+            df.localCheckpoint(eager=True)).collect())
+    assert got == expected
