@@ -853,3 +853,56 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(use_prev, F.lit("backward"))
         .when(ok_next, F.lit("forward")).alias("direction"),
     )
+
+
+@register(
+    "fn_gaps_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events),
+        grp AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INT)
+                       AS anchor
+            FROM days)
+        SELECT user_id,
+               min(day) AS island_start,
+               max(day) AS island_end,
+               count(*) AS n_days
+        FROM grp
+        GROUP BY user_id, anchor
+    """,
+    tags=("temporal", "gaps-islands", "window"),
+)
+def fn_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE
+    active days (streaks — the engagement metric product analytics
+    reports, and the canonical SQL idiom for it): distinct active
+    days, then the row_number subtraction trick — ``day − rank`` is
+    constant exactly within a consecutive run — grouped to
+    (start, end, length). Dates subtract to integer day counts on
+    both engines, so the anchor is engine-exact.
+
+    Scale shape: one exchange on user_id; the distinct, the ranking
+    window, and the island aggregate all share that partitioning
+    (AQE reuses the exchange), per-partition window state O(1). The
+    anchor column never leaves the plan — the output is
+    |islands|-grain."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id", "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"))
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(F.min("day").alias("island_start"),
+             F.max("day").alias("island_end"),
+             F.count("*").alias("n_days"))
+        .drop("anchor")
+    )
