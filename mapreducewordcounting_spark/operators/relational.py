@@ -951,3 +951,55 @@ def join_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"),
              F.round(F.min(F.sqrt("d2")), 6).alias("min_dist"),
              F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist")))
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        WITH f AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'error' AND value > 150
+                            THEN CAST(date_trunc('day', ts) AS DATE)
+                       END) AS first_error_day
+            FROM events GROUP BY user_id)
+        SELECT a.first_error_day,
+               count(*) AS n_pairs
+        FROM f a JOIN f b
+          ON a.first_error_day IS NOT DISTINCT FROM b.first_error_day
+         AND a.user_id < b.user_id
+        GROUP BY a.first_error_day
+    """,
+    tags=("join", "null-safe", "relational"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): pair
+    users whose first SEVERE-error day (value > 150) is THE SAME —
+    including the never-severely-errored cohort, whose key is NULL
+    and which a plain equi-join silently drops (the classic
+    silent-loss bug this surface exists to fix; the NULL cohort is
+    half the users on this fixture and IS the interesting group —
+    the n_pairs row with a NULL key). Emitted
+    per key with the pair count, so the output is |days|-grain.
+
+    Plan note: Spark hashes `<=>` keys like ordinary equi-keys
+    (null-safe equality is a valid hash-join key, NULLs hashing to
+    one partition), so this stays a hash/sort-merge join — no
+    nested-loop penalty for the null-safe form; the skew hazard is
+    the NULL key itself when most rows carry it (then: the standard
+    salt/AQE-skew treatment, or pre-splitting the NULL cohort)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when((F.col("event_type") == "error")
+                     & (F.col("value") > 150),
+                     F.date_trunc("day", "ts").cast("date")))
+        .alias("first_error_day"))
+    a = f.select(F.col("user_id").alias("u_a"),
+                 F.col("first_error_day").alias("d_a"))
+    b = f.select(F.col("user_id").alias("u_b"),
+                 F.col("first_error_day").alias("d_b"))
+    return (
+        a.join(b, a["d_a"].eqNullSafe(b["d_b"])
+               & (F.col("u_a") < F.col("u_b")))
+        .groupBy(F.col("d_a").alias("first_error_day"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
