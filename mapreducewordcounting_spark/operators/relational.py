@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
@@ -1002,4 +1002,77 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("u_a") < F.col("u_b")))
         .groupBy(F.col("d_a").alias("first_error_day"))
         .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "part_abc_pareto",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(sum({_SQL_NET}) * 10000 AS BIGINT) AS rev_e4
+            FROM lineitem GROUP BY l_partkey),
+        ranked AS (
+            SELECT l_partkey, rev_e4,
+                   sum(rev_e4) OVER (
+                       ORDER BY rev_e4 DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                   sum(rev_e4) OVER () AS total
+            FROM rev),
+        classed AS (
+            SELECT CASE WHEN cum * 10 <= 7 * total THEN 'A'
+                        WHEN cum * 10 <= 9 * total THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   rev_e4, total
+            FROM ranked)
+        SELECT abc_class,
+               count(*) AS n_parts,
+               CAST(sum(rev_e4) AS BIGINT) AS class_revenue_e4,
+               round(CAST(sum(rev_e4) AS DOUBLE) / max(total), 6)
+                   AS revenue_share
+        FROM classed
+        GROUP BY abc_class
+    """,
+    tags=("relational", "analytics", "pareto", "window"),
+)
+def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by net revenue — the
+    inventory-management classic (A = the head SKUs carrying 70% of
+    revenue, B the next 20, C the tail): exact decimal revenue per
+    part scaled to an INTEGER (1e-4 units), ranked, cumulative-share
+    bucketed with ALL-INTEGER threshold math (``cum·10 ≤ 7·total``
+    instead of a float share comparison — a boundary part classifies
+    identically on every engine by construction); the only double is
+    the final reported share, rounded at 6.
+
+    Scale shape: the revenue rollup is the fact-scale aggregate
+    (map-side combined, one exchange on l_partkey); the ranking
+    window is GLOBAL but runs over the CATALOG-grain revenue table —
+    dimension-sized by definition of SKU analytics — with cum and
+    total sharing one Window sort (single-partition, the documented
+    exception to the no-unpartitioned-windows rule: |parts|, not
+    |lineitem|). Class rollup is a 3-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(net_price()) * 10000).cast("bigint").alias("rev_e4"))
+    w_cum = (Window.orderBy(F.desc("rev_e4"), "l_partkey")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.orderBy(F.desc("rev_e4"), "l_partkey")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    ranked = rev.select(
+        "rev_e4",
+        F.sum("rev_e4").over(w_cum).alias("cum"),
+        F.sum("rev_e4").over(w_all).alias("total"))
+    abc = (F.when(F.col("cum") * 10 <= 7 * F.col("total"), F.lit("A"))
+           .when(F.col("cum") * 10 <= 9 * F.col("total"), F.lit("B"))
+           .otherwise(F.lit("C")))
+    return (
+        ranked.select(abc.alias("abc_class"), "rev_e4", "total")
+        .groupBy("abc_class")
+        .agg(F.count("*").alias("n_parts"),
+             F.sum("rev_e4").cast("bigint").alias("class_revenue_e4"),
+             F.round(F.sum("rev_e4").cast("double") / F.max("total"), 6)
+             .alias("revenue_share"))
     )
