@@ -906,3 +906,49 @@ def fn_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("n_days"))
         .drop("anchor")
     )
+
+
+@register(
+    "time_ohlc_bars",
+    oracle="""
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_events,
+               round((min({'t': ts, 'e': event_id, 'v': value})).v, 6)
+                   AS open,
+               round(max(value), 6) AS high,
+               round(min(value), 6) AS low,
+               round((max({'t': ts, 'e': event_id, 'v': value})).v, 6)
+                   AS close
+        FROM events
+        GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    """,
+    tags=("temporal", "ohlc", "resample", "aggregation"),
+)
+def time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (user, day) — the canonical
+    time-series downsample (open/high/low/close + volume proxy) every
+    market-data / metrics engine ships. Open and close ride the
+    min/max of a ``struct(ts, event_id, value)`` — lexicographic
+    struct ordering IS the argmin/argmax with the (ts, event_id)
+    tie-break built in, one ordinary map-side-combinable aggregate,
+    no ranking window and no second pass (the keep-latest idiom's
+    cheaper cousin when ONLY the extreme row's value is needed).
+
+    Scale: one exchange on (user, day) with partial aggregation —
+    OHLC state is four scalars + two small structs per group, so
+    map-side combine collapses each partition to |groups| rows before
+    the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    mark = F.struct(F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("value").alias("v"))
+    return (
+        ev.groupBy("user_id",
+                   F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.min(mark)["v"], 6).alias("open"),
+             F.round(F.max("value"), 6).alias("high"),
+             F.round(F.min("value"), 6).alias("low"),
+             F.round(F.max(mark)["v"], 6).alias("close"))
+    )

@@ -261,3 +261,47 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which floor(pr*4) would put in a phantom 5th bucket
         F.least(F.floor(pr * 4), F.lit(3)).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "window_rolling_median",
+    # independent formulations: DuckDB evaluates its NATIVE median()
+    # window aggregate over the frame; the Spark side builds the frame
+    # list and takes the midpoint explicitly (no frame-median builtin)
+    oracle="""
+        SELECT event_id, user_id,
+               round(median(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                   AS rolling_median
+        FROM events
+    """,
+    tags=("window", "rolling", "median", "robust"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row MEDIAN per user — the robust-smoothing twin of
+    window_rolling_zscore (a median shrugs off the single-spike
+    outliers that drag a rolling mean). Spark has no frame-median
+    builtin, so the frame materializes as a sorted ≤7-element array
+    (``array_sort(collect_list over frame)``) and the midpoint rule
+    is explicit: odd → middle element, even → mean of the two middle
+    (DuckDB's native window median applies the same rule, making the
+    oracle an independent engine-level implementation, not a mirror).
+
+    Scale: one (user_id) exchange; per-row state is the O(k) frame
+    buffer — the standard trade of list-based frame aggregates; for
+    large k swap in a t-digest/histogram sketch per frame (the
+    agg_quantile_hist_est machinery)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, Window.currentRow))
+    s = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(s)
+    mid = F.element_at(s, ((n + 1) / 2).cast("int"))
+    even = (F.element_at(s, (n / 2).cast("int"))
+            + F.element_at(s, (n / 2).cast("int") + 1)) / 2
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.when(n % 2 == 1, mid).otherwise(even), 6)
+        .alias("rolling_median"),
+    )
