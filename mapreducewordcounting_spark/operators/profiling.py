@@ -357,3 +357,57 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("not_null_custkey").alias("constraint_name"), "n_violations")
     return pk.unionByName(fk).unionByName(rng).unionByName(enum) \
         .unionByName(nn)
+
+
+@register(
+    "dq_anomaly_iqr",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS q1,
+                   round(quantile_cont(value, 0.75), 6) AS q3
+            FROM events GROUP BY event_type)
+        SELECT e.event_type, s.q1, s.q3,
+               round(s.q3 - s.q1, 6) AS iqr,
+               CAST(sum(CASE WHEN e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+                               OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN s USING (event_type)
+        GROUP BY e.event_type, s.q1, s.q3
+    """,
+    tags=("profiling", "dq", "anomaly", "iqr"),
+)
+def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per event type — the distribution-
+    free sibling of anomaly_zscore (no normality assumption; the
+    fences are order statistics, so one wild value cannot drag them
+    the way it drags a mean/stddev): quartiles via exact continuous
+    percentiles, outlier = value outside [q1 − 1.5·IQR, q3 + 1.5·IQR].
+    The fences are computed from ROUNDED quartiles on both engines —
+    percentile interpolation is the one sub-expression whose operation
+    order an engine may choose differently, and an unrounded fence
+    could flip a boundary row's classification between engines.
+
+    Scale shape (the anomaly_zscore plan): quartiles are one
+    |types|-row aggregate (exact percentile buffers per group — the
+    percentile_approx sketch is the 100 TB swap, agg_percentile_approx)
+    broadcast back onto the event scan; the outlier count is a second
+    map-side-combined aggregate. The fact table is scanned twice and
+    shuffled zero times beyond the two |types|-keyed aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.25), F.lit(0.75)))
+    s = ev.groupBy("event_type").agg(pcts.alias("p")).select(
+        "event_type",
+        F.round(F.col("p")[0], 6).alias("q1"),
+        F.round(F.col("p")[1], 6).alias("q3"))
+    iqr = F.col("q3") - F.col("q1")
+    outlier = ((F.col("value") < F.col("q1") - 1.5 * iqr)
+               | (F.col("value") > F.col("q3") + 1.5 * iqr))
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(F.round(iqr, 6).alias("iqr"),
+             F.sum(F.when(outlier, 1).otherwise(0)).cast("bigint")
+             .alias("n_outliers"))
+        .select("event_type", "q1", "q3", "iqr", "n_outliers")
+    )

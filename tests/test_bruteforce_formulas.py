@@ -718,3 +718,30 @@ def test_gini_lorenz_matches_python(spark, sf_dir):
     assert [r[:3] for r in got] == [r[:3] for r in sorted(expected)]
     for g, e in zip(got, sorted(expected)):
         assert abs(g[3] - e[3]) < TOL and abs(g[4] - e[4]) < TOL
+
+
+def test_anomaly_iqr_matches_python(spark, sf_dir):
+    """Tukey fences recomputed with numpy linear percentiles and the
+    shared 1.5-IQR rule on round-6 quartiles."""
+    from mapreducewordcounting_spark.operators.profiling import (
+        dq_anomaly_iqr,
+    )
+
+    by_type: dict[str, list[float]] = defaultdict(list)
+    for r in load_table_rows(sf_dir, "events"):
+        by_type[r["event_type"]].append(float(r["value"]))
+    expected = []
+    for t, vals in by_type.items():
+        q1 = round6(float(np.percentile(vals, 25)))
+        q3 = round6(float(np.percentile(vals, 75)))
+        iqr = q3 - q1
+        n_out = sum(1 for v in vals
+                    if v < q1 - 1.5 * iqr or v > q3 + 1.5 * iqr)
+        expected.append((t, q1, q3, round6(iqr), n_out))
+    got = rows_as_tuples(dq_anomaly_iqr(spark, sf_dir),
+                         ["event_type", "q1", "q3", "iqr", "n_outliers"])
+    assert [(r[0], r[4]) for r in got] == [
+        (r[0], r[4]) for r in sorted(expected)]
+    for g, e in zip(got, sorted(expected)):
+        for i in (1, 2, 3):
+            assert abs(g[i] - e[i]) < TOL
