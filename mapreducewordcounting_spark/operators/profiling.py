@@ -411,3 +411,66 @@ def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("n_outliers"))
         .select("event_type", "q1", "q3", "iqr", "n_outliers")
     )
+
+
+@register(
+    "profile_mutual_information",
+    oracle="""
+        WITH joint AS (
+            SELECT event_type,
+                   CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   count(*) AS nxy
+            FROM events GROUP BY event_type, dayofweek(ts)),
+        mx AS (SELECT event_type, sum(nxy) AS nx FROM joint
+               GROUP BY event_type),
+        my AS (SELECT dow, sum(nxy) AS ny FROM joint GROUP BY dow),
+        tot AS (SELECT sum(nxy) AS n FROM joint)
+        SELECT round(sum((CAST(j.nxy AS DOUBLE) / tot.n)
+                         * ln((CAST(j.nxy AS DOUBLE) * tot.n)
+                              / (CAST(mx.nx AS DOUBLE) * my.ny))), 6)
+                   AS mutual_info_nats,
+               count(*) AS n_cells,
+               CAST(max(tot.n) AS BIGINT) AS n_events
+        FROM joint j
+        JOIN mx USING (event_type)
+        JOIN my USING (dow)
+        CROSS JOIN tot
+    """,
+    tags=("profiling", "stats", "mutual-information", "dependence"),
+)
+def profile_mutual_information(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week — the
+    dependence profile a feature-selection / leakage audit computes
+    for every categorical column pair (MI = 0 ⟺ independent; unlike
+    correlation it catches non-monotone dependence):
+    ``Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))`` over the contingency table,
+    exact counts, natural log, rounded at 6 (ln ulp-parity, the
+    text_tfidf contract). Emitted with the cell count and grand total
+    so the reader can judge the table's resolution.
+
+    Scale shape: ONE fact-scale aggregate builds the |X|×|Y|
+    contingency table (map-side combined — the table is
+    category-bounded regardless of event volume); marginals re-
+    aggregate the TABLE, not the data (the tf→df reuse rule); the MI
+    fold is a |cells|-row sum. For wide column pairs the same query
+    runs per pair over one GROUPING SETS pass."""
+    ev = load_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count("*").alias("nxy"))
+    joint = joint.localCheckpoint(eager=True)  # 3 consumers below
+    mx = joint.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("dow").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    term = ((F.col("nxy").cast("double") / F.col("n"))
+            * F.log((F.col("nxy").cast("double") * F.col("n"))
+                    / (F.col("nx").cast("double") * F.col("ny"))))
+    return (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum(term), 6).alias("mutual_info_nats"),
+             F.count("*").alias("n_cells"),
+             F.max("n").cast("bigint").alias("n_events"))
+    )

@@ -745,3 +745,28 @@ def test_anomaly_iqr_matches_python(spark, sf_dir):
     for g, e in zip(got, sorted(expected)):
         for i in (1, 2, 3):
             assert abs(g[i] - e[i]) < TOL
+
+
+def test_mutual_information_matches_python(spark, sf_dir):
+    """MI over the (event_type, day-of-week) contingency table
+    recomputed from raw counts in plain Python."""
+    from mapreducewordcounting_spark.operators.profiling import (
+        profile_mutual_information,
+    )
+
+    joint: Counter = Counter()
+    for r in load_table_rows(sf_dir, "events"):
+        joint[(r["event_type"], r["ts"].isoweekday() % 7)] += 1
+    n = sum(joint.values())
+    mx: Counter = Counter()
+    my: Counter = Counter()
+    for (x, y), c in joint.items():
+        mx[x] += c
+        my[y] += c
+    mi = sum((c / n) * math.log((c * n) / (mx[x] * my[y]))
+             for (x, y), c in joint.items())
+    got = rows_as_tuples(
+        profile_mutual_information(spark, sf_dir),
+        ["mutual_info_nats", "n_cells", "n_events"])
+    assert got[0][1] == len(joint) and got[0][2] == n
+    assert abs(got[0][0] - mi) < TOL

@@ -52,6 +52,10 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "eligibility-gated 16-bit bands on both sides",
         "test_bruteforce_dedup_text.py::test_phash_neardup_matches_python"
         " (+ test_hypothesis_dedup.py::test_phash_core_matches_python)"),
+    "profile_mutual_information": (
+        "shared MI formula over the contingency table",
+        "test_bruteforce_formulas.py::"
+        "test_mutual_information_matches_python"),
     "dq_anomaly_iqr": (
         "shared Tukey 1.5-IQR fence rule on round-6 quartiles",
         "test_bruteforce_formulas.py::test_anomaly_iqr_matches_python"),

@@ -83,6 +83,7 @@ BNL_ALLOWED = {
     "text_tfidf": "1-row (corpus doc count)",
     "text_unigram_logprob": "1-row (unigram grand total)",
     "text_bigram_logprob": "1-row (unigram grand total back-off)",
+    "profile_mutual_information": "1-row (contingency grand total)",
     "time_resample_ffill": "1-row (global time-range bounds)",
     "time_interpolate_linear": "1-row (global time-range bounds — the "
                                "shared _daily_grid_closes calendar "
