@@ -1276,3 +1276,122 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_bigrams"),
              F.round(F.avg(F.log(p)), 6).alias("avg_logprob"))
     )
+
+
+#: top keyphrases the RAKE extractor returns
+RAKE_TOP_K = 15
+
+
+@register(
+    "text_keyphrases_rake",
+    oracle=f"""
+        WITH t AS ({{_SQL_TOKS}}),
+        pos AS (
+            SELECT doc_id, u.p.pos AS pos, u.p.w AS word
+            FROM t, unnest(list_transform(range(1, len(toks) + 1),
+                           i -> struct_pack(pos := i, w := toks[i])))
+                     AS u(p)
+            WHERE u.p.w NOT IN ('the', 'a', 'of', 'and', 'to')),
+        grp AS (
+            SELECT doc_id, pos, word,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS anchor
+            FROM pos),
+        phrases AS (
+            SELECT doc_id, anchor,
+                   string_agg(word, ' ' ORDER BY pos) AS phrase,
+                   count(*) AS plen
+            FROM grp GROUP BY doc_id, anchor
+            HAVING count(*) >= 2),
+        words AS (
+            SELECT p.phrase, p.plen, u.w AS word
+            FROM phrases p, unnest(string_split(p.phrase, ' ')) AS u(w)),
+        stats AS (
+            SELECT word, count(*) AS freq,
+                   CAST(sum(plen) AS BIGINT) AS degree
+            FROM words GROUP BY word),
+        scored AS (
+            SELECT w.phrase,
+                   count(*) AS n_occurrences_x_words,
+                   round(sum(CAST(s.degree AS DOUBLE) / s.freq), 6)
+                       AS raw_sum
+            FROM words w JOIN stats s USING (word)
+            GROUP BY w.phrase),
+        per_phrase AS (
+            SELECT p.phrase,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   max(p.plen) AS n_words
+            FROM phrases p GROUP BY p.phrase)
+        SELECT pp.phrase, pp.n_words, pp.n_occurrences,
+               round(sc.raw_sum / pp.n_occurrences, 6) AS rake_score
+        FROM per_phrase pp JOIN scored sc USING (phrase)
+        ORDER BY round(sc.raw_sum / pp.n_occurrences, 6) DESC, pp.phrase
+        LIMIT {RAKE_TOP_K}
+    """.format(_SQL_TOKS=_SQL_TOKS),
+    tags=("text", "keyphrases", "rake"),
+)
+def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    keyword miner run over corpora for topic inventories and index
+    terms: candidate phrases are maximal stopword-free token runs
+    (segmented with the gaps-and-islands pos − row_number anchor, the
+    fn_gaps_islands idiom applied to token positions), each word gets
+    score degree/freq over the candidate corpus (degree = Σ lengths
+    of phrases containing it), and a phrase scores the sum of its
+    words' scores. Single-word runs are dropped (they duplicate the
+    word-count surface); the top {RAKE_TOP_K} multi-word phrases
+    surface with occurrence counts. The phrase-score sum is
+    deduplicated per distinct phrase by dividing the occurrence-
+    summed join back by n_occurrences — identical arithmetic on both
+    engines. (The synthetic fixture is stopword-poor, so its maximal
+    runs are long — real corpora yield the familiar 2-4 word phrases;
+    the semantics and dataflow are unchanged.)
+
+    Scale shape: tokenize once; segmentation is one (doc_id) window
+    pass; phrase assembly one (doc, anchor) aggregate; word stats
+    re-aggregate the PHRASE table (vocab-bounded, the tf→df rule) and
+    broadcast back; top-k is TakeOrderedAndProject. No stage touches
+    anything bigger than the candidate-phrase stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokenize_canonical("text"),
+                 lambda w: F.length(w) > 0).alias("toks"))
+    pos = (toks.select("doc_id", F.posexplode("toks").alias("pos0", "word"))
+           .filter(~F.col("word").isin(*STOPWORDS))
+           .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grp = pos.withColumn("anchor",
+                         F.col("pos") - F.row_number().over(w))
+    phrases = (
+        grp.groupBy("doc_id", "anchor")
+        .agg(F.array_join(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"]), " ").alias("phrase"),
+             F.count("*").alias("plen"))
+        .filter(F.col("plen") >= 2)
+        # word stats + scoring + per-phrase rollup all re-read this
+        .localCheckpoint(eager=True)
+    )
+    words = phrases.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("word"))
+    stats = words.groupBy("word").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"))
+    scored = (
+        words.join(F.broadcast(stats), "word")
+        .groupBy("phrase")
+        .agg(F.round(F.sum(F.col("degree").cast("double")
+                           / F.col("freq")), 6).alias("raw_sum"))
+    )
+    per_phrase = phrases.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.max("plen").alias("n_words"))
+    score = F.round(F.col("raw_sum") / F.col("n_occurrences"), 6)
+    return (
+        per_phrase.join(scored, "phrase")
+        .select("phrase", "n_words", "n_occurrences",
+                score.alias("rake_score"))
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(RAKE_TOP_K)
+    )

@@ -568,3 +568,48 @@ def test_scene_cuts_match_python(spark, sf_dir):
     assert got == sorted(expected)
     assert got, "fixture must keep the cut threshold non-vacuous"
     assert all(f % SCENE_LEN == 0 for _, f, _ in got)
+
+
+def test_rake_keyphrases_match_python(spark, sf_dir):
+    """RAKE recomputed structure-free: stopword-gap segmentation,
+    degree/freq word scores over multi-word candidates, phrase score
+    = sum of word scores, global top-15 with (score, phrase)
+    ordering."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        RAKE_TOP_K,
+        STOPWORDS,
+        text_keyphrases_rake,
+    )
+
+    stop = set(STOPWORDS)
+    phrases: list[list[str]] = []
+    for toks in doc_tokens(sf_dir).values():
+        run: list[str] = []
+        for w in toks + ["the"]:  # sentinel flushes the last run
+            if w in stop:
+                if len(run) >= 2:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(w)
+    freq: Counter = Counter()
+    degree: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            degree[w] += len(p)
+    by_text: dict[str, list[list[str]]] = defaultdict(list)
+    for p in phrases:
+        by_text[" ".join(p)].append(p)
+    rows = []
+    for text, occs in by_text.items():
+        raw = round6(sum(degree[w] / freq[w]
+                         for p in occs for w in p))
+        rows.append((" ".join(occs[0]), len(occs[0]), len(occs),
+                     round6(raw / len(occs))))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    expected = sorted(rows[:RAKE_TOP_K])
+    got = rows_as_tuples(
+        text_keyphrases_rake(spark, sf_dir),
+        ["phrase", "n_words", "n_occurrences", "rake_score"])
+    assert got == expected

@@ -52,6 +52,11 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "eligibility-gated 16-bit bands on both sides",
         "test_bruteforce_dedup_text.py::test_phash_neardup_matches_python"
         " (+ test_hypothesis_dedup.py::test_phash_core_matches_python)"),
+    "text_keyphrases_rake": (
+        "shared stopword list + gaps-islands segmentation + degree/"
+        "freq formula on both sides",
+        "test_bruteforce_dedup_text.py::"
+        "test_rake_keyphrases_match_python"),
     "profile_mutual_information": (
         "shared MI formula over the contingency table",
         "test_bruteforce_formulas.py::"
