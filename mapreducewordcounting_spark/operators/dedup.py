@@ -1582,3 +1582,76 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count_if(F.col("j") >= NEARDUP_GATE_J).alias("n_verified"),
              F.round(F.max("j"), 6).alias("best_jaccard"))
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW'
+                        ELSE 'https://www' END
+                   || '.Example.COM/d/' || CAST(doc_id // 21 AS VARCHAR)
+                   || '/' || CASE WHEN doc_id % 3 = 0
+                             THEN '?utm_source=feed&utm_campaign=x'
+                             ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+                       AS raw_url
+            FROM documents),
+        canon AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(raw_url),
+                                          '#.*$', ''),
+                           '\\?utm_[^#]*$', ''),
+                       '/+$', '') AS curl
+            FROM u)
+        SELECT curl, min(doc_id) AS survivor_id, count(*) AS n_copies
+        FROM canon GROUP BY curl
+        HAVING count(*) > 1
+    """,
+    tags=("dedup", "url", "canonicalization", "web"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-pipeline step BEFORE any
+    content hashing: the same page arrives under scheme/host case
+    variants, tracking parameters (utm_*), fragments, and trailing
+    slashes, and canonicalizing the URL collapses them without
+    touching a byte of content. The fixture synthesizes exactly those
+    messes deterministically (scheme/host case flip by parity, utm
+    block every 3rd doc, fragment every 5th, shared path per 21 ids —
+    one mess of each kind inside every dup group), so every
+    canonicalization rule is exercised and the dup groups are
+    non-vacuous by construction. Canonical form: lowercase, strip
+    fragment, strip trailing utm query, strip trailing slashes.
+    Survivor = min doc_id per canonical URL (the dedup_exact
+    decision rule); only actual dup groups emit.
+
+    Scale: canonicalization is a pure codegen'd regex map stage; the
+    only shuffle is the groupBy on the canonical URL string (at crawl
+    scale: on xxhash64(curl), the contamination_5gram key trick). A
+    production deployment extends the rule list (punycode, default
+    ports, sorted query params) in the same map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("HTTPS://WWW")).otherwise(F.lit("https://www")),
+        F.lit(".Example.COM/d/"),
+        F.floor(F.col("doc_id") / 21).cast("string"), F.lit("/"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("?utm_source=feed&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "#.*$", ""),
+            r"\?utm_[^#]*$", ""),
+        "/+$", "")
+    return (
+        docs.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("survivor_id"),
+             F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )

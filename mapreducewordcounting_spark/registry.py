@@ -89,7 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     'source_parquet_footer_stats', 'mm_video_scene_cuts', 'text_bigram_logprob', 'agg_gini_lorenz',
     'events_pattern_regex', 'fn_gaps_islands', 'join_null_safe', 'part_abc_pareto',
     'window_rolling_median', 'time_ohlc_bars', 'dq_anomaly_iqr', 'profile_mutual_information',
-    'text_keyphrases_rake',
+    'text_keyphrases_rake', 'dedup_url_canonical',
     'lang_temperature_sampling',
     'join_interval_overlap', 'interval_max_concurrency', 'quality_filter_report', 'join_spatial_neighbors', 'compact_keep_latest',
     'mv_incremental_refresh', 'fn_array_quantifiers', 'fn_map_hof', 'fn_array_setops',
