@@ -613,3 +613,31 @@ def test_rake_keyphrases_match_python(spark, sf_dir):
         text_keyphrases_rake(spark, sf_dir),
         ["phrase", "n_words", "n_occurrences", "rake_score"])
     assert got == expected
+
+
+def test_url_canonical_matches_python(spark, sf_dir):
+    """URL synthesis + canonicalization recomputed structure-free with
+    str ops (no regex), asserting the documented rules directly."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_url_canonical,
+    )
+
+    groups: dict[str, list[int]] = defaultdict(list)
+    for d in load_documents(sf_dir):
+        i = d["doc_id"]
+        url = (("HTTPS://WWW" if i % 2 == 0 else "https://www")
+               + ".Example.COM/d/" + str(i // 21) + "/"
+               + ("?utm_source=feed&utm_campaign=x" if i % 3 == 0 else "")
+               + ("#frag" if i % 5 == 0 else ""))
+        c = url.lower()
+        c = c.split("#", 1)[0]
+        if "?utm_" in c and c.endswith(c[c.index("?utm_"):]):
+            c = c[:c.index("?utm_")]
+        c = c.rstrip("/")
+        groups[c].append(i)
+    expected = sorted((c, min(ids), len(ids))
+                      for c, ids in groups.items() if len(ids) > 1)
+    got = rows_as_tuples(dedup_url_canonical(spark, sf_dir),
+                         ["curl", "survivor_id", "n_copies"])
+    assert got == expected
+    assert got, "dup groups must be non-vacuous"

@@ -52,6 +52,10 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "eligibility-gated 16-bit bands on both sides",
         "test_bruteforce_dedup_text.py::test_phash_neardup_matches_python"
         " (+ test_hypothesis_dedup.py::test_phash_core_matches_python)"),
+    "dedup_url_canonical": (
+        "shared synthetic-URL construction + canonicalization regex "
+        "chain on both sides",
+        "test_bruteforce_dedup_text.py::test_url_canonical_matches_python"),
     "text_keyphrases_rake": (
         "shared stopword list + gaps-islands segmentation + degree/"
         "freq formula on both sides",
