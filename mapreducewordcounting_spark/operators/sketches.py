@@ -446,3 +446,47 @@ def sketch_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
                    _HLL_M * F.log(
                        _HLL_M / (_HLL_M - F.col("v_full")).cast("double")))
             .otherwise(raw), 6).alias("est_customers"))
+
+
+@register(
+    "agg_bitmap_distinct",
+    # independent oracle: DuckDB's native count(DISTINCT) vs Spark's
+    # bitmap-aggregate machinery — the point IS that they agree
+    oracle="""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("sketch", "bitmap", "distinct", "aggregation"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmap aggregates
+    (Spark 3.5 ``bitmap_*`` family) — the warehouse trick that beats
+    count(DISTINCT)'s per-group value buffering: keys bucket into
+    32k-bit ranges (``bitmap_bucket_number``), each (group, bucket)
+    aggregates a fixed-width bitmap map-side (combinable — unlike a
+    distinct-value set, two bitmaps merge with OR in O(width)), and
+    the per-group distinct count is the SUM of per-bucket popcounts,
+    since buckets partition the key domain. Keys shift by +1 because
+    bit positions are 1-based (position 0 is silently dropped — the
+    probe that motivated this docstring). The oracle is DuckDB's
+    native count(DISTINCT): two entirely different distinct-count
+    machineries must agree exactly.
+
+    Scale: the (group, bucket) pre-aggregate is the only data-scale
+    exchange and it map-side combines to fixed-width bitmaps; the
+    final per-group sum is |groups|x|buckets| rows. This is the
+    materializable form — per-bucket bitmaps persist and merge
+    incrementally, which count(DISTINCT) cannot."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", (F.col("o_custkey") + 1).alias("k"))
+    per_bucket = (
+        o.groupBy("o_orderpriority",
+                  F.bitmap_bucket_number("k").alias("bucket"))
+        .agg(F.bitmap_count(
+            F.bitmap_construct_agg(F.bitmap_bit_position("k")))
+            .alias("cnt"))
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("n_customers"))

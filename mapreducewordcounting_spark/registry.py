@@ -89,7 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     'source_parquet_footer_stats', 'mm_video_scene_cuts', 'text_bigram_logprob', 'agg_gini_lorenz',
     'events_pattern_regex', 'fn_gaps_islands', 'join_null_safe', 'part_abc_pareto',
     'window_rolling_median', 'time_ohlc_bars', 'dq_anomaly_iqr', 'profile_mutual_information',
-    'text_keyphrases_rake', 'dedup_url_canonical',
+    'text_keyphrases_rake', 'dedup_url_canonical', 'agg_bitmap_distinct', 'stream_session_gap_batch_twin',
     'lang_temperature_sampling',
     'join_interval_overlap', 'interval_max_concurrency', 'quality_filter_report', 'join_spatial_neighbors', 'compact_keep_latest',
     'mv_incremental_refresh', 'fn_array_quantifiers', 'fn_map_hof', 'fn_array_setops',
@@ -144,7 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     'similarity_ann_lsh', 'similarity_ann_ivf', 'sketch_count_min', 'sketch_hll_union',
     'agg_percentile_approx', 'text_vocab_approx', 'text_bpe_learn_merges', 'kmeans_embeddings', 'pack_sequences_greedy', 'stream_tumbling', 'stream_dedup',
     'stream_stateful_counter', 'stream_static_join', 'stream_stream_join', 'stream_incremental_ingest',
-    'stream_stream_outer_join', 'stream_stream_full_outer_join',
+    'stream_stream_outer_join', 'stream_stream_full_outer_join', 'stream_stateful_session_gap',
 )
 
 

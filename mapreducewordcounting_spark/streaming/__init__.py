@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -905,3 +905,167 @@ def stream_foreachbatch_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: session gap for the stateful sessionizer (µs / ms views)
+SESSION_GAP_US = 600_000_000
+SESSION_GAP_MS = SESSION_GAP_US // 1000
+
+
+@register(
+    "stream_stateful_session_gap",
+    oracle=None,  # streaming; equality with the oracled batch twin
+    # (stream_session_gap_batch_twin) asserted in tests/test_streaming.py.
+    tags=("streaming", "stateful", "session", "timeout"),
+)
+def stream_stateful_session_gap(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Custom stateful SESSIONIZATION with EVENT-TIME TIMEOUT — the
+    applyInPandasWithState surface stream_stateful_counter does not
+    exercise: per-user gap sessions (10 min) kept in explicit state,
+    CLOSED sessions emitted as data arrives, and the final open
+    session emitted by the TIMEOUT path (``state.hasTimedOut``) when
+    the event-time watermark passes session_end + gap — i.e. state
+    eviction is the emitter, exactly the built-in session window's
+    semantics re-implemented on the custom-state API (which is what
+    bespoke session logic — carried attributes, dynamic gaps — needs).
+    A trailing session the final watermark never passes stays in
+    state and is NOT emitted; the oracled batch twin states that rule.
+
+    Scale: state per key is one (start, end, n) triple; the timeout
+    registration is O(1) per batch; the shuffle is the stream's
+    (user_id) state-store exchange, same as any keyed stateful op."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = ("user_id LONG, session_start_us LONG, "
+                  "session_end_us LONG, n_events LONG")
+    state_schema = "s LONG, e LONG, n LONG"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "session_start_us": [s],
+                                "session_end_us": [e],
+                                "n_events": [n]})
+            return
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t in ts_us:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > SESSION_GAP_US:
+                closed.append(cur)
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        state.update(tuple(cur))
+        state.setTimeoutTimestamp(cur[1] // 1000 + SESSION_GAP_MS)
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(closed),
+            "session_start_us": [c[0] for c in closed],
+            "session_end_us": [c[1] for c in closed],
+            "n_events": [c[2] for c in closed],
+        })
+
+    sessions = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    sink = f"mrwc_sess_{uuid.uuid4().hex[:8]}"
+    q = (sessions.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "stream_session_gap_batch_twin",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                   event_id
+            FROM events),
+        marked AS (
+            SELECT user_id, t,
+                   CASE WHEN t - lag(t) OVER w > {SESSION_GAP_US}
+                        OR lag(t) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_start
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        sess AS (
+            SELECT user_id, t,
+                   sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM marked),
+        agg AS (
+            SELECT user_id, sid,
+                   min(t) AS session_start_us,
+                   max(t) AS session_end_us,
+                   count(*) AS n_events,
+                   max(max(t)) OVER (PARTITION BY user_id) AS user_last
+            FROM sess GROUP BY user_id, sid),
+        wm AS (SELECT max(t) - 1800000000 AS cut FROM ev)
+        SELECT user_id, session_start_us, session_end_us, n_events
+        FROM agg CROSS JOIN wm
+        WHERE session_end_us < user_last
+           OR session_end_us + {SESSION_GAP_US} < wm.cut
+    """,
+    tags=("streaming", "batch-twin", "session", "timeout"),
+)
+def stream_session_gap_batch_twin(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Batch statement of stream_stateful_session_gap's emission rule,
+    DuckDB-oracled: gap-sessionize per user (lag + cumulative
+    is_start), then a session emits iff it CLOSED IN-DATA (a later
+    same-user event exists: session_end < the user's last event time)
+    or its TIMEOUT fired (session_end + gap < the final event-time
+    watermark, max(ts) − 30 min). The trailing session of a user whose
+    timeout the watermark never passes is withheld — exactly the
+    state the streaming query still holds at shutdown.
+    tests/test_streaming.py asserts stream == twin row-for-row under
+    AvailableNow replay, pinning the custom-state timeout semantics
+    to an externally checked query. Timestamps surface as epoch µs
+    (driver-hash precision discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = ev.select(
+        "user_id", "t",
+        F.when(F.lag("t").over(w).isNull()
+               | (F.col("t") - F.lag("t").over(w) > SESSION_GAP_US),
+               1).otherwise(0).alias("is_start"))
+    w_cum = (Window.partitionBy("user_id").orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = marked.withColumn("sid", F.sum("is_start").over(w_cum))
+    agg = (sess.groupBy("user_id", "sid")
+           .agg(F.min("t").alias("session_start_us"),
+                F.max("t").alias("session_end_us"),
+                F.count("*").alias("n_events")))
+    w_user = Window.partitionBy("user_id")
+    agg = agg.withColumn("user_last",
+                         F.max("session_end_us").over(w_user))
+    wm = load_table(spark, sf_dir, "events").agg(
+        (F.max(F.unix_micros("ts")) - 1_800_000_000).alias("cut"))
+    return (
+        agg.crossJoin(F.broadcast(wm))
+        .filter((F.col("session_end_us") < F.col("user_last"))
+                | (F.col("session_end_us") + SESSION_GAP_US
+                   < F.col("cut")))
+        .select("user_id", "session_start_us", "session_end_us",
+                "n_events")
+    )

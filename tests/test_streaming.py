@@ -182,3 +182,25 @@ def test_stream_full_outer_join_equals_oracled_twin(spark, sf_dir):
     inner = sorted((r[0], r[2], r[1])
                    for r in _rows(stream_stream_join(spark, sf_dir)))
     assert matched == inner
+
+
+def test_stateful_session_gap_equals_oracled_twin(spark, sf_dir):
+    """The custom-state sessionizer (applyInPandasWithState +
+    EventTimeTimeout) must equal its batch twin row-for-row: closed
+    sessions emitted in-data, the final open session emitted by the
+    TIMEOUT path iff session_end + gap < the final watermark, and the
+    trailing session the watermark never passes withheld. The twin is
+    DuckDB-oracled, so the timeout semantics are pinned externally."""
+    from mapreducewordcounting_spark.streaming import (
+        stream_session_gap_batch_twin,
+        stream_stateful_session_gap,
+    )
+
+    stream = stream_stateful_session_gap(spark, sf_dir)
+    twin = stream_session_gap_batch_twin(spark, sf_dir)
+    srows, trows = _rows(stream), _rows(twin)
+    assert srows == trows
+    assert srows, "fixture must produce sessions"
+    # multi-event sessions must exist or the gap logic is vacuous
+    # (cols sorted: n_events, session_end_us, session_start_us, user_id)
+    assert any(r[0] > 1 for r in srows)

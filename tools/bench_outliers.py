@@ -41,6 +41,20 @@ ABS_FLOOR_SEC = 1.5
 #: name -> reason this >2x-of-peers row is accepted (reviewed, not
 #: ignored). Keep this list SHORT — every entry is a standing debt.
 ACKNOWLEDGED: dict[str, str] = {
+    "stream_stateful_session_gap": "applyInPandasWithState sessionizer "
+                                   "with EventTimeTimeout: per-batch "
+                                   "Arrow/pandas state round-trip plus "
+                                   "the extra no-data timeout batch is "
+                                   "the surface being demonstrated "
+                                   "(same class as pyds_stream_ledger "
+                                   "and stream_stateful_counter)",
+    "sketch_bloom_det": "newly >2x only because r8's agg_bitmap_distinct "
+                        "(0.54 s) lowered the sketch-family median; the "
+                        "query itself is unchanged since r5 — it builds "
+                        "the 2048-row bit relation (4 md5 hashes per "
+                        "build key) and probes with fp accounting, two "
+                        "generated-table joins vs peers that are single "
+                        "aggregates",
     "sample_split_leakage_safe": "composite over the near-dup pair "
                                  "graph: embeds dedup_ngram_jaccard + "
                                  "the dedup_clusters min-label loop "

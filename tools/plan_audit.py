@@ -72,6 +72,7 @@ BNL_ALLOWED = {
                                "NLJ left side is the |sources| table, "
                                "not data)",
     "stream_outer_join_batch_twin": "1-row (joint-watermark cutoff)",
+    "stream_session_gap_batch_twin": "1-row (final-watermark cutoff)",
     "stream_full_outer_join_batch_twin": "1-row (joint-watermark "
                                          "cutoff)",
     "similarity_ann_ivf": "K-row (IVF centroid table)",
