@@ -4,10 +4,15 @@
 
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: check test bench
+.PHONY: check test bench sync-check
 
 check:
 	python tools/check.py $(SF_DIR)
+
+# Artifact-staleness gate (VERDICT r8 item 2): committed counts must
+# agree with the live registry. Also the final stage of `make check`.
+sync-check:
+	python tools/sync_check.py
 
 test:
 	python -m pytest tests/ -q

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
@@ -656,6 +656,14 @@ def component_labels(edges: DataFrame) -> DataFrame:
         labels = stepped.select("node", "label")
         if changed == 0:
             break
+    else:
+        # A component whose min-label eccentricity exceeds the sweep
+        # budget would return silently-wrong labels (and, downstream,
+        # break sample_split_leakage_safe's no-straddle guarantee) —
+        # fail fast instead (ADVICE r8).
+        raise RuntimeError(
+            "component_labels did not converge in 20 sweeps; "
+            f"{changed} labels still changing")
     steps.keep()  # final label snapshot: read by the returned plan
     return labels
 
@@ -1654,4 +1662,91 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("survivor_id"),
              F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
+    )
+
+
+#: paragraph grain for sub-document exact dedup: this many tokens
+PARA_LEN = 16
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle=f"""
+        WITH t AS ({{_SQL_TOKS}}),
+        paras AS (
+            -- index range unnested first, slice at SELECT level:
+            -- DuckDB 1.0.0's binder loses the lateral column when a
+            -- lambda body passes it to a FUNCTION alongside
+            -- struct_pack (array indexing toks[i] binds; list_slice
+            -- does not) — lambda-free form sidesteps the quirk
+            SELECT doc_id, u.i AS para_idx,
+                   array_to_string(
+                       list_slice(toks, u.i * {PARA_LEN} + 1,
+                                  u.i * {PARA_LEN} + {PARA_LEN}),
+                       ' ') AS para
+            FROM t, unnest(range(CAST(ceil(len(toks) / {PARA_LEN}.0)
+                                      AS INT))) AS u(i)),
+        marked AS (
+            SELECT doc_id, para,
+                   len(string_split(para, ' ')) AS n_toks,
+                   row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, para_idx) AS rn
+            FROM paras)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               round(CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END)
+                          AS DOUBLE) / sum(n_toks), 6)
+                   AS retained_token_ratio
+        FROM marked GROUP BY doc_id
+    """.format(_SQL_TOKS=_SQL_TOKS),
+    tags=("dedup", "paragraph", "exact"),
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at PARAGRAPH grain, keep-first — the
+    MassiveText / RefinedWeb practice that document-level dedup
+    misses: two distinct pages sharing a quoted passage keep one copy
+    of the passage corpus-wide. The fixture text has no newlines, so
+    paragraphs are deterministic 16-token (PARA_LEN) non-overlapping
+    slices; the first GLOBAL occurrence of each exact paragraph
+    string (ordered by doc_id, then position) survives, every later
+    instance is dropped, and the per-doc report gives the retention
+    the packing stage would see. Complements dedup_repeated_spans
+    (ExactSubstr interval-union mass, window-grain) with the cheaper
+    fixed-grain keep-first decision production crawls run first.
+
+    Plan: the paragraph stream is a pure map stage (sequence + slice
+    + array_join, no UDF); ONE paragraph-grain exchange assigns the
+    global first-occurrence rank (window over the paragraph string —
+    partitions are dup-group-sized, tie-break (doc_id, para_idx) is
+    total), and the doc-grain rollup is the second exchange. At
+    100 TB the shuffle key becomes xxhash64(para) (collision =
+    over-drop, the documented exact-dedup trade (dedup_exact)); the
+    ratio is a double division of two exact BIGINT sums — bit-stable
+    under any partition order."""
+    docs = load_table(spark, sf_dir, "documents")
+    paras = docs.select(
+        "doc_id", _toks().alias("toks")).select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, cast(ceil(size(toks) / "
+            f"{PARA_LEN}.0) as int) - 1), i -> struct("
+            f"i as para_idx, array_join(slice(toks, i * {PARA_LEN} + 1, "
+            f"{PARA_LEN}), ' ') as para))")).alias("s"),
+    ).select("doc_id", F.col("s.para_idx").alias("para_idx"),
+             F.col("s.para").alias("para"))
+    w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
+    marked = paras.select(
+        "doc_id", "para",
+        F.size(F.split("para", " ")).alias("n_toks"),
+        F.row_number().over(w).alias("rn"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint").alias("n_dropped"),
+        F.round(
+            F.sum(F.when(F.col("rn") == 1, F.col("n_toks")).otherwise(0))
+            .cast("double") / F.sum("n_toks"), 6)
+        .alias("retained_token_ratio"),
     )

@@ -598,3 +598,44 @@ def source_parquet_footer_stats(spark: SparkSession,
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(user_id) AS BIGINT) AS sum_user,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               epoch_us(min(CAST(ts AS TIMESTAMP))) AS first_us,
+               epoch_us(max(CAST(ts AS TIMESTAMP))) AS last_us
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("source", "sink", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC sink → ORC source (EXPLICIT schema) → aggregate;
+    the oracle aggregates the ORIGINAL parquet, so any type-mapping,
+    timestamp-precision, or encoding loss in the ORC path breaks the
+    hash. ORC is the third columnar at-rest format beside parquet and
+    the row formats (csv/json/text) — built into Spark, no package.
+    Timestamps round-trip at µs (ORC stores nanos; the fixture is µs)
+    and surface as epoch µs (driver-hash precision discipline);
+    doubles are stored binary so min/max are bit-exact. Columnar +
+    striped: predicate pushdown and column pruning work like parquet,
+    so the scan posture at 100 TB is identical."""
+    path = _io_path(sf_dir, "orc")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.schema(ev.schema).orc(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_id").alias("sum_user"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )

@@ -450,6 +450,94 @@ def bfs_min_hops(edges: DataFrame, sources: DataFrame,
 
 
 @register(
+    "sql_recursive_cte_bfs",
+    oracle=f"""
+        WITH RECURSIVE w AS MATERIALIZED (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   count(*) AS wt
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+        e AS MATERIALIZED (
+            SELECT src, dst FROM w
+            WHERE wt >= (SELECT {BFS_EDGE_MULT} * avg(wt) FROM w)),
+        r(node, hops) AS (
+            SELECT 0, 0
+            UNION
+            SELECT e.dst, r.hops + 1
+            FROM r JOIN e ON e.src = r.node
+            WHERE r.hops < {BFS_MAX_HOPS}
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(min(hops) AS BIGINT) AS hops
+        FROM r GROUP BY node
+    """,
+    tags=("sql", "recursive-cte", "graph", "bfs"),
+)
+def sql_recursive_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_bfs_hops' DECLARATIVE twin on Spark 4.1's native ``WITH
+    RECURSIVE`` (VERDICT r8 item 7) — same cyclic major-trade-lane
+    graph, same answer, different execution contract, verified equal
+    row-for-row by tests/test_iterative.py.
+
+    Spark's recursive CTE is UNION ALL-only (set-semantics UNION
+    raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE in 4.1.2, probed), so
+    on a cyclic graph the recursion enumerates WALKS, not visited
+    nodes. Two bounds keep that finite and small: the hop cap (the
+    query's own semantics) and a visited-``path`` array pruning
+    revisits, which restricts enumeration to SIMPLE paths — the
+    minimum over simple paths IS the BFS distance, and it cuts the
+    fixture-measured row stream 4.8x (sf0.01: 835,636 walks ->
+    174,905 simple paths), keeping clear of
+    spark.sql.cteRecursionRowLimit.
+
+    Scale posture: the recursion runs over the DIMENSION-sized nation
+    graph (25 nodes at every SF — the fact-scale stage is the edge
+    build, the same star join the loop form shares), so the
+    UnionLoop's per-step join is a broadcast against a ~10^2-row edge
+    list and total enumerated rows are bounded by the graph, not the
+    data. For a graph that GROWS with the data (billions of edges),
+    simple-path enumeration is exponential where frontier re-min is
+    linear — bfs_min_hops' keyed-min loop stays the production form;
+    this query is the declarative surface, priced honestly.
+
+    The oracle is graph_bfs_hops' verbatim recursive CTE (DuckDB's
+    set-semantics UNION bounds the walk there) — one oracle text, two
+    independent Spark formulations."""
+    edges = trade_edges(spark, sf_dir)  # (src, dst, weight=count)
+    w_all = Window.partitionBy()  # |nations|² rows max — tiny
+    e = (edges
+         .withColumn("thr", F.avg("weight").over(w_all) * BFS_EDGE_MULT)
+         .filter(F.col("weight") >= F.col("thr"))
+         .select(F.col("src").cast("bigint").alias("src"),
+                 F.col("dst").cast("bigint").alias("dst")))
+    # Materialize the edge list BEFORE the recursion: UnionLoop
+    # re-executes the recursive step's full sub-plan every iteration,
+    # so an un-cut lineage would re-run the fact-scale star join once
+    # per hop (measured 6.9 s -> ~1 s at sf0.1). Kept pinned — the
+    # returned plan reads it in every loop step.
+    steps = CheckpointRotator(spark)
+    e = steps.rotate(e)
+    steps.keep()
+    e.createOrReplaceTempView("rcte_bfs_edges")
+    return spark.sql(f"""
+        WITH RECURSIVE r(node, hops, path) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   array(CAST(0 AS BIGINT))
+            UNION ALL
+            SELECT e.dst, r.hops + 1, array_append(r.path, e.dst)
+            FROM r JOIN rcte_bfs_edges e ON e.src = r.node
+            WHERE r.hops < {BFS_MAX_HOPS}
+              AND NOT array_contains(r.path, e.dst)
+        )
+        SELECT node, min(hops) AS hops
+        FROM r GROUP BY node
+    """)
+
+
+@register(
     "kmeans_embeddings",
     oracle=None,  # iterative, not SQL-expressible; invariants
     # (monotone inertia, full coverage) in tests/test_iterative.py.

@@ -1395,3 +1395,187 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(RAKE_TOP_K)
     )
+
+
+#: boilerplate detection: line = this many consecutive tokens
+BOILER_LINE_LEN = 8
+#: a line is boilerplate iff it appears in >= MIN_DF distinct docs AND
+#: in more than FRAC of its source's docs
+BOILER_MIN_DF = 3
+BOILER_FRAC = 0.5
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle=f"""
+        WITH t AS ({{_SQL_TOKS}}),
+        body AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       range(CAST(ceil(len(toks) / {BOILER_LINE_LEN}.0)
+                                  AS INT)),
+                       i -> array_to_string(
+                           list_slice(toks, i * {BOILER_LINE_LEN} + 1,
+                                      i * {BOILER_LINE_LEN}
+                                      + {BOILER_LINE_LEN}), ' ')))
+                       AS line
+            FROM t),
+        hf AS (
+            SELECT doc_id, source,
+                   unnest([concat('nav home about ', source),
+                           concat('subscribe footer links ', source)])
+                       AS line
+            FROM t),
+        inst AS (SELECT * FROM body UNION ALL SELECT * FROM hf),
+        src AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+                FROM t GROUP BY source),
+        dfr AS (SELECT source, line,
+                       count(DISTINCT doc_id) AS df_docs
+                FROM inst GROUP BY source, line),
+        boiler AS (
+            SELECT d.source, d.line
+            FROM dfr d JOIN src s USING (source)
+            WHERE d.df_docs >= {BOILER_MIN_DF}
+              AND d.df_docs > {BOILER_FRAC} * s.n_docs)
+        SELECT i.doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               round(CAST(sum(CASE WHEN b.line IS NULL
+                              THEN len(string_split(i.line, ' '))
+                              ELSE 0 END) AS DOUBLE)
+                     / sum(len(string_split(i.line, ' '))), 6)
+                   AS kept_token_ratio
+        FROM inst i
+        LEFT JOIN boiler b ON i.source = b.source AND i.line = b.line
+        GROUP BY i.doc_id
+    """.format(_SQL_TOKS=_SQL_TOKS),
+    tags=("text", "boilerplate", "cleaning"),
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source line-level boilerplate detection
+    (Wenzek et al. 2020 dedupe paragraphs/lines shared across a crawl
+    snapshot; headers, nav bars, cookie banners dominate) — the
+    cleaning step BEFORE document-level dedup: a line is boilerplate
+    iff it occurs in >= 3 distinct documents (BOILER_MIN_DF) AND more
+    than half of its source's documents (BOILER_FRAC). The fixture
+    text has no newlines, so 'lines' are deterministic
+    8-token (BOILER_LINE_LEN) slices plus a synthetic per-source
+    header/footer pair (the dedup_url_canonical shared-construction
+    precedent) — the header/footer MUST come out flagged, natural
+    slices must not.
+
+    Plan: ONE line-grain exchange finds the document frequencies
+    (groupBy (source, line), count distinct doc); the boilerplate SET
+    that survives the threshold is tiny BY CONSTRUCTION (lines in
+    >50% of a source's docs), so it broadcasts back onto the
+    re-generated instance stream — the corpus-scale line stream is
+    never materialized or shuffled twice — and the per-doc rollup is
+    the second (doc-grain) exchange. At 100 TB swap the raw line
+    string for xxhash64(line) as the df key (collision = over-flag,
+    bounded); the doc-grain token base is lineage-cut once for its
+    two consumers. kept_token_ratio is a double division of two
+    exact BIGINT sums — bit-stable in any partition order."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        F.filter(tokenize_canonical("text"),
+                 lambda w: F.length(w) > 0).alias("toks")) \
+        .localCheckpoint(eager=True)
+    body_lines = F.when(
+        F.size("toks") > 0,
+        F.expr(f"transform(sequence(0, cast(ceil(size(toks) / "
+               f"{BOILER_LINE_LEN}.0) as int) - 1), i -> array_join("
+               f"slice(toks, i * {BOILER_LINE_LEN} + 1, "
+               f"{BOILER_LINE_LEN}), ' '))"),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    body = base.select("doc_id", "source",
+                       F.explode(body_lines).alias("line"))
+    hf = base.select(
+        "doc_id", "source",
+        F.explode(F.array(
+            F.concat(F.lit("nav home about "), F.col("source")),
+            F.concat(F.lit("subscribe footer links "), F.col("source")),
+        )).alias("line"))
+    inst = body.unionByName(hf)
+    src_sizes = base.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    boiler = (
+        inst.groupBy("source", "line")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .join(F.broadcast(src_sizes), "source")
+        .filter((F.col("df_docs") >= BOILER_MIN_DF)
+                & (F.col("df_docs") > BOILER_FRAC * F.col("n_docs")))
+        .select("source", "line", F.lit(True).alias("is_boiler"))
+    )
+    line_toks = F.size(F.split("line", " "))
+    return (
+        inst.join(F.broadcast(boiler), ["source", "line"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("bigint").alias("n_boiler"),
+            F.round(
+                F.sum(F.when(F.col("is_boiler"), 0).otherwise(line_toks))
+                .cast("double") / F.sum(line_toks), 6)
+            .alias("kept_token_ratio"),
+        )
+    )
+
+
+#: CCNet perplexity-bucket cut points on the per-doc bigram-LM score
+#: (round-6 avg ln p; measured stable across SFs: deciles -3.42..-3.35)
+PPL_HEAD_LOGPROB = -3.38
+PPL_MID_LOGPROB = -3.40
+
+# The bucket op restates the scorer's oracle verbatim as a CTE — one
+# oracle text, two consumers (the dedup_url_canonical shared-
+# construction discipline applied to SQL).
+from mapreducewordcounting_spark import registry as _registry_mod  # noqa: E402
+
+_SQL_BIGRAM_SCORES = _registry_mod._REGISTRY["text_bigram_logprob"].oracle
+
+
+@register(
+    "quality_lm_buckets",
+    oracle=f"""
+        WITH scored AS ({_SQL_BIGRAM_SCORES})
+        SELECT d.source,
+               CASE WHEN s.avg_logprob > {PPL_HEAD_LOGPROB} THEN 'head'
+                    WHEN s.avg_logprob > {PPL_MID_LOGPROB} THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket,
+               count(*) AS n_docs,
+               CAST(sum(s.n_bigrams) AS BIGINT) AS n_bigrams
+        FROM scored s JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    """,
+    tags=("text", "quality", "language-model", "ccnet"),
+)
+def quality_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020: score
+    every document under a small LM trained on trusted text, split
+    the crawl into head/middle/tail thirds, train preferentially on
+    the head) — the decision layer on top of text_bigram_logprob's
+    scorer: per-doc round-6 avg ln p lands in a bucket at FIXED cut
+    points (measured scale-stable across SFs), and the (source,
+    bucket) rollup is what a data-mix planner consumes. Composes the
+    registered scorer directly (the sample_split_leakage_safe
+    composition precedent), so scorer and gate can never drift; the
+    oracle embeds the scorer's oracle verbatim as a CTE. Bucketing a
+    rounded double against literal constants is exact on both
+    engines; the rollup counts are integers. Costs the scorer's plan
+    + one doc-keyed join for the source column + one small exchange."""
+    scored = text_bigram_logprob(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    bucket = (
+        F.when(F.col("avg_logprob") > PPL_HEAD_LOGPROB, "head")
+        .when(F.col("avg_logprob") > PPL_MID_LOGPROB, "middle")
+        .otherwise("tail"))
+    return (
+        scored.join(docs, "doc_id")
+        .groupBy("source", bucket.alias("ppl_bucket"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_bigrams").cast("bigint").alias("n_bigrams"))
+    )

@@ -1262,3 +1262,74 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in level_rows[1:]:
         out = out.unionByName(df)
     return out.unionByName(suppressed)
+
+
+#: shared synthetic card construction: 16 digits from order/customer
+#: keys (small multipliers only — no int64 overflow on either engine)
+_LUHN_CARD_SQL = ("lpad(CAST(o_orderkey % 100000000 AS VARCHAR), 8, '0')"
+                  " || lpad(CAST(o_custkey % 10000 AS VARCHAR), 4, '0')"
+                  " || lpad(CAST((o_orderkey * 7 + o_custkey * 3) % 10000"
+                  " AS VARCHAR), 4, '0')")
+
+
+@register(
+    "pii_luhn_validate",
+    oracle=f"""
+        WITH c AS (
+            SELECT o_orderpriority, {_LUHN_CARD_SQL} AS card
+            FROM orders),
+        s AS (
+            SELECT o_orderpriority,
+                   list_sum(list_transform(range(16), p ->
+                       CASE WHEN p % 2 = 0
+                            THEN ascii(substr(card, 16 - p, 1)) - 48
+                            ELSE CASE WHEN (ascii(substr(card, 16 - p, 1))
+                                            - 48) * 2 > 9
+                                      THEN (ascii(substr(card, 16 - p, 1))
+                                            - 48) * 2 - 9
+                                      ELSE (ascii(substr(card, 16 - p, 1))
+                                            - 48) * 2 END
+                       END)) AS luhn_sum
+            FROM c)
+        SELECT o_orderpriority,
+               count(*) AS n_cards,
+               CAST(sum(CASE WHEN CAST(luhn_sum AS BIGINT) % 10 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+        FROM s GROUP BY o_orderpriority
+    """,
+    tags=("training", "pii", "luhn", "validation"),
+)
+def pii_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-checksum validation (ISO/IEC 7812, the textbook mod-10
+    algorithm) — the precision layer PII scrubbing needs on top of
+    pii_redact's regex pass: a 16-digit run is only a REAL card number
+    if its Luhn checksum closes, and redacting every digit run
+    destroys benign ids (the false-positive cost a production scrubber
+    tunes against). Cards are a deterministic 16-digit construction
+    from order/customer keys (shared with the oracle; small
+    multipliers only, so no int64 overflow divergence between
+    engines); the checksum is a pure codegen'd HOF fold —
+    aggregate(sequence(0,15)) with ascii/substring arithmetic, zero
+    UDF, zero extra shuffle beyond the priority rollup, so at 100 TB
+    it rides the scan. Python-differential: textbook Luhn in
+    tests/test_bruteforce_formulas.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    card = F.expr(
+        "concat(lpad(CAST(o_orderkey % 100000000 AS STRING), 8, '0'), "
+        "lpad(CAST(o_custkey % 10000 AS STRING), 4, '0'), "
+        "lpad(CAST((o_orderkey * 7 + o_custkey * 3) % 10000 AS STRING), "
+        "4, '0'))")
+    digit = ("(ascii(substring(card, 16 - p, 1)) - 48)")
+    luhn = F.expr(
+        f"aggregate(sequence(0, 15), 0, (acc, p) -> acc + "
+        f"(CASE WHEN p % 2 = 0 THEN {digit} "
+        f"ELSE IF({digit} * 2 > 9, {digit} * 2 - 9, {digit} * 2) "
+        f"END))")
+    return (
+        orders.select("o_orderpriority", card.alias("card"))
+        .select("o_orderpriority", luhn.alias("luhn_sum"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_cards"),
+             F.sum(F.when(F.col("luhn_sum") % 10 == 0, 1).otherwise(0))
+             .cast("bigint").alias("n_valid"))
+    )

@@ -1000,7 +1000,7 @@ def stream_stateful_session_gap(spark: SparkSession,
                    event_id
             FROM events),
         marked AS (
-            SELECT user_id, t,
+            SELECT user_id, t, event_id,
                    CASE WHEN t - lag(t) OVER w > {SESSION_GAP_US}
                         OR lag(t) OVER w IS NULL
                         THEN 1 ELSE 0 END AS is_start
@@ -1008,7 +1008,8 @@ def stream_stateful_session_gap(spark: SparkSession,
             WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
         sess AS (
             SELECT user_id, t,
-                   sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+                   sum(is_start) OVER (PARTITION BY user_id
+                       ORDER BY t, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS sid
             FROM marked),
@@ -1045,11 +1046,15 @@ def stream_session_gap_batch_twin(spark: SparkSession,
         "user_id", F.unix_micros("ts").alias("t"), "event_id")
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     marked = ev.select(
-        "user_id", "t",
+        "user_id", "t", "event_id",
         F.when(F.lag("t").over(w).isNull()
                | (F.col("t") - F.lag("t").over(w) > SESSION_GAP_US),
                1).otherwise(0).alias("is_start"))
-    w_cum = (Window.partitionBy("user_id").orderBy("t")
+    # Cumulative window tie-breaks on (t, event_id) like the marking
+    # window and the streaming sessionizer, so a duplicate (user_id,
+    # ts) at a session boundary cannot make membership order-dependent
+    # (ADVICE r8).
+    w_cum = (Window.partitionBy("user_id").orderBy("t", "event_id")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     sess = marked.withColumn("sid", F.sum("is_start").over(w_cum))
     agg = (sess.groupBy("user_id", "sid")

@@ -641,3 +641,86 @@ def test_url_canonical_matches_python(spark, sf_dir):
                          ["curl", "survivor_id", "n_copies"])
     assert got == expected
     assert got, "dup groups must be non-vacuous"
+
+
+def test_boilerplate_lines_match_python(spark, sf_dir):
+    """Line synthesis + df threshold recomputed structure-free with
+    plain dict counting (no SQL, no windows), asserting the documented
+    boilerplate rule (>= 3 docs AND > half the source) directly."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        BOILER_FRAC,
+        BOILER_LINE_LEN,
+        BOILER_MIN_DF,
+        text_boilerplate_lines,
+    )
+
+    doc_lines: dict[int, list[str]] = {}
+    doc_src: dict[int, str] = {}
+    for d in load_documents(sf_dir):
+        toks = canon_tokens(d["text"])
+        lines = [" ".join(toks[i:i + BOILER_LINE_LEN])
+                 for i in range(0, len(toks), BOILER_LINE_LEN)]
+        lines.append("nav home about " + d["source"])
+        lines.append("subscribe footer links " + d["source"])
+        doc_lines[d["doc_id"]] = lines
+        doc_src[d["doc_id"]] = d["source"]
+    src_docs: dict[str, set] = defaultdict(set)
+    df_docs: dict[tuple, set] = defaultdict(set)
+    for i, lines in doc_lines.items():
+        src_docs[doc_src[i]].add(i)
+        for ln in lines:
+            df_docs[(doc_src[i], ln)].add(i)
+    boiler = {k for k, docs in df_docs.items()
+              if len(docs) >= BOILER_MIN_DF
+              and len(docs) > BOILER_FRAC * len(src_docs[k[0]])}
+    expected = []
+    for i, lines in doc_lines.items():
+        flags = [(doc_src[i], ln) in boiler for ln in lines]
+        total = sum(len(ln.split(" ")) for ln in lines)
+        kept = sum(len(ln.split(" ")) for ln, b in zip(lines, flags)
+                   if not b)
+        expected.append((i, len(lines), sum(flags), round6(kept / total)))
+    got = rows_as_tuples(
+        text_boilerplate_lines(spark, sf_dir),
+        ["doc_id", "n_lines", "n_boiler", "kept_token_ratio"])
+    assert got == sorted(expected)
+    assert any(r[2] > 2 for r in got) or all(r[2] == 2 for r in got)
+    # header+footer must always be flagged (df = whole source)
+    assert all(r[2] >= 2 for r in got)
+
+
+def test_paragraph_exact_matches_python(spark, sf_dir):
+    """Fixed-grain slicing + global keep-first recomputed with a plain
+    first-seen dict over (doc_id, para_idx) order."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        PARA_LEN,
+        dedup_paragraph_exact,
+    )
+
+    paras = []  # (doc_id, idx, para)
+    for d in sorted(load_documents(sf_dir), key=lambda d: d["doc_id"]):
+        toks = canon_tokens(d["text"])
+        for j, i in enumerate(range(0, len(toks), PARA_LEN)):
+            paras.append((d["doc_id"], j,
+                          " ".join(toks[i:i + PARA_LEN])))
+    first: dict[str, tuple] = {}
+    for doc, idx, p in sorted(paras):
+        first.setdefault(p, (doc, idx))
+    per_doc: dict[int, list] = defaultdict(lambda: [0, 0, 0, 0])
+    for doc, idx, p in paras:
+        s = per_doc[doc]
+        nt = len(p.split(" "))
+        s[0] += 1
+        s[3] += nt
+        if first[p] == (doc, idx):
+            s[2] += nt
+        else:
+            s[1] += 1
+    expected = sorted(
+        (doc, s[0], s[1], round6(s[2] / s[3]))
+        for doc, s in per_doc.items())
+    got = rows_as_tuples(
+        dedup_paragraph_exact(spark, sf_dir),
+        ["doc_id", "n_paras", "n_dropped", "retained_token_ratio"])
+    assert got == expected
+    assert sum(r[2] for r in got) > 0, "drops must be non-vacuous"

@@ -770,3 +770,85 @@ def test_mutual_information_matches_python(spark, sf_dir):
         ["mutual_info_nats", "n_cells", "n_events"])
     assert got[0][1] == len(joint) and got[0][2] == n
     assert abs(got[0][0] - mi) < TOL
+
+
+def test_luhn_validate_matches_python(spark, sf_dir):
+    """Card synthesis + textbook Luhn mod-10 (ISO/IEC 7812) recomputed
+    in plain Python, asserting per-priority valid counts."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        pii_luhn_validate,
+    )
+
+    def luhn_ok(card: str) -> bool:
+        s = 0
+        for p in range(16):
+            d = int(card[15 - p])
+            if p % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            s += d
+        return s % 10 == 0
+
+    from collections import Counter
+    n_cards: Counter = Counter()
+    n_valid: Counter = Counter()
+    for o in load_table_rows(sf_dir, "orders"):
+        card = (str(o["o_orderkey"] % 100000000).zfill(8)
+                + str(o["o_custkey"] % 10000).zfill(4)
+                + str((o["o_orderkey"] * 7 + o["o_custkey"] * 3)
+                      % 10000).zfill(4))
+        n_cards[o["o_orderpriority"]] += 1
+        n_valid[o["o_orderpriority"]] += luhn_ok(card)
+    expected = sorted((k, n_cards[k], n_valid[k]) for k in n_cards)
+    got = rows_as_tuples(pii_luhn_validate(spark, sf_dir),
+                         ["o_orderpriority", "n_cards", "n_valid"])
+    assert got == expected
+    assert sum(r[2] for r in got) > 0, "some cards must Luhn-validate"
+
+
+def test_lm_buckets_match_python(spark, sf_dir):
+    """CCNet bucket rollup recomputed in plain Python on top of the
+    same textbook bigram LM the scorer differential rebuilds — the
+    bucket layer (fixed cut points on the round-6 score + integer
+    counting) is verified end-to-end, not just the embedded scorer."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        LM_LAMBDA,
+        PPL_HEAD_LOGPROB,
+        PPL_MID_LOGPROB,
+        quality_lm_buckets,
+    )
+
+    docs = load_documents(sf_dir)
+    toks = {d["doc_id"]: canon_tokens(d["text"]) for d in docs}
+    src = {d["doc_id"]: d["source"] for d in docs}
+    uni: Counter = Counter()
+    for t in toks.values():
+        uni.update(t)
+    total = sum(uni.values())
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    n_docs: Counter = Counter()
+    n_bi: Counter = Counter()
+    for d, t in toks.items():
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            continue
+        avg = round6(sum(
+            math.log(LM_LAMBDA * c12[(a, b)] / c1[a]
+                     + (1.0 - LM_LAMBDA) * uni[b] / total)
+            for a, b in pairs) / len(pairs))
+        bucket = ("head" if avg > PPL_HEAD_LOGPROB
+                  else "middle" if avg > PPL_MID_LOGPROB else "tail")
+        n_docs[(src[d], bucket)] += 1
+        n_bi[(src[d], bucket)] += len(pairs)
+    expected = sorted((s, b, n, n_bi[(s, b)])
+                      for (s, b), n in n_docs.items())
+    got = rows_as_tuples(quality_lm_buckets(spark, sf_dir),
+                         ["source", "ppl_bucket", "n_docs", "n_bigrams"])
+    assert got == expected
+    assert len({r[1] for r in got}) == 3, "all three buckets populated"

@@ -33,6 +33,10 @@ def main() -> int:
         ("plan_audit", [sys.executable, os.path.join(REPO, "tools", "plan_audit.py")]),
         ("forensics", [sys.executable, os.path.join(REPO, "tools", "forensics.py"), sf_dir]),
         ("verify_full", [sys.executable, os.path.join(REPO, "tools", "verify_full.py"), sf_dir]),
+        # staleness gate LAST: it reads the artifacts the stages above
+        # regenerate, plus BENCH_FULL / README / SURVEY / TESTDATA
+        # (VERDICT r8 item 2)
+        ("sync_check", [sys.executable, os.path.join(REPO, "tools", "sync_check.py")]),
     ]
     results = {}
     rc_total = 0

@@ -61,6 +61,24 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "freq formula on both sides",
         "test_bruteforce_dedup_text.py::"
         "test_rake_keyphrases_match_python"),
+    "text_boilerplate_lines": (
+        "shared synthetic line construction (8-token slices + "
+        "header/footer injection) and df-threshold rule on both sides",
+        "test_bruteforce_dedup_text.py::"
+        "test_boilerplate_lines_match_python"),
+    "dedup_paragraph_exact": (
+        "shared 16-token paragraph slicing; keep-first is declarative "
+        "on both sides but the grain construction is mirrored",
+        "test_bruteforce_dedup_text.py::"
+        "test_paragraph_exact_matches_python"),
+    "pii_luhn_validate": (
+        "shared synthetic card construction + the same textbook Luhn "
+        "fold on both sides",
+        "test_bruteforce_formulas.py::test_luhn_validate_matches_python"),
+    "quality_lm_buckets": (
+        "embeds the text_bigram_logprob oracle verbatim as a CTE + "
+        "shared bucket cut points",
+        "test_bruteforce_formulas.py::test_lm_buckets_match_python"),
     "profile_mutual_information": (
         "shared MI formula over the contingency table",
         "test_bruteforce_formulas.py::"
@@ -300,6 +318,14 @@ INDEPENDENT_NOTES: dict[str, str] = {
                       "set-semantics closure — different algorithms "
                       "(plus a queue-BFS hypothesis differential in "
                       "test_hypothesis_graph.py)",
+    "sql_recursive_cte_bfs": "UNION ALL walk enumeration with "
+                             "simple-path pruning vs DuckDB's "
+                             "set-semantics UNION closure — different "
+                             "recursion semantics reaching the same "
+                             "min; also pinned row-for-row to the "
+                             "loop form (test_iterative.py) whose "
+                             "queue-BFS hypothesis differential "
+                             "covers the shared edge construction",
     "snapshot_diff_audit": "full-outer diff is declarative on both "
                            "sides; the delta spec is shared INPUT "
                            "construction, not algorithm",

@@ -84,6 +84,8 @@ BNL_ALLOWED = {
     "text_tfidf": "1-row (corpus doc count)",
     "text_unigram_logprob": "1-row (unigram grand total)",
     "text_bigram_logprob": "1-row (unigram grand total back-off)",
+    "quality_lm_buckets": "1-row (composes text_bigram_logprob; same "
+                          "unigram grand-total broadcast)",
     "profile_mutual_information": "1-row (contingency grand total)",
     "time_resample_ffill": "1-row (global time-range bounds)",
     "time_interpolate_linear": "1-row (global time-range bounds — the "

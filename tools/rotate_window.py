@@ -74,14 +74,17 @@ def main() -> int:
                    and n in specs and specs[n].oracle]
 
     window = order[:WINDOW]
+    # Slots re-sampling a passing query are only "wasted" while a
+    # never-sampled oracled query remains OUTSIDE the window to put
+    # there — once every never-sampled query (oracled or not) is
+    # already placed, the leftover slots legitimately re-confirm.
+    displaced = [n for n in never_sampled_oracled
+                 if n not in set(window[:COVERAGE_SLOTS])]
     wasted = [
         n for n in window[:COVERAGE_SLOTS]
         if n not in CANARY
         and hist.get(n, {}).get("full_pass")
-    ] if never_sampled_oracled else []
-    # Slots re-sampling a passing query are only "wasted" while
-    # never-sampled oracled queries still exist to put there — the
-    # guard on the construction above encodes that rule.
+    ] if displaced else []
 
     print(f"registry: {len(order)} queries "
           f"({sum(1 for n in order if specs[n].oracle)} oracled)")
