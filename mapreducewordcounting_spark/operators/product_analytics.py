@@ -443,3 +443,78 @@ def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("journey", F.lit(ABANDON_PATTERN)).cast("bigint")
         .alias("n_abandon"),
     )
+
+
+#: last-touch attribution lookback (event-time µs): 7 days
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+#: channels that can claim credit for a purchase
+ATTR_CHANNELS = ("click", "view")
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                   event_id, event_type
+            FROM events),
+        touched AS (
+            SELECT user_id, t, event_id, event_type,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN t END IGNORE NULLS)
+                       OVER w AS touch_t,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS touch_type
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING))
+        SELECT CASE WHEN touch_t IS NOT NULL
+                     AND t - touch_t <= {ATTR_WINDOW_US}
+                    THEN touch_type ELSE 'direct' END AS channel,
+               count(*) AS n_purchases,
+               count(DISTINCT user_id) AS n_buyers
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("analytics", "attribution", "window"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution — every purchase credits the
+    user's most recent click/view STRICTLY BEFORE it (tie-break
+    (ts, event_id), the repo's discipline) and within a 7-day
+    lookback; purchases with no live touch are 'direct'. The
+    campaign-reporting primitive next to funnel_3step's conversion
+    and retention_cohort_weekly's stickiness.
+
+    Plan: ONE user-keyed window pass (last_value IGNORE NULLS over
+    rows-preceding) carries the latest touch to every event — no
+    self-join, no per-purchase scan — then a channel-grain aggregate.
+    At 100 TB this is the single exchange a sessionizing pipeline
+    already pays; the lookback comparison is integer µs arithmetic,
+    and outputs are pure counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id",
+        "event_type")
+    w = (Window.partitionBy("user_id").orderBy("t", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col("event_type").isin(*ATTR_CHANNELS)
+    touched = ev.select(
+        "user_id", "t", "event_type",
+        F.last(F.when(is_touch, F.col("t")), ignorenulls=True)
+        .over(w).alias("touch_t"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("touch_type"),
+    )
+    channel = F.when(
+        F.col("touch_t").isNotNull()
+        & (F.col("t") - F.col("touch_t") <= ATTR_WINDOW_US),
+        F.col("touch_type")).otherwise("direct")
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(F.count("*").alias("n_purchases"),
+             F.countDistinct("user_id").alias("n_buyers"))
+    )

@@ -474,3 +474,59 @@ def profile_mutual_information(spark: SparkSession,
              F.count("*").alias("n_cells"),
              F.max("n").cast("bigint").alias("n_events"))
     )
+
+
+@register(
+    "dq_benford_distribution",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders),
+        obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+        tot AS (SELECT obs.*, sum(n_obs) OVER () AS n_total FROM obs)
+        SELECT digit,
+               n_obs,
+               round(n_total * ln(1 + 1.0 / digit) / ln(10), 6)
+                   AS expected_n,
+               round(pow(n_obs - n_total * ln(1 + 1.0 / digit) / ln(10), 2)
+                     / (n_total * ln(1 + 1.0 / digit) / ln(10)), 6)
+                   AS chi2_term
+        FROM tot
+    """,
+    tags=("profiling", "data-quality", "benford"),
+)
+def dq_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fraud/synthetic-data screen (Nigrini 2012): organically-generated
+    amounts follow P(d) = log10(1 + 1/d), and a digit whose chi-square
+    term blows out flags manufactured values. Emits one row per
+    leading digit: observed count, Benford-expected count, and the
+    digit's chi-square contribution (sum them for the test statistic).
+
+    Plan: the first digit is a pure codegen'd map (floor → bigint →
+    string head, identical construction in both engines — never
+    double→string formatting, which diverges), ONE digit-grain
+    aggregate, and the grand total comes from a window over the
+    9-ROW digit relation (a single-partition window over ≤ 9 rows,
+    not over data). Doubles enter only through ln on engine-identical
+    inputs (the libm-parity contract the LM scorers pin) and exact
+    integer counts, rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int").alias("digit")
+    obs = orders.select(digit).groupBy("digit").agg(
+        F.count("*").alias("n_obs"))
+    w_all = Window.partitionBy()  # 9-row relation
+    e = (F.col("n_total") * F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+         / F.log(F.lit(10.0)))
+    return (
+        obs.withColumn("n_total", F.sum("n_obs").over(w_all))
+        .select(
+            "digit", "n_obs",
+            F.round(e, 6).alias("expected_n"),
+            F.round(F.pow(F.col("n_obs") - e, 2) / e, 6)
+            .alias("chi2_term"),
+        )
+    )

@@ -836,3 +836,56 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(w_fused))
         .filter(F.col("fused_rank") <= RRF_TOPK)
     )
+
+
+#: Matryoshka truncation prefixes audited against the full 64 dims
+MRL_PREFIXES = (16, 32)
+
+
+@register(
+    "embedding_matryoshka_error",
+    oracle="""
+        SELECT vec_id, label,
+               round(list_sum(list_transform(list_slice(embedding, 1, 16),
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     / list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+                   AS energy_16,
+               round(list_sum(list_transform(list_slice(embedding, 1, 32),
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                     / list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+                   AS energy_32,
+               CAST(len(embedding) AS BIGINT) AS n_dims
+        FROM embeddings
+    """,
+    tags=("similarity", "embedding", "matryoshka"),
+)
+def embedding_matryoshka_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, MRL; the
+    OpenAI/Nomic 'dimensions' parameter) — per vector, the fraction of
+    L2 energy the first 16 and 32 of 64 dims retain. An MRL-trained
+    embedding front-loads energy so a pipeline can run coarse ANN at
+    the prefix and re-rank at full width (the IVF/LSH tier decision
+    similarity_ann_* implements); a flat profile (~k/64 here, on
+    random fixtures) says truncation costs accuracy proportionally.
+
+    Plan: a pure map stage — slice + aggregate HOF folds, JVM-side
+    codegen, zero shuffle, zero UDF; at 100 TB it rides the embedding
+    scan. Per-vector output only (no cross-vector float aggregation),
+    so every double is a fixed-order fold over ONE array — bit-stable
+    (the similarity_topk_bruteforce list-fold parity precedent),
+    rounded at 6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def energy(col):
+        return F.aggregate(
+            col, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"))
+
+    full = energy(F.col("embedding"))
+    out = [F.round(energy(F.slice("embedding", 1, k)) / full, 6)
+           .alias(f"energy_{k}") for k in MRL_PREFIXES]
+    return emb.select(
+        "vec_id", "label", *out,
+        F.size("embedding").cast("bigint").alias("n_dims"))

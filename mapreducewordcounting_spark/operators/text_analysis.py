@@ -1579,3 +1579,53 @@ def quality_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_bigrams").cast("bigint").alias("n_bigrams"))
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=r"""
+        WITH d AS (
+            SELECT lang,
+                   len(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> length(w) > 0)) AS n_words
+            FROM documents)
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6)
+                   AS fertility
+        FROM d GROUP BY lang
+    """,
+    tags=("text", "tokens", "tokenizer-eval"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — tokens emitted per whitespace
+    word, THE standard tokenizer-efficiency metric (a fertility of 2
+    means every word costs two context slots; multilingual tokenizers
+    are graded on exactly this table): the text_token_count_bpe
+    estimator re-aggregated at (lang) grain against the whitespace
+    word count. High-fertility languages get token-budget multipliers
+    in the mix planner (sample_token_budget_mix).
+
+    Plan: both token counts come from ONE map pass over the corpus
+    (two regex counters per row, zero explode, zero extra shuffle);
+    the lang rollup is the only exchange. Fertility is a double
+    division of two exact BIGINT sums — bit-stable in any partition
+    order."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    n_words = F.size(F.filter(F.split("text", r"\s+"),
+                              lambda w: F.length(w) > 0))
+    return (
+        docs.select("lang", n_bpe.alias("n_bpe"), n_words.alias("n_words"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+             F.sum("n_words").cast("bigint").alias("n_words"),
+             F.round(F.sum("n_bpe").cast("double") / F.sum("n_words"), 6)
+             .alias("fertility"))
+    )

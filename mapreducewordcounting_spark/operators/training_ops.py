@@ -1333,3 +1333,51 @@ def pii_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(F.col("luhn_sum") % 10 == 0, 1).otherwise(0))
              .cast("bigint").alias("n_valid"))
     )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(floor(c_acctbal / {K_ANON_BAND}) AS BIGINT)
+                       AS band
+            FROM customer),
+        cls AS (
+            SELECT nat, seg,
+                   count(*) AS n_records,
+                   count(DISTINCT band) AS l
+            FROM c GROUP BY nat, seg)
+        SELECT l AS l_distinct,
+               count(*) AS n_classes,
+               CAST(sum(n_records) AS BIGINT) AS n_records
+        FROM cls GROUP BY l
+    """,
+    tags=("training", "privacy", "l-diversity", "governance"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity histogram (Machanavajjhala et al. 2007) — the
+    governance check k-anonymity misses: a QI class where every
+    record shares ONE sensitive value leaks it even at k >= K_ANON
+    (the homogeneity attack). QI = (nation, segment) —
+    privacy_k_anonymity's middle rung — sensitive attribute = the
+    balance band; emits the distribution of distinct-sensitive-value
+    counts l over QI classes, so 'n_classes at l = 1' is the exposed
+    population a release gate blocks on.
+
+    Plan: one QI-grain aggregate (count + count distinct band), one
+    |classes|-grain rollup — two shrinking exchanges, counts only,
+    nothing data-grain moves twice. Shares the banding constant with
+    the k-anonymity cascade so the two gates audit the same release."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / K_ANON_BAND).cast("bigint")
+        .alias("band"),
+    )
+    cls = cust.groupBy("nat", "seg").agg(
+        F.count("*").alias("n_records"),
+        F.countDistinct("band").alias("l"))
+    return cls.groupBy(F.col("l").alias("l_distinct")).agg(
+        F.count("*").alias("n_classes"),
+        F.sum("n_records").cast("bigint").alias("n_records"))

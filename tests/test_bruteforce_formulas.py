@@ -852,3 +852,24 @@ def test_lm_buckets_match_python(spark, sf_dir):
                          ["source", "ppl_bucket", "n_docs", "n_bigrams"])
     assert got == expected
     assert len({r[1] for r in got}) == 3, "all three buckets populated"
+
+
+def test_benford_distribution_matches_python(spark, sf_dir):
+    """Benford expectation + chi-square terms recomputed with plain
+    math.log over integer digit counts."""
+    from mapreducewordcounting_spark.operators.profiling import (
+        dq_benford_distribution,
+    )
+
+    obs: Counter = Counter()
+    for o in load_table_rows(sf_dir, "orders"):
+        obs[int(str(int(math.floor(o["o_totalprice"])))[0])] += 1
+    total = sum(obs.values())
+    expected = []
+    for d, n in obs.items():
+        e = total * math.log(1 + 1.0 / d) / math.log(10)
+        expected.append((d, n, round6(e), round6((n - e) ** 2 / e)))
+    got = rows_as_tuples(dq_benford_distribution(spark, sf_dir),
+                         ["digit", "n_obs", "expected_n", "chi2_term"])
+    assert got == sorted(expected)
+    assert 2 <= len(got) <= 9

@@ -433,3 +433,64 @@ def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
     assert "Window" in plan
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_set_broadcasts_back(spark, sf_dir):
+    """text_boilerplate_lines' scale contract: the df aggregate finds
+    the boilerplate set, which is tiny BY CONSTRUCTION (lines in >half
+    a source's docs) and must broadcast back onto the instance stream
+    — the corpus-scale line stream is never shuffled a second time."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_boilerplate_lines,
+    )
+
+    plan = simple_plan(text_boilerplate_lines(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """attribution_last_touch's scale contract: both touch carries
+    (time + type) evaluate in ONE Window node over one (user_id,
+    (t, event_id)) sort — no self-join, no per-purchase rescan."""
+    from mapreducewordcounting_spark.operators.product_analytics import (
+        attribution_last_touch,
+    )
+
+    plan = simple_plan(attribution_last_touch(spark, sf_dir))
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert len(windows) == 1, windows
+    assert "Join" not in plan  # window carry, never a join
+
+
+def test_paragraph_dedup_single_para_exchange(spark, sf_dir):
+    """dedup_paragraph_exact's scale contract: exactly two exchanges —
+    the paragraph-keyed window rank and the doc-grain rollup; the
+    paragraph stream itself is a pure map off the scan (no join)."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_paragraph_exact,
+    )
+
+    plan = simple_plan(dedup_paragraph_exact(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+    assert "Join" not in plan
+
+
+def test_luhn_and_matryoshka_ride_the_scan(spark, sf_dir):
+    """pii_luhn_validate / embedding_matryoshka_error scale contract:
+    the checksum fold and the energy folds are pure codegen'd map
+    stages — Luhn's only exchange is the priority rollup, the
+    Matryoshka audit has none at all (per-vector map)."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        embedding_matryoshka_error,
+    )
+    from mapreducewordcounting_spark.operators.training_ops import (
+        pii_luhn_validate,
+    )
+
+    luhn = simple_plan(pii_luhn_validate(spark, sf_dir))
+    assert luhn.count("Exchange") == 1
+    assert "pythonUDF" not in luhn and "BatchEvalPython" not in luhn
+    mrl = simple_plan(embedding_matryoshka_error(spark, sf_dir))
+    assert "Exchange" not in mrl
+    assert "pythonUDF" not in mrl and "BatchEvalPython" not in mrl

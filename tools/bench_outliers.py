@@ -20,6 +20,18 @@ single-pass peers and carry their own tier in BENCH_DETAIL.json.
 ACKNOWLEDGED below (each entry names the reason it is allowed to stay
 slow; remove the entry when the query is fixed).
 
+Accepted pins (round 9): the family-peer median keeps DROPPING as new
+sub-second operators join a family, which mechanically re-flags
+stable multi-stage queries that are at or below their own historical
+times — outlier churn with no information. ``tools/bench_pins.json``
+records the accepted sf0.1 time of every row that has had its
+explicit look (the r5 rule's "look" made durable): a row only flags
+if it ALSO exceeds 1.3x its accepted pin (a real own-history
+regression), or has no pin yet (a new query, which gets the family
+comparison until accepted). ``--accept-pins`` records the current
+sweep as accepted — run it deliberately after reviewing the report,
+never as part of a gate.
+
 Stale-acknowledgement aging (VERDICT r8 item 8): an ACKNOWLEDGED entry
 that is no longer an outlier is reported, and its staleness is
 recorded in ``tools/ack_stale_state.json`` keyed by the digest of the
@@ -105,11 +117,25 @@ ACKNOWLEDGED: dict[str, str] = {
 }
 
 
+PIN_SLACK = 1.3
+PINS_PATH = os.path.join(REPO, "tools", "bench_pins.json")
+
+
 def main() -> int:
     check = "--check" in sys.argv
     with open(os.path.join(REPO, "BENCH_FULL_sf01.json")) as f:
         bench = json.load(f)
     times = bench["queries"]
+    try:
+        with open(PINS_PATH) as f:
+            pins: dict[str, float] = json.load(f)
+    except FileNotFoundError:
+        pins = {}
+    if "--accept-pins" in sys.argv:
+        with open(PINS_PATH, "w") as f:
+            json.dump(dict(sorted(times.items())), f, indent=1)
+        print(f"accepted {len(times)} pins into {PINS_PATH}")
+        return 0
 
     from mapreducewordcounting_spark import registry
     specs = registry.all_queries()
@@ -133,9 +159,13 @@ def main() -> int:
             continue
         for n in names:
             ratio = times[n] / med
-            if ratio > THRESHOLD and times[n] >= ABS_FLOOR_SEC:
-                rows.append((n, fam, times[n], med, ratio,
-                             n in exempt, ACKNOWLEDGED.get(n)))
+            if ratio <= THRESHOLD or times[n] < ABS_FLOOR_SEC:
+                continue
+            pin = pins.get(n)
+            if pin is not None and times[n] <= PIN_SLACK * pin:
+                continue  # at/below its accepted own-history pin
+            rows.append((n, fam, times[n], med, ratio,
+                         n in exempt, ACKNOWLEDGED.get(n)))
 
     unresolved = []
     for n, fam, t, med, ratio, is_exempt, ack in sorted(

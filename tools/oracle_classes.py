@@ -79,6 +79,11 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "embeds the text_bigram_logprob oracle verbatim as a CTE + "
         "shared bucket cut points",
         "test_bruteforce_formulas.py::test_lm_buckets_match_python"),
+    "dq_benford_distribution": (
+        "shared Benford expectation ln(1+1/d)/ln(10) + chi-square "
+        "term formula on both sides",
+        "test_bruteforce_formulas.py::"
+        "test_benford_distribution_matches_python"),
     "profile_mutual_information": (
         "shared MI formula over the contingency table",
         "test_bruteforce_formulas.py::"
