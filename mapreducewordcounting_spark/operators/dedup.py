@@ -1726,14 +1726,36 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is a double division of two exact BIGINT sums — bit-stable
     under any partition order."""
     docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup_report(docs, PARA_LEN)
+
+
+def paragraph_dedup_report(docs: DataFrame, para_len: int) -> DataFrame:
+    """Library form of the paragraph-grain keep-first report over any
+    ``(doc_id, text)`` frame: slice canonical tokens into
+    non-overlapping ``para_len``-token paragraphs, keep the globally
+    FIRST occurrence of each exact paragraph string (ordered by
+    (doc_id, para_idx) — so a within-doc repeat keeps only its
+    earliest position), and report per doc. The structure-free
+    hypothesis differential (tests/test_hypothesis_dedup.py) drives
+    this on adversarial corpora — fully-duplicated docs, within-doc
+    repeats, single-paragraph docs — that the fixture can't produce."""
+    # Guard the zero-token doc: Spark's sequence(0, -1) generates the
+    # DESCENDING [0, -1] (it supports reverse ranges), which would
+    # manufacture two phantom paragraphs where DuckDB's range(0) is
+    # empty — caught by the hypothesis differential, invisible on the
+    # fixture corpus (no empty docs).
+    slices = F.expr(
+        f"transform(sequence(0, cast(ceil(size(toks) / "
+        f"{para_len}.0) as int) - 1), i -> struct("
+        f"i as para_idx, array_join(slice(toks, i * {para_len} + 1, "
+        f"{para_len}), ' ') as para))")
+    empty = F.expr(
+        "cast(array() as array<struct<para_idx:int, para:string>>)")
     paras = docs.select(
         "doc_id", _toks().alias("toks")).select(
         "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(0, cast(ceil(size(toks) / "
-            f"{PARA_LEN}.0) as int) - 1), i -> struct("
-            f"i as para_idx, array_join(slice(toks, i * {PARA_LEN} + 1, "
-            f"{PARA_LEN}), ' ') as para))")).alias("s"),
+        F.explode(F.when(F.size("toks") > 0, slices).otherwise(empty))
+        .alias("s"),
     ).select("doc_id", F.col("s.para_idx").alias("para_idx"),
              F.col("s.para").alias("para"))
     w = Window.partitionBy("para").orderBy("doc_id", "para_idx")

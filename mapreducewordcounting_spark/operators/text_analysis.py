@@ -1477,6 +1477,15 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     two consumers. kept_token_ratio is a double division of two
     exact BIGINT sums — bit-stable in any partition order."""
     docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_line_report(docs)
+
+
+def boilerplate_line_report(docs: DataFrame) -> DataFrame:
+    """Library form of the boilerplate detector over any ``(doc_id,
+    source, text)`` frame — the hypothesis differential
+    (tests/test_hypothesis_dedup.py) drives it on adversarial corpora
+    (single-doc sources, all-identical sources where EVERY line is
+    boilerplate, empty docs that still carry their header/footer)."""
     base = docs.select(
         "doc_id", "source",
         F.filter(tokenize_canonical("text"),

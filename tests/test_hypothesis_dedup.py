@@ -243,3 +243,103 @@ def test_component_labels_match_union_find(spark, edges):
         for r in component_labels(
             df.localCheckpoint(eager=True)).collect())
     assert got == expected
+
+
+# ------------------------------------------- paragraph keep-first dedup
+
+def _brute_paragraphs(corpus, k):
+    """Plain-Python keep-first at k-token paragraph grain."""
+    paras = []
+    for i, doc in enumerate(corpus):
+        toks = _norm_tokens(doc)
+        for j, s in enumerate(range(0, len(toks), k)):
+            paras.append((i, j, " ".join(toks[s:s + k])))
+    first = {}
+    for doc, idx, p in sorted(paras):
+        first.setdefault(p, (doc, idx))
+    out = {}
+    for doc, idx, p in paras:
+        n, d, kept, tot = out.get(doc, (0, 0, 0, 0))
+        nt = len(p.split(" "))
+        mine = first[p] == (doc, idx)
+        out[doc] = (n + 1, d + (0 if mine else 1),
+                    kept + (nt if mine else 0), tot + nt)
+    return {doc: (n, d, round6(kept / tot))
+            for doc, (n, d, kept, tot) in out.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=_corpus)
+def test_paragraph_keep_first_matches_python(spark, corpus):
+    """Keep-first semantics on adversarial corpora: fully-duplicated
+    docs (retention 0 for the later copy), WITHIN-doc repeats (only
+    the earliest position survives), ragged trailing paragraphs.
+    k=3 so tiny docs still produce paragraphs."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        paragraph_dedup_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(doc)) for i, doc in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_paras"], r["n_dropped"],
+                         r["retained_token_ratio"])
+           for r in paragraph_dedup_report(docs, 3).collect()}
+    assert got == _brute_paragraphs(corpus, 3)
+
+
+# --------------------------------------------- boilerplate line report
+
+_src_doc = st.tuples(st.sampled_from(("s1", "s2")), _doc)
+_src_corpus = st.lists(_src_doc, min_size=1, max_size=8)
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=_src_corpus)
+def test_boilerplate_report_matches_python(spark, corpus):
+    """df-threshold rule on adversarial corpora: single-doc sources
+    (their header/footer stays BELOW the 3-doc floor — never flagged),
+    duplicate-heavy sources where natural lines cross the >half rule,
+    and zero-token docs that still carry exactly their two synthetic
+    lines. The brute force slices at the module's own grain/threshold
+    constants, so a constant change re-verifies instead of desyncing."""
+    import mapreducewordcounting_spark.operators.text_analysis as ta
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        boilerplate_line_report,
+    )
+
+    assert ta.BOILER_MIN_DF == 3 and ta.BOILER_FRAC == 0.5
+    docs = spark.createDataFrame(
+        [(i, src, " ".join(doc)) for i, (src, doc) in enumerate(corpus)],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: (r["n_lines"], r["n_boiler"],
+                         r["kept_token_ratio"])
+           for r in boilerplate_line_report(docs).collect()}
+    # brute force slices at the module's own grain
+    expected = {}
+    from collections import defaultdict
+    doc_lines, doc_src = {}, {}
+    k = ta.BOILER_LINE_LEN
+    for i, (src, doc) in enumerate(corpus):
+        toks = _norm_tokens(doc)
+        lines = [" ".join(toks[s:s + k]) for s in range(0, len(toks), k)]
+        lines += ["nav home about " + src,
+                  "subscribe footer links " + src]
+        doc_lines[i], doc_src[i] = lines, src
+    src_docs, df_docs = defaultdict(set), defaultdict(set)
+    for i, lines in doc_lines.items():
+        src_docs[doc_src[i]].add(i)
+        for ln in lines:
+            df_docs[(doc_src[i], ln)].add(i)
+    boiler = {key for key, d in df_docs.items()
+              if len(d) >= ta.BOILER_MIN_DF
+              and len(d) > ta.BOILER_FRAC * len(src_docs[key[0]])}
+    for i, lines in doc_lines.items():
+        flags = [(doc_src[i], ln) in boiler for ln in lines]
+        tot = sum(len(ln.split(" ")) for ln in lines)
+        kept = sum(len(ln.split(" ")) for ln, b in zip(lines, flags)
+                   if not b)
+        expected[i] = (len(lines), sum(flags), round6(kept / tot))
+    assert got == expected
