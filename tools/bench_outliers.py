@@ -37,8 +37,9 @@ that is no longer an outlier is reported, and its staleness is
 recorded in ``tools/ack_stale_state.json`` keyed by the digest of the
 BENCH_FULL sweep that observed it — one digest per regenerated sweep,
 so re-running the tool within a round cannot inflate the count. Once
-an entry has been stale across >= 2 DISTINCT sweeps, --check fails:
-the ack list stays tight instead of accreting dead debt.
+an entry has been stale across >= 3 DISTINCT sweeps (~2+ rounds; a
+round may legitimately sweep twice), --check fails: the ack list
+stays tight instead of accreting dead debt.
 """
 
 from __future__ import annotations
@@ -62,58 +63,13 @@ ABS_FLOOR_SEC = 1.5
 #: name -> reason this >2x-of-peers row is accepted (reviewed, not
 #: ignored). Keep this list SHORT — every entry is a standing debt.
 ACKNOWLEDGED: dict[str, str] = {
-    "stream_stateful_session_gap": "applyInPandasWithState sessionizer "
-                                   "with EventTimeTimeout: per-batch "
-                                   "Arrow/pandas state round-trip plus "
-                                   "the extra no-data timeout batch is "
-                                   "the surface being demonstrated "
-                                   "(same class as pyds_stream_ledger "
-                                   "and stream_stateful_counter)",
-    "sketch_bloom_det": "newly >2x only because r8's agg_bitmap_distinct "
-                        "(0.54 s) lowered the sketch-family median; the "
-                        "query itself is unchanged since r5 — it builds "
-                        "the 2048-row bit relation (4 md5 hashes per "
-                        "build key) and probes with fp accounting, two "
-                        "generated-table joins vs peers that are single "
-                        "aggregates",
-    "sample_split_leakage_safe": "composite over the near-dup pair "
-                                 "graph: embeds dedup_ngram_jaccard + "
-                                 "the dedup_clusters min-label loop "
-                                 "(iterative tier; dedup_clusters alone "
-                                 "pins 4.2 s) — the split adds ~1.5 s of "
-                                 "doc join + 3-row aggregate on top; its "
-                                 "'training' family peers are single map "
-                                 "stages",
-    "pyds_stream_ledger": "custom Python streaming source round-trip; "
-                          "per-batch Python RPC is the cost being "
-                          "demonstrated",
-    "basket_pair_affinity": "BEATS its own BASELINE.md row (2.5 s); the "
-                            "per-order pair fan-out IS the workload and "
-                            "the map-side generation is already the "
-                            "2-shuffle minimal form",
-    "join_bucketed": "stages two bucketed+sorted table WRITES before the "
-                     "exchange-free join it demonstrates; the join "
-                     "itself is sub-second",
-    "text_keyphrases_rake": "pinned 1.18-1.63 s across uncontended "
-                            "median-of-3 re-pins (r8: 1.51 s, unchanged "
-                            "plan) — hovers at the 1.5 s floor while "
-                            "the text-family median drifts 0.70-0.80 s; "
-                            "structurally a 3-consumer phrase table "
-                            "with 2 checkpoints vs single-aggregate "
-                            "peers",
-    "stream_stream_join": "two LIVE availableNow stream scans through "
-                          "the symmetric state-store join; its batch "
-                          "twin and the outer/full-outer live forms "
-                          "pin the same 2.8-3 s class — the state "
-                          "round-trip is the surface being "
-                          "demonstrated",
-    "sql_recursive_cte_bfs": "a 6-iteration UnionLoop is 6 sequential "
-                             "jobs plus the edge-list checkpoint — "
-                             "multi-pass work its single-statement "
-                             "'sql' family peers don't do; its true "
-                             "peer is its loop twin graph_bfs_hops "
-                             "(iterative tier, 1.99 s vs 2.58 s, same "
-                             "answer row-for-row)",
+    # EMPTY as of round 9: tools/bench_pins.json took over steady-state
+    # silencing (a reviewed row only re-flags when it regresses >1.3x
+    # its accepted pin), which made every prior structural ack
+    # permanently stale — the explanations live in git history and
+    # BASELINE.md. New entries belong here only for a row that exceeds
+    # BOTH thresholds and stays slow for a documented structural
+    # reason.
 }
 
 
