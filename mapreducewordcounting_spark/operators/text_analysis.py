@@ -991,7 +991,7 @@ BPE_TOP_PAIRS = 20
 def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One merge step of BPE tokenizer training at corpus scale: count
     every adjacent character pair inside every (canonical) token and
-    return the top {BPE_TOP_PAIRS} — the argmax of this count is
+    return the top 20 (BPE_TOP_PAIRS) — the argmax of this count is
     exactly the pair BPE merges next. Training a tokenizer on a
     100 TB corpus runs THIS query (over the current symbol sequence)
     once per merge; everything else in BPE is bookkeeping.
@@ -1339,7 +1339,7 @@ def text_keyphrases_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     score degree/freq over the candidate corpus (degree = Σ lengths
     of phrases containing it), and a phrase scores the sum of its
     words' scores. Single-word runs are dropped (they duplicate the
-    word-count surface); the top {RAKE_TOP_K} multi-word phrases
+    word-count surface); the top 15 (RAKE_TOP_K) multi-word phrases
     surface with occurrence counts. The phrase-score sum is
     deduplicated per distinct phrase by dividing the occurrence-
     summed join back by n_occurrences — identical arithmetic on both
