@@ -1772,3 +1772,124 @@ def paragraph_dedup_report(docs: DataFrame, para_len: int) -> DataFrame:
             .cast("double") / F.sum("n_toks"), 6)
         .alias("retained_token_ratio"),
     )
+
+
+#: content-defined chunking geometry: rolling window width (chars),
+#: cut mask modulus (expected chunk length ≈ CDC_MOD chars)
+CDC_WIN = 8
+CDC_MOD = 32
+
+
+@register(
+    "dedup_cdc_chunking",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, source, text, length(text) AS len
+            FROM documents),
+        pos AS (
+            SELECT doc_id, source, text, len,
+                   unnest(range({CDC_WIN}, len + 1)) AS p
+            FROM docs WHERE len >= {CDC_WIN}),
+        cuts AS (
+            SELECT doc_id, source, text, len, p
+            FROM pos
+            WHERE CAST(('0x' || substr(md5(substr(text, p - {CDC_WIN - 1},
+                                                  {CDC_WIN})), 1, 8))
+                       AS UBIGINT) % {CDC_MOD} = 0),
+        spans AS (
+            SELECT doc_id, source, text,
+                   coalesce(lag(p) OVER (PARTITION BY doc_id
+                                         ORDER BY p) + 1, 1) AS s,
+                   p AS e
+            FROM cuts
+            UNION ALL
+            SELECT d.doc_id, d.source, d.text,
+                   coalesce(c.last_cut + 1, 1) AS s,
+                   d.len AS e
+            FROM docs d
+            LEFT JOIN (SELECT doc_id, max(p) AS last_cut
+                       FROM cuts GROUP BY doc_id) c
+                   ON d.doc_id = c.doc_id
+            WHERE d.len >= coalesce(c.last_cut + 1, 1)),
+        chunks AS (
+            SELECT source,
+                   md5(substr(text, s, e - s + 1)) AS digest,
+                   e - s + 1 AS clen
+            FROM spans)
+        SELECT source,
+               count(*) AS n_chunks,
+               count(DISTINCT digest) AS n_distinct,
+               round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE)
+                     / count(*), 6) AS dedup_ratio,
+               round(CAST(sum(clen) AS DOUBLE) / count(*), 6)
+                   AS avg_chunk_len
+        FROM chunks
+        GROUP BY source
+    """,
+    tags=("dedup", "cdc", "chunking", "storage"),
+)
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC family — the algorithm
+    under every dedup store and chunk-level data-lake cache): cut each
+    document wherever the rolling 8-char window's hash satisfies
+    ``h % 32 == 0``, so boundaries follow CONTENT — insert one word
+    and only the chunks around the edit change, where fixed-grid
+    chunking (mm_chunk_dedup_ratio) re-digests everything downstream
+    of the shift. Emits per-source chunk counts, distinct digests,
+    dedup ratio and mean chunk length (≈ the 32-char mask modulus).
+    No min/max chunk bounds on purpose: bounds make each cut depend
+    on the previous one (sequential state); the pure-mask rule keeps
+    every position's verdict INDEPENDENT, which is what lets the whole
+    thing stay relational.
+
+    Plan shape: positions explode off the document scan and the window
+    hash + mask test happen IN the same codegen stage (text never
+    shuffles with the fan-out — only (doc_id, cut_pos) survivors
+    leave); chunk spans come from one lag window over the cut list
+    (plus the per-doc tail span via a broadcast-sized max-cut join);
+    chunk text is re-sliced by ONE doc_id equi-join back to the
+    document table, and the rollup is |sources| rows. The md5 window
+    hash stands in for the cheap Rabin/Gear rolling polynomial a
+    native deployment would use — same cut semantics, engine-portable
+    (the dedup_repeated_spans precedent: swap to xxhash64 at crawl
+    scale, collisions only merge chunks, never corrupt them)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text",
+                    F.length("text").alias("len")))
+    pos = (docs.filter(F.col("len") >= CDC_WIN)
+           .select("doc_id", "source", "text", "len",
+                   F.explode(F.sequence(F.lit(CDC_WIN), F.col("len")))
+                   .alias("p")))
+    win_hash = F.conv(
+        F.substring(F.md5(F.expr(
+            f"substring(text, p - {CDC_WIN - 1}, {CDC_WIN})")), 1, 8),
+        16, 10).cast("long")
+    cuts = (pos.filter(win_hash % CDC_MOD == 0)
+            .select("doc_id", "p")
+            .localCheckpoint())  # 2 consumers: spans + per-doc max
+    w_lag = Window.partitionBy("doc_id").orderBy("p")
+    spans_mid = cuts.select(
+        "doc_id",
+        (F.coalesce(F.lag("p").over(w_lag), F.lit(0)) + 1).alias("s"),
+        F.col("p").alias("e"))
+    last = cuts.groupBy("doc_id").agg(F.max("p").alias("last_cut"))
+    spans_tail = (
+        docs.join(last, "doc_id", "left")
+        .select("doc_id",
+                (F.coalesce(F.col("last_cut"), F.lit(0)) + 1).alias("s"),
+                F.col("len").alias("e"))
+        .filter(F.col("e") >= F.col("s")))
+    spans = spans_mid.unionByName(spans_tail)
+    chunks = (
+        spans.join(docs.select("doc_id", "source", "text"), "doc_id")
+        .select("source",
+                F.md5(F.expr("substring(text, s, e - s + 1)"))
+                .alias("digest"),
+                (F.col("e") - F.col("s") + 1).alias("clen")))
+    return chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("digest").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.countDistinct("digest").cast("double")
+                / F.count("*"), 6).alias("dedup_ratio"),
+        F.round(F.sum("clen").cast("double") / F.count("*"), 6)
+        .alias("avg_chunk_len"))

@@ -212,3 +212,81 @@ def shard_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n").cast("bigint").alias("n_docs"),
                  F.count("*").alias("n_sources"),
                  F.round(-F.sum("plogp"), 6).alias("entropy")))
+
+
+@register(
+    "time_cusum_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2),
+        dev AS (
+            SELECT event_type, day, n,
+                   CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                       / count(*) OVER (PARTITION BY event_type) AS mu,
+                   count(*) OVER (PARTITION BY event_type) AS n_days
+            FROM daily),
+        cusum AS (
+            SELECT event_type, day, mu, n_days,
+                   sum(n - mu) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS s
+            FROM dev)
+        SELECT event_type, day AS cp_day,
+               round(abs(s), 6) AS max_abs_cusum,
+               round(mu, 6) AS mean_daily,
+               CAST(n_days AS BIGINT) AS n_days
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY abs(s) DESC, day)
+                            AS rn
+              FROM cusum)
+        WHERE rn = 1
+    """,
+    tags=("drift", "monitoring", "changepoint", "cusum"),
+)
+def time_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-rate series —
+    the classic level-shift monitor (Page 1954): per event type,
+    cumulative sum of deviations from the series mean peaks (in
+    absolute value) at the day the rate regime changed. Emits one row
+    per type: the detected change day, the peak |CUSUM| (the shift
+    evidence a control chart thresholds), the series mean, and the
+    day count. The sequential sibling of drift_psi_value's
+    two-window comparison: PSI asks "did the distribution move
+    between two fixed windows", CUSUM asks "WHEN did the level move".
+
+    Plan shape: ONE fact-scale aggregate to (type, day) grain —
+    map-side combined, the grid is |types|x|days| regardless of event
+    volume — then every window (mean, running sum, arg-max rank) runs
+    on that tiny grid inside a single event_type exchange. Determinism:
+    the mean is exact (BIGINT sum / BIGINT count, one division); the
+    running sum is a left-to-right fold over the day order on both
+    engines, so the doubles agree bit-for-bit; the arg-max row is
+    picked on (|s| DESC, day) — ties resolve to the earliest day.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n")))
+    w_type = Window.partitionBy("event_type")
+    dev = daily.select(
+        "event_type", "day", "n",
+        (F.sum("n").over(w_type).cast("double")
+         / F.count("*").over(w_type)).alias("mu"),
+        F.count("*").over(w_type).cast("bigint").alias("n_days"))
+    w_cum = (Window.partitionBy("event_type").orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cusum = dev.withColumn(
+        "s", F.sum(F.col("n") - F.col("mu")).over(w_cum))
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs("s").desc(), F.asc("day"))
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("day").alias("cp_day"),
+                F.round(F.abs("s"), 6).alias("max_abs_cusum"),
+                F.round("mu", 6).alias("mean_daily"),
+                "n_days")
+    )

@@ -639,3 +639,64 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("first_us"),
         F.unix_micros(F.max("ts")).alias("last_us"),
     )
+
+
+#: binary-source round-trip: how many documents materialize as files.
+#: Driver-bounded by construction (the kmeans-centroid rule): the
+#: OPERATOR under test is the binaryFile scan, not the writer — a real
+#: multimodal store writes assets upstream of the pipeline.
+_BINARY_N_DOCS = 40
+
+
+@register(
+    "source_binary_files",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(octet_length(CAST(coalesce(text, '') AS BLOB))
+                    AS BIGINT) AS byte_len,
+               md5(coalesce(text, '')) AS content_md5
+        FROM documents
+        WHERE doc_id < {_BINARY_N_DOCS}
+    """,
+    tags=("source", "binary", "multimodal"),
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingestion front door: a directory of opaque
+    binary assets read through ``spark.read.format("binaryFile")`` —
+    path, length and raw ``content`` bytes per file — which is how
+    image/audio/video payloads enter every mm_* operator's decode
+    stage. Here the assets are the utf-8 bytes of the first
+    40 documents (multibyte langs included, so the
+    byte-vs-char distinction is actually exercised), written out as
+    one ``doc_<id>.bin`` each; the scan parses the id back out of the
+    file path, and the oracle recomputes length + md5 straight from
+    the documents table — any corruption, truncation or encoding slip
+    in the binary path breaks the hash.
+
+    Scale posture: binaryFile is a real FileFormat — file listing and
+    scheduling are Spark's split planning (one task per file bundle,
+    ``pathGlobFilter``/partition dirs available), and per-file bytes
+    stay in ONE row each, so the pattern holds for millions of assets
+    as long as single assets fit an executor (the mm_frame_sample
+    docstring's chunking note covers the ones that don't). The writer
+    below is driver-side and bounded at 40 files purely
+    as test scaffolding."""
+    path = _io_path(sf_dir, "binarydir")
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _BINARY_N_DOCS)
+            .select("doc_id", "text").collect())
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    for r in docs:
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write((r["text"] or "").encode("utf-8"))
+    if not docs:  # binaryFile errors on an empty dir: stable schema
+        return spark.createDataFrame(
+            [], "doc_id long, byte_len long, content_md5 string")
+    back = spark.read.format("binaryFile").load(path)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("byte_len"),
+        F.md5("content").alias("content_md5"))

@@ -632,3 +632,224 @@ def graph_wcc_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = (nations.join(labels, "node", "left")
             .select(F.coalesce("label", "node").alias("component")))
     return full.groupBy("component").agg(F.count("*").alias("n_nodes"))
+
+
+#: link-prediction candidate ranking depth
+LINKPRED_TOP_K = 10
+
+
+def jaccard_link_scores(edges: DataFrame) -> DataFrame:
+    """Library form of common-neighbor Jaccard link prediction over a
+    directed edge list ``(src, dst)`` interpreted as an undirected
+    simple graph (triangle_counts' normalization): for every NON-edge
+    pair {a < b} with at least one common neighbor, score
+    J = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| (Liben-Nowell & Kleinberg 2003).
+    Returns (a, b, n_common, deg_a, deg_b, jaccard) — un-ranked; the
+    registered query applies the top-k. The structure-free hypothesis
+    differential (tests/test_hypothesis_graph.py) drives this on random
+    graphs against a set-algebra brute force, since the DuckDB oracle
+    mirrors the same wedge-join construction.
+
+    Scale: candidate generation is the 2-path wedge join on the
+    symmetric adjacency list — Σ deg² pairs, the triangle-count
+    budget, never |V|²; degrees are a dimension-sized aggregate
+    broadcast back; the existing-edge removal is one anti-join on the
+    oriented edge set."""
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("u"),
+                   F.greatest("src", "dst").alias("v"))
+           .distinct()
+           .localCheckpoint())  # 3 consumers: adjacency, anti-join, degrees
+    adj = und.union(und.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    a_side = adj.select(F.col("v").alias("c"), F.col("u").alias("a"))
+    b_side = adj.select(F.col("u").alias("c2"), F.col("v").alias("b"))
+    common = (
+        a_side.join(b_side, (F.col("c") == F.col("c2"))
+                    & (F.col("a") < F.col("b")))
+        .groupBy("a", "b").agg(F.count("*").alias("n_common"))
+    )
+    non_edges = common.join(
+        und, (common.a == und.u) & (common.b == und.v), "left_anti")
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (non_edges
+              .join(F.broadcast(da), "a")
+              .join(F.broadcast(db), "b"))
+    union_sz = F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    return scored.select(
+        "a", "b", "n_common", "deg_a", "deg_b",
+        (F.col("n_common").cast("double") / union_sz).alias("jaccard"))
+
+
+@register(
+    "graph_jaccard_link_pred",
+    oracle=f"""
+        WITH w AS MATERIALIZED (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   count(*) AS wt
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM w
+            WHERE src <> dst
+              AND wt >= (SELECT {{mult}} * avg(wt) FROM w)),
+        adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+        common AS (
+            SELECT l.u AS a, r.v AS b, count(*) AS n_common
+            FROM adj l JOIN adj r ON l.v = r.u AND l.u < r.v
+            GROUP BY 1, 2),
+        cand AS (
+            SELECT c.a, c.b, c.n_common
+            FROM common c
+            WHERE NOT EXISTS (SELECT 1 FROM und
+                              WHERE und.u = c.a AND und.v = c.b))
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(n_common AS BIGINT) AS n_common,
+               round(jac, 6) AS jaccard,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT cand.a, cand.b, cand.n_common,
+                     CAST(cand.n_common AS DOUBLE)
+                         / (da.deg + db.deg - cand.n_common) AS jac,
+                     row_number() OVER (
+                         ORDER BY CAST(cand.n_common AS DOUBLE)
+                                  / (da.deg + db.deg - cand.n_common)
+                                  DESC, cand.a, cand.b) AS rnk
+              FROM cand
+              JOIN deg da ON da.u = cand.a
+              JOIN deg db ON db.u = cand.b) x
+        WHERE rnk <= {LINKPRED_TOP_K}
+    """.replace("{mult}", str(BFS_EDGE_MULT)),
+    tags=("iterative", "graph", "link-prediction", "jaccard"),
+)
+def graph_jaccard_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard link prediction over the 1.1x-mean
+    major-trade-lane graph (graph_bfs_hops' subgraph): which nation
+    pairs do NOT trade today but share the most trading partners —
+    the classic 'who should trade next' recommender primitive
+    (Liben-Nowell & Kleinberg 2003), and the fourth consumer of the
+    one trade-graph machinery (BFS, WCC, triangles, now link
+    prediction). Top-{LINKPRED_TOP_K} candidate pairs by
+    (jaccard DESC, a, b).
+
+    The fact-sized stage is the shared trade_edges star join; the
+    wedge join, degree aggregate, anti-join and ranking all run on
+    the dimension-sized edge list. Jaccard = exact BIGINT counts in
+    one double division (identical operands on both engines), and the
+    rank key (score DESC, a, b) is total so ties are deterministic."""
+    edges = trade_edges(spark, sf_dir)
+    w_all = Window.partitionBy()
+    e = (edges
+         .withColumn("thr", F.avg("weight").over(w_all) * BFS_EDGE_MULT)
+         .filter(F.col("weight") >= F.col("thr"))
+         .select("src", "dst"))
+    scored = jaccard_link_scores(e)
+    w_rank = Window.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+    return (scored.withColumn("rnk", F.row_number().over(w_rank))
+            .filter(F.col("rnk") <= LINKPRED_TOP_K)
+            .select(F.col("a").cast("bigint").alias("a"),
+                    F.col("b").cast("bigint").alias("b"),
+                    F.col("n_common").cast("bigint").alias("n_common"),
+                    F.round("jaccard", 6).alias("jaccard"),
+                    F.col("rnk").cast("bigint").alias("rnk")))
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+        WITH w AS MATERIALIZED (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   count(*) AS wt
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM w
+            WHERE src <> dst
+              AND wt >= (SELECT {BFS_EDGE_MULT} * avg(wt) FROM w)),
+        adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+        ends AS (
+            SELECT da.deg AS x, db.deg AS y
+            FROM adj
+            JOIN deg da ON da.u = adj.u
+            JOIN deg db ON db.u = adj.v),
+        sums AS (
+            SELECT count(*) AS m,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM ends)
+        SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+               (SELECT count(*) FROM deg) AS n_nodes,
+               round((m * sxy - sx * sy)
+                     / nullif(sqrt((m * sxx - sx * sx)
+                                   * (m * syy - sy * sy)), 0.0), 6)
+                   AS assortativity
+        FROM sums
+    """,
+    tags=("iterative", "graph", "assortativity", "stats"),
+)
+def graph_degree_assortativity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Degree assortativity of the major-trade-lane graph (Newman
+    2002): the Pearson correlation of endpoint degrees over all edge
+    ends — positive means hubs trade with hubs (a core-periphery
+    economy shows strongly negative). One number that summarizes the
+    topology the BFS/WCC/triangle/link-pred family walks, and the
+    sixth consumer of the shared trade-graph machinery.
+
+    Every sufficient statistic (M, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    BIGINT sum of integer degrees — no float accumulates anywhere, so
+    both engines reach the closed form with bit-identical operands
+    and the single sqrt/divide is libm parity, rounded at 6. Plan:
+    the fact-sized stage is the shared star join; degrees, the
+    edge-end join, and the 6-number fold all run on the
+    dimension-sized edge list (both orientations included, the
+    standard undirected convention)."""
+    edges = trade_edges(spark, sf_dir)
+    w_all = Window.partitionBy()
+    e = (edges
+         .withColumn("thr", F.avg("weight").over(w_all) * BFS_EDGE_MULT)
+         .filter(F.col("weight") >= F.col("thr"))
+         .select("src", "dst"))
+    und = (e.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("u"),
+                   F.greatest("src", "dst").alias("v"))
+           .distinct()
+           .localCheckpoint())  # adjacency + degree consumers
+    adj = und.union(und.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("x"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("y"))
+    ends = (adj.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .join(F.broadcast(da), "a").join(F.broadcast(db), "b"))
+    sums = ends.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    # nullif: a degree-regular graph has zero variance on both ends;
+    # the correlation is undefined there, not NaN (double 0/0)
+    r = ((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / F.nullif(
+             F.sqrt((F.col("m") * F.col("sxx")
+                     - F.col("sx") * F.col("sx"))
+                    * (F.col("m") * F.col("syy")
+                       - F.col("sy") * F.col("sy"))), F.lit(0.0)))
+    return (sums.crossJoin(F.broadcast(n_nodes))
+            .select((F.col("m") / 2).cast("bigint").alias("n_edges"),
+                    F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                    F.round(r, 6).alias("assortativity")))

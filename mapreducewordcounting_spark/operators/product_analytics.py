@@ -518,3 +518,197 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_purchases"),
              F.countDistinct("user_id").alias("n_buyers"))
     )
+
+
+@register(
+    "attribution_linear_multi_touch",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                   event_id, event_type
+            FROM events),
+        p AS (SELECT user_id, t AS pt, event_id AS pid FROM ev
+              WHERE event_type = 'purchase'),
+        tch AS (SELECT user_id, t AS tt, event_id AS tid,
+                       event_type AS channel
+                FROM ev WHERE event_type IN ('click', 'view')),
+        pairs AS (
+            SELECT p.pid, tch.channel
+            FROM p LEFT JOIN tch
+              ON p.user_id = tch.user_id
+             AND (tch.tt < p.pt
+                  OR (tch.tt = p.pt AND tch.tid < p.pid))
+             AND p.pt - tch.tt <= {7 * 24 * 3600 * 1_000_000}),
+        credited AS (
+            SELECT pid,
+                   coalesce(channel, 'direct') AS channel,
+                   CASE WHEN channel IS NULL THEN 1.0
+                        ELSE 1.0 / count(*) OVER (PARTITION BY pid)
+                   END AS credit
+            FROM pairs)
+        SELECT channel,
+               round(sum(credit), 6) AS credit,
+               count(DISTINCT pid) AS n_purchases
+        FROM credited
+        GROUP BY channel
+    """,
+    tags=("analytics", "attribution", "multi-touch"),
+)
+def attribution_linear_multi_touch(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution — each purchase
+    splits 1.0 credit equally across EVERY click/view strictly before
+    it (tie-break (ts, event_id)) within the 7-day lookback; a
+    purchase with no live touch credits 'direct' in full. The
+    many-touch counterpart of attribution_last_touch: last-touch
+    answers "what closed", linear answers "what participated" —
+    together they bracket any position-based scheme.
+
+    Plan shape: unlike last-touch (one window pass), linear credit is
+    genuinely pairwise, so this is the repo's bounded-fanout join
+    pattern (funnel_3step precedent): purchases LEFT JOIN touches on
+    the USER equi-key with the time band as a residual — pair volume
+    is Σ per-user purchases × touches inside one week, per-user
+    bounded, never |events|². The per-purchase touch count is a
+    window over the pair set keyed by purchase id (same exchange),
+    and the final channel rollup is a |channels|-row aggregate.
+    Credit sums are 1/n doubles rounded at 6 on both engines
+    (agg_regression's contract)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id",
+        "event_type")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("t").alias("pt"),
+                 F.col("event_id").alias("pid")))
+    tch = (ev.filter(F.col("event_type").isin(*ATTR_CHANNELS))
+           .select(F.col("user_id").alias("t_user"),
+                   F.col("t").alias("tt"),
+                   F.col("event_id").alias("tid"),
+                   F.col("event_type").alias("channel")))
+    pairs = p.join(
+        tch,
+        (F.col("user_id") == F.col("t_user"))
+        & ((F.col("tt") < F.col("pt"))
+           | ((F.col("tt") == F.col("pt")) & (F.col("tid") < F.col("pid"))))
+        & (F.col("pt") - F.col("tt") <= ATTR_WINDOW_US),
+        "left")
+    w_p = Window.partitionBy("pid")
+    credited = pairs.select(
+        "pid",
+        F.coalesce("channel", F.lit("direct")).alias("channel_out"),
+        F.when(F.col("channel").isNull(), F.lit(1.0))
+        .otherwise(F.lit(1.0) / F.count("*").over(w_p)).alias("credit"))
+    return (
+        credited.groupBy(F.col("channel_out").alias("channel"))
+        .agg(F.round(F.sum("credit"), 6).alias("credit"),
+             F.countDistinct("pid").alias("n_purchases"))
+    )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                   event_id, event_type
+            FROM events),
+        su AS (
+            SELECT user_id, t AS s_t, event_id AS s_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY t, event_id) AS rn
+                  FROM ev WHERE event_type = 'signup')
+            WHERE rn = 1),
+        first_p AS (
+            SELECT p.user_id, su.s_t, min(p.t) AS p_t
+            FROM ev p JOIN su ON p.user_id = su.user_id
+            WHERE p.event_type = 'purchase'
+              AND (p.t > su.s_t
+                   OR (p.t = su.s_t AND p.event_id > su.s_id))
+            GROUP BY p.user_id, su.s_t),
+        cohort AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', make_timestamp(s_t)) AS DATE)
+                       AS week
+            FROM su),
+        conv AS (
+            SELECT c.week, f.p_t - f.s_t AS delta_us
+            FROM first_p f JOIN cohort c ON f.user_id = c.user_id),
+        base AS (
+            SELECT week, count(*) AS n_signups FROM cohort GROUP BY week)
+        SELECT b.week AS cohort_week,
+               CAST(b.n_signups AS BIGINT) AS n_signups,
+               CAST(coalesce(v.n_conv, 0) AS BIGINT) AS n_converted,
+               round(CAST(coalesce(v.n_conv, 0) AS DOUBLE)
+                     / b.n_signups, 6) AS conversion_rate,
+               round(CAST(v.p50_us AS DOUBLE) / 3600000000.0, 6)
+                   AS p50_hours,
+               round(CAST(v.p90_us AS DOUBLE) / 3600000000.0, 6)
+                   AS p90_hours
+        FROM base b
+        LEFT JOIN (SELECT week, count(*) AS n_conv,
+                          quantile_disc(delta_us, 0.5) AS p50_us,
+                          quantile_disc(delta_us, 0.9) AS p90_us
+                   FROM conv GROUP BY week) v
+               ON b.week = v.week
+    """,
+    tags=("analytics", "conversion", "latency", "cohort"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase latency by weekly signup cohort — the
+    time-to-value curve next to funnel_3step's WHETHER and
+    retention_cohort_weekly's HOW LONG: for each user, the first
+    purchase STRICTLY AFTER their first signup ((ts, event_id)
+    tie-break on both ends), reported per cohort week as conversion
+    rate plus exact discrete p50/p90 of the delay.
+
+    Plan: one aggregate to per-user first-signup (min over a
+    (t, event_id) struct — the agg_argminmax idiom), one user-keyed
+    join to purchases with the strictly-after residual, and a
+    |weeks|-grain rollup; exact percentiles group the converted
+    deltas once (the agg_percentile_disc trade — at 100 TB swap for
+    the mergeable approx sketch). Determinism: all timestamps are
+    integer µs; the delay is an exact BIGINT; discrete quantiles
+    return actual data values; only the final rate/hours divisions
+    are doubles, rounded at 6."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id",
+        "event_type")
+    su = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id")
+          .agg(F.min(F.struct("t", "event_id")).alias("s")))
+    pu = (ev.filter(F.col("event_type") == "purchase")
+          .select("user_id", F.col("t").alias("pt"),
+                  F.col("event_id").alias("pid")))
+    first_p = (
+        pu.join(su, "user_id")
+        .filter((F.col("pt") > F.col("s.t"))
+                | ((F.col("pt") == F.col("s.t"))
+                   & (F.col("pid") > F.col("s.event_id"))))
+        .groupBy("user_id", F.col("s.t").alias("s_t"))
+        .agg(F.min("pt").alias("p_t")))
+    cohort = su.select(
+        "user_id",
+        F.date_trunc("week", F.timestamp_micros(F.col("s.t")))
+        .cast("date").alias("week"))
+    conv = (first_p.join(cohort, "user_id")
+            .select("week", (F.col("p_t") - F.col("s_t")).alias("delta_us")))
+    base = cohort.groupBy("week").agg(F.count("*").alias("n_signups"))
+    v = conv.groupBy("week").agg(
+        F.count("*").alias("n_conv"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_us)")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delta_us)")
+        .alias("p90_us"))
+    return (
+        base.join(v, "week", "left")
+        .select(F.col("week").alias("cohort_week"),
+                F.col("n_signups").cast("bigint").alias("n_signups"),
+                F.coalesce("n_conv", F.lit(0)).cast("bigint")
+                .alias("n_converted"),
+                F.round(F.coalesce("n_conv", F.lit(0)).cast("double")
+                        / F.col("n_signups"), 6).alias("conversion_rate"),
+                F.round(F.col("p50_us").cast("double") / 3600000000.0, 6)
+                .alias("p50_hours"),
+                F.round(F.col("p90_us").cast("double") / 3600000000.0, 6)
+                .alias("p90_hours"))
+    )

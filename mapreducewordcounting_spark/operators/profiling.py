@@ -530,3 +530,160 @@ def dq_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_term"),
         )
     )
+
+
+#: Wilson interval critical value: the conventional 95% two-sided z.
+#: An exact literal shared with the oracle so both engines square and
+#: divide the same double.
+WILSON_Z = 1.96
+
+
+@register(
+    "dq_wilson_ci",
+    oracle=f"""
+        WITH agg AS (
+            SELECT n.n_name,
+                   count(*) AS n,
+                   sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS k
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name),
+        w AS (
+            SELECT n_name, n, k,
+                   CAST(k AS DOUBLE) / n AS p,
+                   {WILSON_Z} * {WILSON_Z} AS z2
+            FROM agg)
+        SELECT n_name,
+               CAST(n AS BIGINT) AS n,
+               CAST(k AS BIGINT) AS k,
+               round(p, 6) AS return_rate,
+               round((p + z2 / (2 * n)
+                      - {WILSON_Z} * sqrt(p * (1 - p) / n
+                                          + z2 / (4.0 * n * n)))
+                     / (1 + z2 / n), 6) AS wilson_lo,
+               round((p + z2 / (2 * n)
+                      + {WILSON_Z} * sqrt(p * (1 - p) / n
+                                          + z2 / (4.0 * n * n)))
+                     / (1 + z2 / n), 6) AS wilson_hi
+        FROM w
+    """,
+    tags=("profiling", "data-quality", "confidence-interval"),
+)
+def dq_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% confidence interval on the per-nation lineitem
+    return rate (Wilson 1927) — the interval every metrics dashboard
+    should draw instead of the Wald ±z√(p(1-p)/n) band, which
+    collapses to zero width at p∈{0,1} and goes negative near the
+    edges; Wilson stays inside [0,1] and is well-defined for every
+    n ≥ 1. Emits (n, k, rate, lo, hi) per supplier nation so a
+    segment's rate can be compared against the fleet with honest
+    uncertainty (small nations get wide bands, not false alarms).
+
+    Plan: one fact-scale aggregate (supplier + nation dims broadcast
+    onto the scan — the star-join shape every tpch_q5-family query
+    uses), then the closed form is pure |nations|-row arithmetic.
+    Determinism: n and k are exact BIGINTs, p = one division, and the
+    interval is a fixed expression tree over (p, n) with a single
+    sqrt on engine-identical input — libm parity, rounded at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    agg = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+             .alias("k"))
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z2 = F.lit(WILSON_Z * WILSON_Z)
+    center = p + z2 / (2 * F.col("n"))
+    half = F.lit(WILSON_Z) * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + z2 / (4.0 * F.col("n") * F.col("n")))
+    denom = 1 + z2 / F.col("n")
+    return agg.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(p, 6).alias("return_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+#: watermark delay for the late-arrival audit (event-time µs): 10 min
+LATE_DELAY_US = 10 * 60 * 1_000_000
+
+
+@register(
+    "dq_late_arrival_audit",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t
+            FROM events),
+        wm AS (
+            SELECT event_type, t,
+                   max(t) OVER (PARTITION BY event_type
+                                ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                       - {LATE_DELAY_US} AS cutoff
+            FROM ev)
+        SELECT event_type,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN t < cutoff THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late,
+               round(CAST(sum(CASE WHEN t < cutoff THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS late_ratio,
+               CAST(coalesce(max(CASE WHEN t < cutoff
+                                      THEN (cutoff - t) // 1000000 END),
+                             0) AS BIGINT) AS max_lateness_sec
+        FROM wm
+        GROUP BY event_type
+    """,
+    tags=("profiling", "data-quality", "streaming", "watermark"),
+)
+def dq_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival audit — BEFORE committing to a watermark delay,
+    measure what it would drop: replay each event-type stream in
+    arrival order (event_id, the ingest sequence) tracking the
+    running max event time; a row is late when its event time is
+    already more than 10 minutes behind that high-water mark — the
+    exact rows ``withWatermark("ts", "10 minutes")`` would discard.
+    Emits per stream: volume, late count/ratio and the worst lateness
+    — the evidence for choosing the delay that the stream_* twins
+    then assume.
+
+    Plan: ONE keyed window pass (running max over arrival order,
+    1-PRECEDING frame so a row never vouches for itself) + the
+    stream-grain rollup on the same exchange. All arithmetic is
+    integer µs. Scale note: the audit is per stream key (here
+    event_type) so the window stays keyed at any volume; Spark's
+    actual executor watermark is the MIN across partition-local
+    maxima — strictly lower than this per-stream mark, so the audit
+    is conservative: anything it flags late, the engine would also
+    drop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_micros("ts").alias("t"))
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    wm = ev.withColumn("cutoff", F.max("t").over(w) - LATE_DELAY_US)
+    is_late = F.col("t") < F.col("cutoff")
+    return (
+        wm.groupBy("event_type")
+        .agg(F.count("*").alias("n_total"),
+             F.sum(F.when(is_late, 1).otherwise(0)).cast("bigint")
+             .alias("n_late"),
+             F.round(F.sum(F.when(is_late, 1).otherwise(0)).cast("double")
+                     / F.count("*"), 6).alias("late_ratio"),
+             F.coalesce(
+                 F.max(F.when(is_late,
+                              F.expr("(cutoff - t) div 1000000"))),
+                 F.lit(0)).cast("bigint")
+             .alias("max_lateness_sec"))
+    )

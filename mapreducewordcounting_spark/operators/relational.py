@@ -1076,3 +1076,62 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("rev_e4").cast("double") / F.max("total"), 6)
              .alias("revenue_share"))
     )
+
+
+@register(
+    "part_skyline_dominance",
+    oracle="""
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size <= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size < p.p_size))
+    """,
+    tags=("analytics", "skyline", "pareto-front", "window"),
+)
+def part_skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query over parts minimizing
+    (p_retailprice, p_size) — "show me the parts for which no other
+    part is both cheaper and smaller" (Borzsony/Kossmann/Stocker,
+    ICDE 2001). A part is dominated when some other part is <= on both
+    dimensions and strictly < on at least one; equal-(price, size)
+    twins never dominate each other, so both survive. The
+    multi-objective sibling of part_abc_pareto's single-axis
+    cumulative-share cut.
+
+    Plan shape — the textbook O(n log n) 2-D rewrite, NOT the O(n^2)
+    dominance self-join the oracle states: reduce to the distinct-
+    price grain (min size per price, one map-side-combinable
+    aggregate), take the running strict-prior minimum of that column
+    in price order (one window over the PRICE GRAIN — bounded by
+    |distinct prices|, not |parts|), and a part survives iff it holds
+    its price group's minimum size AND beats every cheaper group's
+    best. The price-grain relation re-joins the part table broadcast
+    (at 100 TB the price grain is catalog-sized while parts are not).
+    All comparisons are exact (double equality on untouched parquet
+    values, integer sizes) — no FP expression is ever synthesized, so
+    the oracle's independent NOT EXISTS formulation must agree row
+    exactly."""
+    part = load_table(spark, sf_dir, "part")
+    by_price = (part.groupBy("p_retailprice")
+                .agg(F.min("p_size").alias("min_size")))
+    w_prior = (Window.orderBy("p_retailprice")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    frontier = (
+        by_price
+        .withColumn("prior_best", F.min("min_size").over(w_prior))
+        .filter(F.col("prior_best").isNull()
+                | (F.col("min_size") < F.col("prior_best")))
+        # rename: the probe below is lineage-wise a self-join
+        .select(F.col("p_retailprice").alias("sky_price"),
+                F.col("min_size").alias("sky_size"))
+    )
+    return (
+        part.join(F.broadcast(frontier),
+                  (F.col("p_retailprice") == F.col("sky_price"))
+                  & (F.col("p_size") == F.col("sky_size")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -132,10 +132,54 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine over two list columns — the same left-to-right
+    fold order as functions/vectors.py's zip_with+aggregate, so the
+    doubles agree bit-for-bit (the similarity_topk_bruteforce
+    contract)."""
+    def sq(v: str) -> str:
+        return (f"sqrt(list_sum(list_transform({v}, "
+                f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return (f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+            f"/ ({sq(a)} * {sq(b)})")
+
+
 @register(
     "similarity_ann_ivf",
-    oracle=None,  # approximate by construction; recall-vs-bruteforce
-    # pinned in tests/test_similarity.py.
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cent_id, embedding AS cent_emb
+            FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   {_sql_cos('e.embedding', 'c.cent_emb')} AS cent_cos
+            FROM embeddings e CROSS JOIN cents c),
+        ranked AS (
+            SELECT vec_id, embedding, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cent_cos DESC, cent_id)
+                       AS crank
+            FROM scored),
+        cells AS (
+            SELECT vec_id AS neighbor_id, embedding AS c_emb, cent_id
+            FROM ranked WHERE crank = 1),
+        q_cells AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+            FROM ranked WHERE vec_id < {N_QUERIES} AND crank <= 2),
+        cand AS (
+            SELECT q.query_id, c.neighbor_id,
+                   {_sql_cos('q.q_emb', 'c.c_emb')} AS cos
+            FROM q_cells q JOIN cells c USING (cent_id)
+            WHERE q.query_id <> c.neighbor_id)
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        FROM (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id)
+                         AS rank
+              FROM cand)
+        WHERE rank <= {K}
+    """,
     tags=("similarity", "ann", "ivf", "approx"),
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +188,18 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     its nearest centroid — one scan; (2) route each query to its
     nprobe=2 closest cells; (3) exact cosine re-rank within those cells
     only. At 100 TB the partition-by-cell layout makes step 3 a pruned
-    scan (cell = partition key), not a shuffle."""
+    scan (cell = partition key), not a shuffle.
+
+    Oracled as of round 9: the construction is deterministic end to
+    end (fixed centroid seeding, cosine ranking with (score DESC, id)
+    tie-breaks), so "approximate" never meant "non-reproducible" — the
+    DuckDB twin restates the same two-stage probe and must agree row
+    exactly (both engines fold the dot product left-to-right, the
+    bruteforce precedent). Construction-mirrored, so a structure-free
+    numpy differential recomputes the whole IVF spec from the raw
+    parquet (tests/test_bruteforce_formulas.py); the recall-vs-
+    bruteforce bar in tests/test_similarity.py still pins the
+    approximation QUALITY, which the row-equal oracle cannot see."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
@@ -889,3 +944,96 @@ def embedding_matryoshka_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label", *out,
         F.size("embedding").cast("bigint").alias("n_dims"))
+
+
+#: product quantization geometry: 64-dim vectors split into 4
+#: subspaces of 16 dims; codebook = the %100-seeded vectors (the IVF
+#: seeding convention, one tier sparser).
+PQ_SUBS = 4
+PQ_SUBDIM = 16
+
+
+def _sql_subdist(vec: str, cent: str, s: int) -> str:
+    """DuckDB squared L2 distance between 16-dim subspace ``s`` of two
+    list columns — the same left-to-right fold as the Spark side."""
+    lo = s * PQ_SUBDIM
+    return (f"list_sum(list_transform(range({lo + 1}, {lo + PQ_SUBDIM + 1}), "
+            f"i -> (CAST({vec}[i] AS DOUBLE) - CAST({cent}[i] AS DOUBLE))"
+            f" * (CAST({vec}[i] AS DOUBLE) - CAST({cent}[i] AS DOUBLE))))")
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+        WITH cb AS (
+            SELECT vec_id AS cent_id, embedding AS cent_emb
+            FROM embeddings WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT e.vec_id, c.cent_id,
+                   {_sql_subdist('e.embedding', 'c.cent_emb', 0)} AS d0,
+                   {_sql_subdist('e.embedding', 'c.cent_emb', 1)} AS d1,
+                   {_sql_subdist('e.embedding', 'c.cent_emb', 2)} AS d2,
+                   {_sql_subdist('e.embedding', 'c.cent_emb', 3)} AS d3
+            FROM embeddings e CROSS JOIN cb c)
+        SELECT vec_id,
+               (min(struct_pack(d := d0, c := cent_id))).c AS code_0,
+               (min(struct_pack(d := d1, c := cent_id))).c AS code_1,
+               (min(struct_pack(d := d2, c := cent_id))).c AS code_2,
+               (min(struct_pack(d := d3, c := cent_id))).c AS code_3,
+               round(min(d0) + min(d1) + min(d2) + min(d3), 6)
+                   AS recon_err
+        FROM scored
+        GROUP BY vec_id
+    """,
+    tags=("similarity", "pq", "quantization", "ann"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al. 2011 — the
+    memory tier under every serious ANN index): each 64-dim embedding
+    splits into 4 subspaces of 16 dims, each subspace snaps to its
+    nearest codebook entry (squared L2, ties to the lower centroid
+    id), and the vector is thereafter 4 small codes instead of 64
+    floats. Emits the per-vector code tuple plus the total squared
+    reconstruction error — the PQ fidelity dial, read next to
+    embedding_matryoshka_error's truncation cost and
+    embedding_quantize_int8's scalar tier.
+
+    Plan: codebook = the %100-seeded vectors (deterministic, the IVF
+    convention) broadcast against ONE corpus scan; all 4 subspace
+    distances come out of the same crossJoin row (the pass is shared,
+    not 4 scans), then one vec_id-grain aggregate takes the 4 argmins
+    — min(struct(dist, cent_id)), the agg_argminmax idiom — and the
+    error sum. At 100 TB this is a map-side-combinable aggregate over
+    |vectors| x |codebook| rows with the payload never shuffling
+    (only distances and ids leave the map stage). Determinism: each
+    subspace distance is a fixed-order 16-term fold (bit-identical on
+    both engines, the IVF/bruteforce contract); argmin compares those
+    doubles exactly with the id tie-break; recon_err sums exactly 4
+    doubles in fixed order, rounded at 6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"))
+
+    def subdist(s: int):
+        lo = s * PQ_SUBDIM
+        sub = lambda c: F.slice(c, lo + 1, PQ_SUBDIM)  # noqa: E731
+        return F.aggregate(
+            F.zip_with(sub(F.col("embedding")), sub(F.col("cent_emb")),
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda acc, d: acc + d)
+
+    scored = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "cent_id",
+        *[subdist(s).alias(f"d{s}") for s in range(PQ_SUBS)])
+    picks = [
+        F.min(F.struct(F.col(f"d{s}"), F.col("cent_id")))
+        .alias(f"m{s}") for s in range(PQ_SUBS)]
+    agg = scored.groupBy("vec_id").agg(*picks)
+    return agg.select(
+        "vec_id",
+        *[F.col(f"m{s}.cent_id").alias(f"code_{s}")
+          for s in range(PQ_SUBS)],
+        F.round(sum(F.col(f"m{s}.d{s}") for s in range(PQ_SUBS)), 6)
+        .alias("recon_err"))

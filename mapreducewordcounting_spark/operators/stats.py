@@ -28,7 +28,7 @@ rerun-determinism of these profiles does not depend on partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
@@ -385,3 +385,61 @@ def agg_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("cents")).otherwise(F.lit(0)))
                 .cast("double") / s, 6).alias("bottom_half_share"),
     )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+        WITH c AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+        m AS (
+            SELECT seg, cents,
+                   CAST(sum(cents) OVER (PARTITION BY seg) AS DOUBLE)
+                       / count(*) OVER (PARTITION BY seg) AS mu,
+                   count(*) OVER (PARTITION BY seg) AS n
+            FROM c)
+        SELECT seg,
+               CAST(max(n) AS BIGINT) AS n_pos,
+               round(max(mu) / 100, 6) AS mean_balance,
+               round(sum((cents / mu) * ln(cents / mu)) / max(n), 6)
+                   AS theil_t
+        FROM m
+        GROUP BY seg
+    """,
+    tags=("aggregation", "stats", "inequality", "theil"),
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index per market segment —
+    ``T = (1/n)·Σ (x/μ)·ln(x/μ)`` (Theil 1967): 0 for perfect
+    equality, ln(n) at total concentration, and unlike
+    agg_gini_lorenz's Gini it is additively DECOMPOSABLE
+    (within-group + between-group terms sum to the population index),
+    which is why economic monitors report both. Defined on positive
+    values only, so non-positive balances are excluded and the row
+    count reported is the positive-support n.
+
+    Determinism: values enter as exact integer cents (the Gini rule);
+    μ is an exact BIGINT sum / count in one division, so every
+    (x/μ)·ln(x/μ) term is computed from bit-identical doubles (libm
+    ln parity) — only the final Σ is an unordered double sum, rounded
+    at 6 (the agg_regression contract). Plan: one exchange on the
+    segment key shared by the window pair and the rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    c = (cust.select(F.col("c_mktsegment").alias("seg"),
+                     cents.alias("cents"))
+         .filter(F.col("cents") > 0))
+    w = Window.partitionBy("seg")
+    m = c.select(
+        "seg", "cents",
+        (F.sum("cents").over(w).cast("double")
+         / F.count("*").over(w)).alias("mu"),
+        F.count("*").over(w).alias("n"))
+    term = (F.col("cents") / F.col("mu")) * F.log(F.col("cents") / F.col("mu"))
+    return m.groupBy("seg").agg(
+        F.max("n").cast("bigint").alias("n_pos"),
+        F.round(F.max("mu") / 100, 6).alias("mean_balance"),
+        F.round(F.sum(term) / F.max("n"), 6).alias("theil_t"))

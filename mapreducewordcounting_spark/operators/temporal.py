@@ -952,3 +952,77 @@ def time_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.min("value"), 6).alias("low"),
              F.round(F.max(mark)["v"], 6).alias("close"))
     )
+
+
+@register(
+    "time_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1),
+        tr AS (
+            SELECT day, n,
+                   CASE WHEN count(*) OVER w7 = 7
+                        THEN CAST(sum(n) OVER w7 AS DOUBLE) / 7
+                   END AS trend
+            FROM daily
+            WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                               AND 3 FOLLOWING)),
+        det AS (
+            SELECT day, n, trend, dayofweek(day) AS dow,
+                   n - trend AS detrended
+            FROM tr),
+        seas AS (
+            SELECT dow, avg(detrended) AS seasonal
+            FROM det WHERE trend IS NOT NULL GROUP BY dow)
+        SELECT d.day, CAST(d.n AS BIGINT) AS n,
+               round(d.trend, 6) AS trend,
+               round(s.seasonal, 6) AS seasonal,
+               round(d.detrended - s.seasonal, 6) AS remainder
+        FROM det d LEFT JOIN seas s USING (dow)
+    """,
+    tags=("temporal", "seasonal", "decomposition", "window"),
+)
+def time_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    series — observed = trend + weekly seasonal + remainder (the
+    moving-average construction of Macaulay 1931 / the 'decompose'
+    step every anomaly monitor runs before alerting, so a Monday
+    surge isn't flagged as drift): trend is the CENTERED 7-day moving
+    average (NULL at the edges — never extrapolated, the
+    time_interpolate_linear edge policy), weekly seasonality is the
+    mean detrended value per day-of-week over interior days, and the
+    remainder is what drift_psi_value / time_cusum_changepoint should
+    actually be watching.
+
+    Plan shape: one fact-scale aggregate to the DAY grain, then every
+    window runs on the calendar-bounded grid (|days| rows — the
+    dq_benford single-partition-window argument: a 100 TB year is
+    still 365 rows here); the seasonal means are a ≤7-row aggregate
+    broadcast back onto the grid. Determinism: trend = exact BIGINT
+    frame sum / 7 (one division, no running float state); day-of-week
+    labels differ across engines (Spark 1=Sun, DuckDB 0=Sun) but are
+    internal grouping keys only — a bijection over the same partition
+    of days (the profile_mutual_information precedent); the seasonal
+    mean is a ≤|interior days|/7-term double sum rounded at 6."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n")))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day", "n",
+        F.when(F.count("*").over(w7) == 7,
+               F.sum("n").over(w7).cast("double") / 7).alias("trend"))
+    det = tr.select(
+        "day", "n", "trend", F.dayofweek("day").alias("dow"),
+        (F.col("n") - F.col("trend")).alias("detrended"))
+    seas = (det.filter(F.col("trend").isNotNull())
+            .groupBy("dow").agg(F.avg("detrended").alias("seasonal")))
+    return (
+        det.join(F.broadcast(seas), "dow", "left")
+        .select("day", F.col("n").cast("bigint").alias("n"),
+                F.round("trend", 6).alias("trend"),
+                F.round("seasonal", 6).alias("seasonal"),
+                F.round(F.col("detrended") - F.col("seasonal"), 6)
+                .alias("remainder"))
+    )

@@ -1638,3 +1638,80 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("n_bpe").cast("double") / F.sum("n_words"), 6)
              .alias("fertility"))
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+        WITH t AS ({_SQL_TOKS}),
+        wc AS (
+            SELECT lang, unnest(toks) AS word FROM t),
+        counts AS (
+            SELECT lang, word, count(*) AS cnt
+            FROM wc GROUP BY lang, word),
+        ranked AS (
+            SELECT lang,
+                   ln(row_number() OVER (PARTITION BY lang
+                                         ORDER BY cnt DESC, word)) AS x,
+                   ln(cnt) AS y
+            FROM counts),
+        sums AS (
+            SELECT lang, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM ranked GROUP BY lang)
+        SELECT lang,
+               CAST(n AS BIGINT) AS n_words,
+               round((n * sxy - sx * sy)
+                     / nullif(n * sxx - sx * sx, 0.0), 6) AS zipf_slope,
+               round((sy - (n * sxy - sx * sy)
+                           / nullif(n * sxx - sx * sx, 0.0) * sx)
+                     / n, 6) AS zipf_intercept
+        FROM sums
+    """,
+    tags=("text", "zipf", "corpus-stats", "regression"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope of ln(frequency) against
+    ln(rank) over the word-frequency table. Natural text sits near
+    slope -1 (Zipf 1949); a corpus whose slope collapses toward 0 is
+    template/boilerplate-heavy and one that steepens past -1.5 has a
+    degenerate head — the single-number corpus-health dial next to
+    quality_filter_report's per-doc rules, and the distribution check
+    a tokenizer-budget plan (text_tokenizer_fertility) assumes.
+
+    Plan shape: the flagship word count grouped by (lang, word) — one
+    fact-scale exchange, map-side combined — then ranking is one
+    window per lang over the VOCABULARY grain (rank ties broken
+    (cnt DESC, word), the repo's discipline) and the OLS fold is a
+    per-lang aggregate of five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) — algebraic, order-independent in exact arithmetic, the
+    agg_regression pattern; ln enters on engine-identical integer
+    inputs (libm parity) and everything is rounded at 6 after the
+    closed form."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang",
+                    F.explode(tokenize_canonical("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = counts.select(
+        "lang",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"))
+    sums = ranked.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    # nullif: a single-word vocabulary has zero rank variance — the
+    # fit is undefined there, not a divide-by-zero
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / F.nullif(F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx"), F.lit(0.0)))
+    return sums.select(
+        "lang", F.col("n").alias("n_words"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("zipf_intercept"))

@@ -1381,3 +1381,214 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.groupBy(F.col("l").alias("l_distinct")).agg(
         F.count("*").alias("n_classes"),
         F.sum("n_records").cast("bigint").alias("n_records"))
+
+
+#: deterministic-Laplace DP release: privacy budget epsilon (sensitivity
+#: of a count under add/remove-one is 1, so scale b = 1/epsilon)
+DP_EPSILON = 1.0
+
+
+@register(
+    "privacy_dp_laplace_det",
+    oracle=f"""
+        WITH cnt AS (
+            SELECT n.n_name,
+                   count(c.c_custkey) AS true_n
+            FROM nation n
+            LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name),
+        seeded AS (
+            SELECT n_name, true_n,
+                   (CAST(CAST(('0x' || substr(md5('dp:' || n_name), 1, 13))
+                              AS UBIGINT) AS DOUBLE) + 0.5)
+                       / 4503599627370496.0 AS u
+            FROM cnt),
+        noised AS (
+            SELECT n_name, true_n,
+                   -(1.0 / {DP_EPSILON})
+                   * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+            FROM seeded)
+        SELECT n_name,
+               CAST(true_n AS BIGINT) AS true_n,
+               round(noise, 6) AS noise,
+               round(true_n + noise, 6) AS released_n
+        FROM noised
+    """,
+    tags=("privacy", "differential-privacy", "governance"),
+)
+def privacy_dp_laplace_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork et al. 2006) with a
+    DETERMINISTIC Laplace draw — per-nation customer counts plus
+    Laplace(1/epsilon) noise, epsilon=1, sensitivity 1. The third rung
+    of the release-governance ladder: privacy_k_anonymity generalizes,
+    privacy_l_diversity audits homogeneity, and this releases noisy
+    aggregates with a provable budget. A production release swaps the
+    seed for a fresh secret draw; everything else — inverse-CDF,
+    sensitivity bookkeeping, the release shape — is identical, which
+    is exactly what the oracle needs pinned (the sample_seeded
+    precedent: determinism is a test-harness property, the operator
+    structure is the deliverable).
+
+    The draw: u = (md5('dp:'||key)[52 bits] + 0.5) / 2^52 — a dyadic
+    rational strictly inside (0,1), engine-exact, never 0.5 (u=0.5
+    would need integer+0.5 = 2^51) so the inverse CDF
+    noise = -(1/eps)·sign(u-0.5)·ln(1-2|u-0.5|) never hits ln(0) and
+    the sign CASE never sees its boundary. ln runs on bit-identical
+    inputs (libm parity, the probe_fn contract). Plan: ONE
+    customer-scale aggregate down to the |nations| grain FIRST, then
+    the 25-row nation dim LEFT JOINs the broadcast counts (every
+    category must appear in a DP release — absence itself leaks, so
+    zero-customer nations get true_n = 0 and their own noise draw),
+    then pure map arithmetic on |nations| rows."""
+    nat = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    per_key = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"))
+    cnt = (nat.join(F.broadcast(per_key),
+                    nat.n_nationkey == per_key.c_nationkey, "left")
+           .select("n_name",
+                   F.coalesce("n_cust", F.lit(0)).alias("true_n")))
+    i52 = F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("n_name"))),
+                             1, 13), 16, 10).cast("bigint")
+    u = (i52.cast("double") + F.lit(0.5)) / F.lit(4503599627370496.0)
+    seeded = cnt.withColumn("u", u)
+    noise = (F.lit(-1.0 / DP_EPSILON)
+             * F.when(F.col("u") >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("u") - F.lit(0.5))))
+    return (
+        seeded.withColumn("noise", noise)
+        .select("n_name",
+                F.col("true_n").cast("bigint").alias("true_n"),
+                F.round("noise", 6).alias("noise"),
+                F.round(F.col("true_n") + F.col("noise"), 6)
+                .alias("released_n"))
+    )
+
+
+#: Neyman allocation: total sampling budget (documents), deliberately
+#: far below |documents| at every SF so quotas are a real decision.
+NEYMAN_BUDGET = 100
+
+
+@register(
+    "sample_stratified_neyman",
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS sx,
+                   sum(n_chars * n_chars) AS sxx
+            FROM documents GROUP BY source),
+        w AS (
+            SELECT source, n_docs,
+                   sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           / n_docs) / n_docs) AS sd,
+                   n_docs * sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           / n_docs) / n_docs) AS wt
+            FROM s),
+        t AS (
+            SELECT *, max(cum) OVER () AS total
+            FROM (SELECT *, sum(wt) OVER (ORDER BY source
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+                  FROM w)),
+        eff AS (
+            -- all-constant strata (sd = 0 everywhere) degenerate to
+            -- equal weights so the budget still allocates
+            SELECT source, n_docs, sd,
+                   CASE WHEN total = 0 THEN 1.0 ELSE wt END AS wt,
+                   CASE WHEN total = 0
+                        THEN count(*) OVER () * 1.0
+                        ELSE total END AS total
+            FROM t),
+        base AS (
+            SELECT source, n_docs, sd,
+                   CAST(floor({NEYMAN_BUDGET} * wt / total) AS BIGINT)
+                       AS quota_floor,
+                   {NEYMAN_BUDGET} * wt / total
+                       - floor({NEYMAN_BUDGET} * wt / total) AS frac
+            FROM eff),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY frac DESC, source)
+                       AS rnk,
+                   {NEYMAN_BUDGET} - sum(quota_floor) OVER ()
+                       AS leftover
+            FROM base)
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               round(sd, 6) AS char_sd,
+               CAST(quota_floor + CASE WHEN rnk <= leftover
+                                       THEN 1 ELSE 0 END AS BIGINT)
+                   AS quota
+        FROM ranked
+    """,
+    tags=("sampling", "training-pipeline", "stratified", "neyman"),
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (Neyman 1934):
+    split a fixed budget of NEYMAN_BUDGET (100) documents across sources
+    with n_h ∝ N_h·S_h — high-variance strata get proportionally MORE
+    than their row share, which minimizes the variance of the sampled
+    estimate at fixed cost. The principled upgrade to
+    sample_stratified_hash's proportional split, and the allocation
+    step a quality-weighted corpus sampler runs before
+    sample_token_budget_mix fills the quotas.
+
+    Integer-exactness discipline (the token-budget-mix rule): the
+    fractional shares are doubles, but the DECISION is all-integer —
+    floor quotas plus largest-remainder top-up, where the leftover is
+    an exact integer (budget − Σ floors) and the top-up rank breaks
+    frac ties on the source name, so Σ quota == budget by construction
+    on both engines. Per-stratum stddev comes from exact BIGINT
+    sufficient statistics (Σx, Σx² — n_chars sums stay under 2^53
+    here; at crawl scale both cast to DECIMAL(38) with no structural
+    change) cast to double at one point, and the weight normalizer is
+    a LEFT-TO-RIGHT cumulative fold over the |sources| grid (the
+    time_cusum_changepoint trick) — never an unordered float sum.
+    Plan: one fact-scale aggregate to |sources| rows; everything after
+    is grid arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"))
+    var = ((F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+            / F.col("n_docs")) / F.col("n_docs"))
+    w = s.select("source", "n_docs", F.sqrt(var).alias("sd"),
+                 (F.col("n_docs") * F.sqrt(var)).alias("wt"))
+    w_cum = (Window.orderBy("source")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = (w.withColumn("cum", F.sum("wt").over(w_cum))
+         .withColumn("total", F.max("cum").over(Window.partitionBy())))
+    # all-constant strata (sd = 0 everywhere) degenerate to equal
+    # weights so the budget still allocates
+    t = t.select(
+        "source", "n_docs", "sd",
+        F.when(F.col("total") == 0, F.lit(1.0)).otherwise(F.col("wt"))
+        .alias("wt"),
+        F.when(F.col("total") == 0,
+               F.count("*").over(Window.partitionBy()) * F.lit(1.0))
+        .otherwise(F.col("total")).alias("total"))
+    share = F.lit(NEYMAN_BUDGET) * F.col("wt") / F.col("total")
+    base = t.select(
+        "source", "n_docs", "sd",
+        F.floor(share).cast("bigint").alias("quota_floor"),
+        (share - F.floor(share)).alias("frac"))
+    ranked = (base
+              .withColumn("rnk", F.row_number().over(
+                  Window.orderBy(F.desc("frac"), F.asc("source"))))
+              .withColumn("leftover",
+                          F.lit(NEYMAN_BUDGET)
+                          - F.sum("quota_floor").over(Window.partitionBy())))
+    return ranked.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("sd", 6).alias("char_sd"),
+        (F.col("quota_floor")
+         + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint").alias("quota"))

@@ -305,3 +305,129 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(n % 2 == 1, mid).otherwise(even), 6)
         .alias("rolling_median"),
     )
+
+
+#: EWMA decay: smoothing factor alpha = 0.3, so each step back in time
+#: carries (1 - alpha) = 0.7 of the next-newer weight.
+EWMA_DECAY = 0.7
+
+
+@register(
+    "window_ewma_smooth",
+    oracle=f"""
+        WITH framed AS (
+            SELECT event_id, user_id,
+                   list(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 9 PRECEDING
+                                              AND CURRENT ROW) AS vs
+            FROM events)
+        SELECT event_id, user_id,
+               round(
+                   list_sum(list_transform(range(1, len(vs) + 1),
+                       i -> vs[i] * pow({EWMA_DECAY}, len(vs) - i)))
+                   / ((1 - pow({EWMA_DECAY}, len(vs)))
+                      / (1 - {EWMA_DECAY})), 6) AS ewma
+        FROM framed
+    """,
+    tags=("window", "ewma", "smoothing"),
+)
+def window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's value
+    series (trailing 10-row frame, alpha = 0.3, normalized weights —
+    pandas ``ewm(adjust=True)`` semantics): the smoother that reacts
+    to level shifts faster than the flat rolling mean and without the
+    rolling median's lag, completing the smoothing trio beside
+    window_rolling_zscore and window_rolling_median.
+
+    Spark has no frame-EWMA builtin, so the frame materializes as an
+    ordered ≤10-element array (``collect_list`` over the frame — frame
+    order IS list order, the contract probe_fn_list_agg_order pins)
+    and the weighted sum is one HOF pass: ``transform`` with the
+    positional lambda gives each element weight 0.7^(n-1-i) (newest =
+    1), and the normalizer is the closed-form geometric sum
+    (1 - 0.7^n) / 0.3 — no running float state, so both engines fold
+    the same ≤10 doubles in the same order (libm pow parity).
+
+    Scale: one (user_id) exchange, O(k) per-row frame buffer — the
+    window_rolling_median trade, with the same sketch swap available
+    for large k."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-9, Window.currentRow))
+    vs = F.collect_list("value").over(w)
+    n = F.size(vs)
+    num = F.aggregate(
+        F.zip_with(vs, F.sequence(F.lit(1), n),
+                   lambda x, i: x * F.pow(F.lit(EWMA_DECAY),
+                                          (n - i).cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    den = (1 - F.pow(F.lit(EWMA_DECAY), n.cast("double"))) / (1 - EWMA_DECAY)
+    return ev.select(
+        "event_id", "user_id",
+        F.round(num / den, 6).alias("ewma"))
+
+
+@register(
+    "window_anchored_vwap",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CAST(ts AS DATE) AS day,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                   CAST(value AS DECIMAL(18,6)) AS px,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS qty
+            FROM events),
+        c AS (
+            SELECT event_id, event_type, day,
+                   sum(px * qty) OVER w AS cum_pq,
+                   sum(qty) OVER w AS cum_q
+            FROM ev
+            WINDOW w AS (PARTITION BY event_type, day ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))
+        SELECT event_id,
+               CAST(cum_q AS BIGINT) AS cum_qty,
+               round(CAST(cum_pq AS DOUBLE) / nullif(cum_q, 0), 6)
+                   AS vwap
+        FROM c
+    """,
+    tags=("window", "vwap", "running", "decimal"),
+)
+def window_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored VWAP — the volume-weighted average price from each
+    (event_type, day) session open up to every event, the execution
+    benchmark every trading/pricing pipeline recomputes per tick:
+    ``Σ(price·qty) / Σqty`` over the session prefix. Price is the
+    event value, quantity comes out of the JSON props payload
+    (exercising the JSON path inside a window pipeline — extract
+    once, window over the result).
+
+    Exactness discipline (the pagerank decimal rule): price is cast
+    to DECIMAL(18,6) — one correctly-rounded conversion, identical on
+    both engines — so BOTH running sums are exact decimal/integer
+    arithmetic, order-independent; the single double appears in the
+    final division, rounded at 6. One (type, day)-keyed exchange,
+    O(1) per-row frame state — the cumulative-window shape
+    window_running_total pins, upgraded with real money semantics."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("t"),
+        F.col("value").cast("decimal(18,6)").alias("px"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("qty"))
+    w = (Window.partitionBy("event_type", "day").orderBy("t", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = ev.select(
+        "event_id",
+        F.sum(F.col("px") * F.col("qty")).over(w).alias("cum_pq"),
+        F.sum("qty").over(w).alias("cum_q"))
+    return c.select(
+        "event_id",
+        F.col("cum_q").cast("bigint").alias("cum_qty"),
+        # nullif: a session prefix of zero-quantity ticks has no VWAP
+        # (ANSI mode would otherwise raise on the division)
+        F.round(F.col("cum_pq").cast("double")
+                / F.nullif(F.col("cum_q"), F.lit(0)), 6)
+        .alias("vwap"))

@@ -59,11 +59,29 @@ def register(name: str, oracle: str | None = None,
 #       dq_benford_distribution, attribution_last_touch,
 #       privacy_l_diversity, text_tokenizer_fertility,
 #       embedding_matryoshka_error, graph_wcc_trade;
-#   (3) positions 34-35: the 2-entry probe canary kept every round
+#   (2b) positions 34-47: the 16 oracled queries from the round-9
+#       continuation batches (part_skyline_dominance,
+#       attribution_linear_multi_touch, time_cusum_changepoint,
+#       text_zipf_slope, privacy_dp_laplace_det,
+#       time_seasonal_decompose, dq_wilson_ci, window_ewma_smooth,
+#       graph_jaccard_link_pred, embedding_pq_codes,
+#       source_binary_files, sample_stratified_neyman,
+#       dq_late_arrival_audit — the other two batch-3 oracled ops,
+#       graph_degree_assortativity and events_time_to_convert, sit
+#       right behind the canary at positions 50-51 to head the r10
+#       rotation, since 48 coverage slots were already full) plus
+#       similarity_ann_ivf, whose
+#       deterministic construction gained a full DuckDB oracle this
+#       round (it was rows-only) — windowed the round they shipped,
+#       displacing the 12 lowest-loss rows-only tails (the live
+#       streaming forms whose oracled batch twins are already
+#       externally green, kmeans/BPE whose invariant suites are
+#       pinned locally) to head the r10 rotation;
+#   (3) positions 48-49: the 2-entry probe canary kept every round
 #       (env version readout + the deliberate uncast-HUGEINT sentinel
 #       whose hash-fail IS the measurement — it guards against a
 #       silent driver-side DuckDB upgrade);
-#   (4) positions 36-49: 14 of the 21 never-sampled ROWS-ONLY queries
+#   (4) the never-sampled ROWS-ONLY queries
 #       (streaming live forms, kmeans, RNG sampling,
 #       text_bpe_learn_merges — VERDICT r7 item 3 / r8 item 4), each
 #       getting its first external rows_match row. The seven displaced
@@ -90,12 +108,18 @@ _PRIORITY: tuple[str, ...] = (
     'agg_bitmap_distinct', 'stream_session_gap_batch_twin', 'text_boilerplate_lines', 'dedup_paragraph_exact',
     'sql_recursive_cte_bfs', 'source_orc_roundtrip', 'pii_luhn_validate', 'quality_lm_buckets',
     'dq_benford_distribution', 'attribution_last_touch', 'privacy_l_diversity', 'text_tokenizer_fertility',
-    'embedding_matryoshka_error', 'graph_wcc_trade', 'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast',
+    'embedding_matryoshka_error', 'graph_wcc_trade', 'part_skyline_dominance', 'attribution_linear_multi_touch',
+    'time_cusum_changepoint', 'text_zipf_slope', 'privacy_dp_laplace_det', 'similarity_ann_ivf',
+    'time_seasonal_decompose', 'dq_wilson_ci', 'window_ewma_smooth', 'graph_jaccard_link_pred',
+    'embedding_pq_codes', 'source_binary_files', 'sample_stratified_neyman', 'dq_late_arrival_audit',
+    'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast',
+    'graph_degree_assortativity', 'events_time_to_convert', 'agg_theil_index', 'window_anchored_vwap',
+    'dedup_cdc_chunking',
     'sketch_count_min', 'sketch_hll_union', 'agg_percentile_approx', 'text_vocab_approx',
     'text_bpe_learn_merges', 'kmeans_embeddings', 'pack_sequences_greedy', 'stream_tumbling',
     'stream_dedup', 'stream_stateful_counter', 'stream_static_join', 'stream_stream_join',
     'stream_incremental_ingest', 'stream_stream_outer_join', 'stream_stream_full_outer_join', 'text_tfidf_ml',
-    'dedup_minhash_lsh', 'dedup_simhash', 'similarity_ann_lsh', 'similarity_ann_ivf',
+    'dedup_minhash_lsh', 'dedup_simhash', 'similarity_ann_lsh',
     'stream_stateful_session_gap', 'tpch_q1_pricing_summary', 'tpch_q5_local_supplier_volume', 'fn_try_arithmetic',
     'wordcount_canonical', 'dedup_minhash_det', 'tpch_q6_forecast_revenue', 'tpch_q14_promo_revenue',
     'tpch_q15_top_supplier', 'tpch_q16_supplier_part_counts', 'tpch_q19_disjunctive_revenue', 'tpch_q22_dormant_customers',

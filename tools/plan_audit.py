@@ -76,6 +76,11 @@ BNL_ALLOWED = {
     "stream_full_outer_join_batch_twin": "1-row (joint-watermark "
                                          "cutoff)",
     "similarity_ann_ivf": "K-row (IVF centroid table)",
+    "embedding_pq_codes": "K-row (PQ codebook table — pair space is "
+                          "n·|codebook| with the codebook config-"
+                          "sized, the IVF centroid shape)",
+    "graph_degree_assortativity": "1-row (node-count global aggregate "
+                                  "attached to the 1-row stats fold)",
     "similarity_topk_bruteforce": "K-row (query vector set)",
     "similarity_hybrid_rrf": "K-row (query vector set, semantic scan "
                              "side; the lexical side is an equi-join "
