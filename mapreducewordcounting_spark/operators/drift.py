@@ -18,7 +18,7 @@ exactly reproducible on any engine and fully DuckDB-oracled.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
@@ -290,3 +290,109 @@ def time_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("mu", 6).alias("mean_daily"),
                 "n_days")
     )
+
+
+@register(
+    "dq_ks_two_sample",
+    oracle="""
+        WITH se AS (
+            SELECT event_type, value,
+                   CAST(extract(epoch FROM date_trunc('second', ts))
+                        AS BIGINT) AS s
+            FROM events),
+        split AS (SELECT (min(s) + max(s)) // 2 AS mid FROM se),
+        lab AS (
+            SELECT event_type, value,
+                   s <= (SELECT mid FROM split) AS is_ref
+            FROM se),
+        g AS (
+            SELECT event_type, value,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_r,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_c
+            FROM lab GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, value,
+                   sum(n_r) OVER w AS cum_r,
+                   sum(n_c) OVER w AS cum_c,
+                   sum(n_r) OVER (PARTITION BY event_type) AS nr,
+                   sum(n_c) OVER (PARTITION BY event_type) AS nc
+            FROM g
+            WINDOW w AS (PARTITION BY event_type ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)),
+        d AS (
+            SELECT event_type, value, nr, nc,
+                   abs(CAST(cum_r AS DOUBLE) / nr
+                       - CAST(cum_c AS DOUBLE) / nc) AS dd
+            FROM cum)
+        SELECT event_type,
+               CAST(nr AS BIGINT) AS n_ref,
+               CAST(nc AS BIGINT) AS n_cur,
+               round(dd, 6) AS ks_d,
+               round(1.358 * sqrt((nr + nc) * 1.0 / (nr * nc)), 6)
+                   AS crit_95,
+               dd > 1.358 * sqrt((nr + nc) * 1.0 / (nr * nc))
+                   AS drifted
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY dd DESC, value)
+                          AS rn
+              FROM d)
+        WHERE rn = 1
+    """,
+    tags=("drift", "monitoring", "ks-test", "stats"),
+)
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per event type —
+    the NONPARAMETRIC sibling of drift_psi_value (same
+    reference/current time-midpoint split): D = max |ECDF_ref −
+    ECDF_cur| over the merged value axis, reported with the 95%
+    critical value 1.358·√((n+m)/nm) and the drift verdict. PSI needs
+    a bucket grid and a smoothing constant; KS needs neither, so the
+    pair brackets parametric-assumption risk in both directions.
+
+    Plan: one (type, value)-grain aggregate off the scan, then BOTH
+    cumulative counts and both totals ride a single event_type
+    exchange (cumulative window + partition totals + arg-max rank
+    share it). Determinism: ECDF steps are exact integer cumulative
+    counts over the (value) order divided by exact totals —
+    bit-identical doubles on both engines — and the arg-max row
+    tie-breaks on the smallest value. At 100 TB the (type, value)
+    grain IS the ECDF support; for continuous high-cardinality values
+    swap the exact grain for the agg_quantile_hist_est binned summary
+    (binned KS), same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    se = ev.select(
+        "event_type", "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+        .cast("bigint").alias("s"))
+    mid = se.agg(F.expr("(min(s) + max(s)) div 2").alias("mid"))
+    lab = se.crossJoin(F.broadcast(mid)).select(
+        "event_type", "value", (F.col("s") <= F.col("mid")).alias("is_ref"))
+    g = lab.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_r"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_c"))
+    w_cum = (Window.partitionBy("event_type").orderBy("value")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type", "value",
+        F.sum("n_r").over(w_cum).alias("cum_r"),
+        F.sum("n_c").over(w_cum).alias("cum_c"),
+        F.sum("n_r").over(w_all).alias("nr"),
+        F.sum("n_c").over(w_all).alias("nc"))
+    dd = F.abs(F.col("cum_r").cast("double") / F.col("nr")
+               - F.col("cum_c").cast("double") / F.col("nc"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("nr") + F.col("nc")) * F.lit(1.0)
+        / (F.col("nr") * F.col("nc")))
+    d = cum.withColumn("dd", dd)
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc("dd"), F.asc("value"))
+    return (d.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("event_type",
+                    F.col("nr").cast("bigint").alias("n_ref"),
+                    F.col("nc").cast("bigint").alias("n_cur"),
+                    F.round("dd", 6).alias("ks_d"),
+                    F.round(crit, 6).alias("crit_95"),
+                    (F.col("dd") > crit).alias("drifted")))

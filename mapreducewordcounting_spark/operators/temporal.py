@@ -1026,3 +1026,71 @@ def time_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("detrended") - F.col("seasonal"), 6)
                 .alias("remainder"))
     )
+
+
+@register(
+    "time_downsample_m4",
+    oracle="""
+        WITH ev AS (
+            SELECT event_type,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                   event_id, value
+            FROM events),
+        pts AS (
+            SELECT event_type, bucket,
+                   min(value) AS v_min,
+                   max(value) AS v_max,
+                   count(*) AS n_points,
+                   (min(struct_pack(a := t, b := event_id,
+                                    c := value))).c AS v_first,
+                   (max(struct_pack(a := t, b := event_id,
+                                    c := value))).c AS v_last
+            FROM ev GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(extract(epoch FROM bucket) AS BIGINT) AS bucket_s,
+               CAST(n_points AS BIGINT) AS n_points,
+               v_first, v_min, v_max, v_last
+        FROM pts
+    """,
+    tags=("temporal", "downsampling", "m4", "timeseries"),
+)
+def time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014 — the
+    width-aware reduction every monitoring dashboard runs before
+    plotting): per (series, pixel-bucket) keep exactly the FOUR
+    points that determine the rendered line — first, min, max, last —
+    so a million-point series draws pixel-identically from a few
+    hundred rows. Buckets here are hours per event_type; first/last
+    ride the (t, event_id) arrival order via lexicographic struct
+    min/max (the agg_argminmax idiom — no window, no sort), so the
+    whole operator is ONE map-side-combinable aggregate.
+
+    Determinism: values pass through untouched (no float arithmetic
+    anywhere — min/max/first/last are selections, the probe_type
+    double contract), counts are exact, and the struct tie-break on
+    (t, event_id) is total. At 100 TB this is the canonical
+    pre-aggregation shape: grid size = |series|·|buckets|, independent
+    of point volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.unix_micros("ts").alias("t"),
+        "event_id", "value")
+    return (
+        ev.groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_points"),
+             F.min(F.struct("t", "event_id", "value")).alias("fst"),
+             F.max(F.struct("t", "event_id", "value")).alias("lst"),
+             F.min("value").alias("v_min"),
+             F.max("value").alias("v_max"))
+        .select("event_type",
+                # epoch seconds, not a raw TIMESTAMP: the portable
+                # output-type contract (test_output_type_contract)
+                F.unix_timestamp("bucket").cast("bigint")
+                .alias("bucket_s"),
+                "n_points",
+                F.col("fst.value").alias("v_first"),
+                "v_min", "v_max",
+                F.col("lst.value").alias("v_last"))
+    )

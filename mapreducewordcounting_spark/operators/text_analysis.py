@@ -1715,3 +1715,86 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
         .alias("zipf_intercept"))
+
+
+#: novelty curve: shingle width and number of corpus-position buckets
+NOVELTY_NGRAM = 8
+NOVELTY_BUCKETS = 10
+
+
+@register(
+    "text_ngram_novelty_curve",
+    oracle=f"""
+        WITH t AS ({{toks}}),
+        mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   list_aggregate(toks[i:i+{NOVELTY_NGRAM - 1}],
+                                  'string_agg', ' ') AS gram
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) - {NOVELTY_NGRAM}
+                                         + 2)) AS i
+                  FROM t WHERE len(toks) >= {NOVELTY_NGRAM})),
+        firsts AS (
+            SELECT gram, min(doc_id) AS first_doc FROM sh GROUP BY gram),
+        per_doc AS (
+            SELECT sh.doc_id,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN f.first_doc = sh.doc_id
+                            THEN 1 ELSE 0 END) AS n_novel
+            FROM sh JOIN firsts f ON sh.gram = f.gram
+            GROUP BY sh.doc_id)
+        SELECT CAST({NOVELTY_BUCKETS} * doc_id // m AS BIGINT) AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_grams) AS BIGINT) AS total_grams,
+               CAST(sum(n_novel) AS BIGINT) AS novel_grams,
+               round(CAST(sum(n_novel) AS DOUBLE) / sum(n_grams), 6)
+                   AS novelty_rate
+        FROM per_doc CROSS JOIN mx
+        GROUP BY 1
+    """.format(toks=_SQL_TOKS),
+    tags=("text", "novelty", "dedup-planning", "corpus-stats"),
+)
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve — the diminishing-returns measurement
+    behind every 'is more crawl worth it' decision (and the
+    scaling-law data-curation input): ingest documents in doc_id
+    order and ask, per corpus decile, what fraction of each document's
+    distinct 8-gram shingles has NEVER appeared in any earlier
+    document. A healthy fresh corpus holds a high novel rate in late
+    deciles; a saturated or duplicate-heavy one decays toward zero —
+    the aggregate view of what dedup_incremental_batch decides
+    per-document.
+
+    Plan shape: shingles explode in the scan stage (distinct per doc
+    — one exchange on the gram key), first occurrence is min(doc_id)
+    per gram (the tf→df reuse rule: the gram table is re-aggregated,
+    the corpus never re-scanned), one gram-keyed join back, then a
+    |docs|-grain rollup into NOVELTY_BUCKETS (10) position buckets. The
+    bucket index is all-integer (10·doc_id div (max+1)); max(doc_id) is the one-row broadcast the plan-audit
+    allowlist's 1-row shape covers."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"),
+                    lambda w: F.length(w) > 0)
+    tcol = F.col("toks")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(tcol) - NOVELTY_NGRAM),
+        lambda i: F.array_join(F.slice(tcol, i + 1, NOVELTY_NGRAM), " ")))
+    sh = (docs.select("doc_id", toks.alias("toks"))
+          .filter(F.size("toks") >= NOVELTY_NGRAM)
+          .select("doc_id", F.explode(grams).alias("gram")))
+    firsts = sh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (sh.join(firsts, "gram")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"),
+                                 1).otherwise(0)).alias("n_novel")))
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    bucket = F.expr(f"{NOVELTY_BUCKETS} * doc_id div m")
+    return (per_doc.crossJoin(F.broadcast(mx))
+            .groupBy(bucket.cast("bigint").alias("bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_grams").cast("bigint").alias("total_grams"),
+                 F.sum("n_novel").cast("bigint").alias("novel_grams"),
+                 F.round(F.sum("n_novel").cast("double")
+                         / F.sum("n_grams"), 6).alias("novelty_rate")))

@@ -1592,3 +1592,76 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quota_floor")
          + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0))
         .cast("bigint").alias("quota"))
+
+
+#: deterministic Poisson(1) bootstrap: inverse-CDF thresholds are the
+#: partial sums e^-1 * sum(1/j!) — built from identical literal
+#: expression trees on both engines (libm exp parity).
+_POIS_CUM = "exp(-1.0) * ({terms})"
+_POIS_TERMS = ["1.0", "1.0", "1.0/2", "1.0/6", "1.0/24", "1.0/120",
+               "1.0/720", "1.0/5040"]
+
+
+def _pois_case(u_expr: str) -> str:
+    """CASE ladder mapping a uniform u to Poisson(1) k by inverse CDF
+    (identical SQL text on both engines)."""
+    branches, acc = [], []
+    for k, t in enumerate(_POIS_TERMS):
+        acc.append(t)
+        cum = _POIS_CUM.format(terms=" + ".join(acc))
+        branches.append(f"WHEN {u_expr} < {cum} THEN {k}")
+    return "CASE " + " ".join(branches) + f" ELSE {len(_POIS_TERMS)} END"
+
+
+@register(
+    "sample_poisson_det",
+    oracle=f"""
+        WITH seeded AS (
+            SELECT source,
+                   (CAST(CAST(('0x' || substr(md5('boot:' ||
+                                  CAST(doc_id AS VARCHAR)), 1, 13))
+                              AS UBIGINT) AS DOUBLE) + 0.5)
+                       / 4503599627370496.0 AS u
+            FROM documents),
+        drawn AS (
+            SELECT source, {_pois_case('u')} AS k FROM seeded)
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(k) AS BIGINT) AS resampled_docs,
+               CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               CAST(max(k) AS BIGINT) AS max_multiplicity
+        FROM drawn
+        GROUP BY source
+    """,
+    tags=("sampling", "bootstrap", "poisson", "training-pipeline"),
+)
+def sample_poisson_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) bootstrap resampling plan (Efron 1979 via the
+    streaming formulation: each row independently drawn k ~ Poisson(1)
+    times — the resample that never needs to know n, which is why
+    distributed learners use it for bagging and uncertainty bands).
+    Deterministic md5 draw (the privacy_dp_laplace_det seed rule:
+    production swaps the seed, the structure is the deliverable);
+    k comes from the inverse CDF as a CASE ladder over the exact
+    partial sums e⁻¹·Σ1/j! — both engines build each threshold from
+    the IDENTICAL literal expression tree, so every comparison sees
+    bit-equal doubles. Emits the per-source resample accounting:
+    total draws (≈ n), dropped rows (k=0, ≈ 36.8%), max multiplicity.
+
+    Plan: pure map (hash + CASE) over the scan, one |sources|-grain
+    aggregate — zero joins, zero windows, embarrassingly parallel at
+    any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    i52 = F.conv(F.substring(
+        F.md5(F.concat(F.lit("boot:"), F.col("doc_id").cast("string"))),
+        1, 13), 16, 10).cast("bigint")
+    u = (i52.cast("double") + F.lit(0.5)) / F.lit(4503599627370496.0)
+    drawn = docs.withColumn("u", u).select(
+        "source", F.expr(_pois_case("u")).alias("k"))
+    return drawn.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("k").cast("bigint").alias("resampled_docs"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_dropped"),
+        F.max("k").cast("bigint").alias("max_multiplicity"))

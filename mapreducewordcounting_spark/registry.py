@@ -114,7 +114,8 @@ _PRIORITY: tuple[str, ...] = (
     'embedding_pq_codes', 'source_binary_files', 'sample_stratified_neyman', 'dq_late_arrival_audit',
     'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast',
     'graph_degree_assortativity', 'events_time_to_convert', 'agg_theil_index', 'window_anchored_vwap',
-    'dedup_cdc_chunking',
+    'dedup_cdc_chunking', 'time_downsample_m4', 'sample_poisson_det', 'text_ngram_novelty_curve',
+    'dq_ks_two_sample',
     'sketch_count_min', 'sketch_hll_union', 'agg_percentile_approx', 'text_vocab_approx',
     'text_bpe_learn_merges', 'kmeans_embeddings', 'pack_sequences_greedy', 'stream_tumbling',
     'stream_dedup', 'stream_stateful_counter', 'stream_static_join', 'stream_stream_join',

@@ -1424,3 +1424,133 @@ def test_cdc_chunking_matches_python(spark, sf_dir):
     assert [g[:3] for g in got] == [e[:3] for e in expected]
     for g, e in zip(got, expected):
         assert abs(g[3] - e[3]) < TOL and abs(g[4] - e[4]) < TOL
+
+
+def test_poisson_det_matches_python(spark, sf_dir):
+    """sample_poisson_det: recompute the md5-seeded uniform and the
+    Poisson(1) inverse CDF with hashlib + math."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        sample_poisson_det,
+    )
+
+    cum, acc = [], 0.0
+    for j in range(8):
+        acc += 1.0 / math.factorial(j)
+        cum.append(math.exp(-1.0) * acc)
+
+    per_source: dict[str, list] = defaultdict(list)
+    for d in load_documents(sf_dir):
+        u = (int(_md5(f"boot:{d['doc_id']}")[:13], 16) + 0.5) / 2.0 ** 52
+        k = next((j for j, c in enumerate(cum) if u < c), 8)
+        per_source[d["source"]].append(k)
+    expected = sorted(
+        (src, len(ks), sum(ks), sum(1 for k in ks if k == 0), max(ks))
+        for src, ks in per_source.items())
+    got = rows_as_tuples(sample_poisson_det(spark, sf_dir),
+                         ["source", "n_docs", "resampled_docs",
+                          "n_dropped", "max_multiplicity"])
+    assert got == expected
+
+
+def test_m4_downsample_matches_python(spark, sf_dir):
+    """time_downsample_m4: pure-Python bucket walk."""
+    from mapreducewordcounting_spark.operators.temporal import (
+        time_downsample_m4,
+    )
+
+    buckets: dict[tuple, list] = defaultdict(list)
+    for e in load_table_rows(sf_dir, "events"):
+        b = e["ts"].replace(minute=0, second=0, microsecond=0)
+        b_s = int((b - type(b)(1970, 1, 1)).total_seconds())
+        buckets[(e["event_type"], b_s)].append(
+            (e["ts"], e["event_id"], e["value"]))
+    expected = []
+    for (et, b), pts in buckets.items():
+        pts.sort(key=lambda p: (p[0], p[1]))
+        vals = [p[2] for p in pts]
+        expected.append((et, b, len(pts), pts[0][2], min(vals),
+                         max(vals), pts[-1][2]))
+    expected.sort()
+    got = rows_as_tuples(time_downsample_m4(spark, sf_dir),
+                         ["event_type", "bucket_s", "n_points",
+                          "v_first", "v_min", "v_max", "v_last"])
+    assert got == expected
+
+
+def test_ngram_novelty_matches_python(spark, sf_dir):
+    """text_ngram_novelty_curve: recompute shingle first occurrences
+    and the decile rollup in plain Python."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_ngram_novelty_curve,
+    )
+
+    docs = load_documents(sf_dir)
+    m = max(d["doc_id"] for d in docs) + 1
+    per_doc = {}
+    for d in docs:
+        t = canon_tokens(d["text"])
+        if len(t) >= 8:
+            per_doc[d["doc_id"]] = set(word_ngrams(t, 8))
+    first: dict[str, int] = {}
+    for did in sorted(per_doc):
+        for g in per_doc[did]:
+            first.setdefault(g, did)
+    agg: dict[int, list] = defaultdict(lambda: [0, 0, 0])
+    for did, grams in per_doc.items():
+        b = 10 * did // m
+        agg[b][0] += 1
+        agg[b][1] += len(grams)
+        agg[b][2] += sum(1 for g in grams if first[g] == did)
+    expected = sorted((b, n, tg, ng, ng / tg)
+                      for b, (n, tg, ng) in agg.items())
+    got = rows_as_tuples(text_ngram_novelty_curve(spark, sf_dir),
+                         ["bucket", "n_docs", "total_grams",
+                          "novel_grams", "novelty_rate"])
+    assert [g[:4] for g in got] == [e[:4] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[4] - e[4]) < TOL
+
+
+def test_ks_two_sample_matches_python(spark, sf_dir):
+    """dq_ks_two_sample: recompute the split, both ECDFs and the KS
+    statistic in plain Python."""
+    from mapreducewordcounting_spark.operators.drift import (
+        dq_ks_two_sample,
+    )
+
+    def sec(ts):
+        return int((ts.replace(microsecond=0)
+                    - type(ts)(1970, 1, 1)).total_seconds())
+
+    evs = load_table_rows(sf_dir, "events")
+    ss = [sec(e["ts"]) for e in evs]
+    mid = (min(ss) + max(ss)) // 2
+    per_type: dict[str, list] = defaultdict(list)
+    for e in evs:
+        per_type[e["event_type"]].append(
+            (e["value"], sec(e["ts"]) <= mid))
+    expected = []
+    for et, rows in per_type.items():
+        ref = sorted(v for v, r in rows if r)
+        cur = sorted(v for v, r in rows if not r)
+        if not ref or not cur:
+            continue
+        best = (0.0, None)
+        for v in sorted({v for v, _ in rows}):
+            import bisect
+            d = abs(bisect.bisect_right(ref, v) / len(ref)
+                    - bisect.bisect_right(cur, v) / len(cur))
+            if d > best[0] + 1e-12:
+                best = (d, v)
+        crit = 1.358 * math.sqrt(
+            (len(ref) + len(cur)) / (len(ref) * len(cur)))
+        expected.append((et, len(ref), len(cur), best[0], crit,
+                         best[0] > crit))
+    expected.sort()
+    got = rows_as_tuples(dq_ks_two_sample(spark, sf_dir),
+                         ["event_type", "n_ref", "n_cur", "ks_d",
+                          "crit_95", "drifted"])
+    assert [(g[0], g[1], g[2], g[5]) for g in got] == \
+        [(e[0], e[1], e[2], e[5]) for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[3] - e[3]) < TOL and abs(g[4] - e[4]) < TOL

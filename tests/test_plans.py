@@ -494,3 +494,97 @@ def test_luhn_and_matryoshka_ride_the_scan(spark, sf_dir):
     mrl = simple_plan(embedding_matryoshka_error(spark, sf_dir))
     assert "Exchange" not in mrl
     assert "pythonUDF" not in mrl and "BatchEvalPython" not in mrl
+
+
+# --- round-9 continuation batch: docstring plan claims, asserted ---
+
+
+def test_skyline_no_pairwise_join(spark, sf_dir):
+    """part_skyline_dominance promises the O(n log n) price-grain
+    window rewrite — the plan must contain NO join of part against
+    itself other than the final broadcast probe (no SMJ, no NLJ, no
+    cartesian), and exactly one aggregation layer below the window."""
+    from mapreducewordcounting_spark.operators.relational import (
+        part_skyline_dominance,
+    )
+    df = part_skyline_dominance(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)  # the frontier probe
+
+
+def test_m4_single_aggregate(spark, sf_dir):
+    """time_downsample_m4 is ONE map-side-combinable aggregate: a
+    single exchange, partial+final HashAggregate, no window, no join."""
+    from mapreducewordcounting_spark.operators.temporal import (
+        time_downsample_m4,
+    )
+    df = time_downsample_m4(spark, sf_dir)
+    plan = simple_plan(df)
+    assert n_exchanges(df) == 1
+    # struct min/max compiles to SortAggregate, not HashAggregate —
+    # still map-side combined: partial_* below the exchange
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_cusum_windows_share_one_exchange(spark, sf_dir):
+    """time_cusum_changepoint: one fact aggregate + all grid windows
+    inside a single event_type exchange — 2 exchanges total."""
+    from mapreducewordcounting_spark.operators.drift import (
+        time_cusum_changepoint,
+    )
+    df = time_cusum_changepoint(spark, sf_dir)
+    assert n_exchanges(df) == 2
+    assert has_partial_aggregation(df)
+
+
+def test_poisson_bootstrap_is_map_plus_one_exchange(spark, sf_dir):
+    """sample_poisson_det: pure map (hash + CASE) then one
+    source-grain aggregate; no join, no window."""
+    from mapreducewordcounting_spark.operators.training_ops import (
+        sample_poisson_det,
+    )
+    df = sample_poisson_det(spark, sf_dir)
+    plan = simple_plan(df)
+    assert n_exchanges(df) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_attribution_linear_joins_on_user_key(spark, sf_dir):
+    """attribution_linear_multi_touch: the pair stage must ride the
+    user equi-key (SMJ/SHJ with the band as residual), never a
+    nested-loop over events x events."""
+    from mapreducewordcounting_spark.operators.product_analytics import (
+        attribution_linear_multi_touch,
+    )
+    plan = simple_plan(attribution_linear_multi_touch(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_codes_payload_never_shuffles(spark, sf_dir):
+    """embedding_pq_codes: the crossJoin rides a broadcast codebook
+    and the only exchange is the vec_id-grain aggregate — embeddings
+    themselves must not hash-partition."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        embedding_pq_codes,
+    )
+    df = embedding_pq_codes(spark, sf_dir)
+    plan = simple_plan(df)
+    assert n_exchanges(df) == 1
+    assert "partial_min" in plan  # SortAggregate map-side combine
+
+
+def test_vwap_single_keyed_window(spark, sf_dir):
+    """window_anchored_vwap: one (type, day) exchange feeding one
+    Window node; no join anywhere."""
+    from mapreducewordcounting_spark.operators.windows import (
+        window_anchored_vwap,
+    )
+    df = window_anchored_vwap(spark, sf_dir)
+    plan = simple_plan(df)
+    assert n_exchanges(df) == 1
+    assert plan.count("Window") >= 1 and "Join" not in plan

@@ -349,6 +349,19 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "sides",
         "test_bruteforce_formulas.py::"
         "test_cdc_chunking_matches_python"),
+    "sample_poisson_det": (
+        "shared md5 seed + generated inverse-CDF CASE ladder on both "
+        "sides",
+        "test_bruteforce_formulas.py::test_poisson_det_matches_python"),
+    "text_ngram_novelty_curve": (
+        "shared 8-shingle + first-occurrence construction on both "
+        "sides",
+        "test_bruteforce_formulas.py::"
+        "test_ngram_novelty_matches_python"),
+    "dq_ks_two_sample": (
+        "shared time-midpoint split + ECDF-step construction and the "
+        "1.358 critical constant on both sides",
+        "test_bruteforce_formulas.py::test_ks_two_sample_matches_python"),
 }
 
 #: notable independent-formulation rationales (everything oracled and
@@ -415,6 +428,10 @@ INDEPENDENT_NOTES: dict[str, str] = {
                             "restatement; sums are exact decimal on "
                             "both sides (plus a pure-Python walk in "
                             "test_bruteforce_formulas.py)",
+    "time_downsample_m4": "min/max/first/last are pure selections, "
+                          "declarative on both sides (plus a "
+                          "pure-Python walk in "
+                          "test_bruteforce_formulas.py)",
 }
 
 DEFAULT_INDEPENDENT = ("declarative ANSI twin; engines plan and "

@@ -81,6 +81,11 @@ BNL_ALLOWED = {
                           "sized, the IVF centroid shape)",
     "graph_degree_assortativity": "1-row (node-count global aggregate "
                                   "attached to the 1-row stats fold)",
+    "text_ngram_novelty_curve": "1-row (max-doc-id bucket scale "
+                                "attached to the per-doc rollup)",
+    "dq_ks_two_sample": "1-row (time-midpoint split point — the "
+                        "drift_psi_value split, un-checkpointed here "
+                        "so the NLJ stays visible in the plan)",
     "similarity_topk_bruteforce": "K-row (query vector set)",
     "similarity_hybrid_rrf": "K-row (query vector set, semantic scan "
                              "side; the lexical side is an equi-join "
