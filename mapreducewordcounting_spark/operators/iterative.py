@@ -853,3 +853,104 @@ def graph_degree_assortativity(spark: SparkSession,
             .select((F.col("m") / 2).cast("bigint").alias("n_edges"),
                     F.col("n_nodes").cast("bigint").alias("n_nodes"),
                     F.round(r, 6).alias("assortativity")))
+
+
+#: synchronous label-propagation iterations (fixed count => the loop
+#: unrolls into chained CTEs for the oracle, the pagerank precedent)
+LPA_ITERS = 5
+
+
+def _lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
+    """Generate the DuckDB twin: the same undirected trade graph and
+    ``iters`` chained mode-of-neighbor-labels CTEs (max count, min
+    label on ties — the deterministic synchronous update)."""
+    ctes = [f"""
+        w AS MATERIALIZED (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   count(*) AS wt
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM w
+            WHERE src <> dst
+              AND wt >= (SELECT {BFS_EDGE_MULT} * avg(wt) FROM w)),
+        adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        nodes AS (SELECT DISTINCT u AS node FROM adj),
+        l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        c{i} AS (
+            SELECT a.u AS node, l.label, count(*) AS n
+            FROM adj a JOIN l{i - 1} l ON a.v = l.node
+            GROUP BY 1, 2),
+        l{i} AS (
+            SELECT node,
+                   (min(struct_pack(a := -n, b := label))).b AS label
+            FROM c{i} GROUP BY node)""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT CAST(label AS BIGINT) AS community,
+               count(*) AS n_members,
+               CAST(min(node) AS BIGINT) AS min_member
+        FROM l{iters}
+        GROUP BY label""")
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle_sql(),
+    tags=("iterative", "graph", "community", "label-propagation"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the major-trade-lane graph: every node starts as
+    its own label and repeatedly adopts the most frequent label among
+    its neighbors (ties to the SMALLEST label — the deterministic
+    variant, since classic random-tie LPA is irreproducible by
+    design), for a FIXED 5 sweeps. Emits (community, size, min
+    member). The seventh consumer of the shared trade-graph machinery
+    and the modularity-flavored sibling of graph_wcc_trade: WCC asks
+    "connected at all", LPA asks "densely connected together".
+
+    Fixed iteration count => the loop unrolls into chained CTEs for
+    the oracle (the pagerank_nation_trade precedent), so this
+    iterative operator is fully value-checked, not rows-only. Spark
+    side: one dimension-sized join + mode aggregate per sweep (mode =
+    max(struct(n, -label)) — exact integers, no RNG); at a
+    billion-edge graph each sweep is the canonical pre-partitioned
+    join, the BFS/pagerank budget."""
+    edges = trade_edges(spark, sf_dir)
+    w_all = Window.partitionBy()
+    e = (edges
+         .withColumn("thr", F.avg("weight").over(w_all) * BFS_EDGE_MULT)
+         .filter(F.col("weight") >= F.col("thr"))
+         .select("src", "dst"))
+    und = (e.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("u"),
+                   F.greatest("src", "dst").alias("v"))
+           .distinct())
+    adj = (und.union(und.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+           .localCheckpoint())  # reused every sweep
+    labels = adj.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label"))
+    rot = CheckpointRotator(spark)
+    for _ in range(LPA_ITERS):
+        counted = (adj.join(labels, adj.v == labels.node)
+                   .groupBy(F.col("u").alias("n2"), "label")
+                   .agg(F.count("*").alias("n")))
+        labels = rot.rotate(
+            counted.groupBy(F.col("n2").alias("node"))
+            .agg(F.max(F.struct(F.col("n"),
+                                (-F.col("label")).alias("neg")))
+                 .alias("m"))
+            .select("node", (-F.col("m.neg")).alias("label")))
+    rot.keep()
+    return (labels.groupBy("label")
+            .agg(F.count("*").alias("n_members"),
+                 F.min("node").cast("bigint").alias("min_member"))
+            .select(F.col("label").cast("bigint").alias("community"),
+                    "n_members", "min_member"))

@@ -1798,3 +1798,133 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_novel").cast("bigint").alias("novel_grams"),
                  F.round(F.sum("n_novel").cast("double")
                          / F.sum("n_grams"), 6).alias("novelty_rate")))
+
+
+@register(
+    "text_lang_id_eval",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   (CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END)
+                       AS s_en,
+                   (CASE WHEN ' ' || text || ' ' LIKE '% el %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% la %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% los %' THEN 1 ELSE 0 END)
+                       AS s_es,
+                   (CASE WHEN ' ' || text || ' ' LIKE '% der %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% und %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% die %' THEN 1 ELSE 0 END)
+                       AS s_de,
+                   (CASE WHEN ' ' || text || ' ' LIKE '% le %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% les %' THEN 1 ELSE 0 END +
+                    CASE WHEN ' ' || text || ' ' LIKE '% des %' THEN 1 ELSE 0 END)
+                       AS s_fr
+            FROM documents),
+        guessed AS (
+            SELECT lang,
+                   CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+                        WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS lang_guess
+            FROM scored)
+        SELECT lang, lang_guess,
+               count(*) AS n,
+               round(CAST(count(*) AS DOUBLE)
+                     / sum(count(*)) OVER (PARTITION BY lang), 6)
+                   AS row_share
+        FROM guessed
+        GROUP BY lang, lang_guess
+    """,
+    tags=("text", "langid", "evaluation", "confusion-matrix"),
+)
+def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the text_lang_id heuristic against the
+    fixture's TRUE lang column — the evaluation harness every
+    classifier-shaped pipeline stage needs beside the stage itself
+    (the quality_lm_buckets composition rule: the eval REUSES the
+    registered classifier's exact scoring construction, so classifier
+    and scoreboard cannot drift apart). Each (true, guessed) cell
+    carries its count and its share of the true language's row total
+    — recall sits on the diagonal; zh (no marker profile) lands
+    wherever the precedence tie-break sends zero-score docs, which is
+    exactly the blind spot the matrix is FOR.
+
+    Plan: one map stage (the classifier) + one |langs|²-bounded
+    aggregate; the row shares ride a window over that tiny grid."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scores = {
+        lang: sum(
+            (F.when(padded.contains(m), 1).otherwise(0) for m in marks),
+            F.lit(0),
+        ).alias(f"s_{lang}")
+        for lang, marks in LANG_PROFILES.items()
+    }
+    scored = docs.select("lang", *scores.values())
+    guess = (
+        F.when(F.col("s_en") >= F.greatest("s_es", "s_de", "s_fr"), "en")
+        .when(F.col("s_es") >= F.greatest("s_de", "s_fr"), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr"))
+    cells = (scored.select("lang", guess.alias("lang_guess"))
+             .groupBy("lang", "lang_guess")
+             .agg(F.count("*").alias("n")))
+    tot = F.sum("n").over(W.partitionBy("lang"))
+    return cells.select(
+        "lang", "lang_guess", "n",
+        F.round(F.col("n").cast("double") / tot, 6).alias("row_share"))
+
+
+#: hashing-trick feature space (buckets) and the doc cap that keeps
+#: the demo output grain bounded (the text_tfidf doc_id < 20 rule)
+HASHTRICK_BUCKETS = 64
+HASHTRICK_DOCS = 50
+
+
+@register(
+    "text_hashing_trick_det",
+    oracle=f"""
+        WITH t AS ({{toks}}),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS word
+            FROM t WHERE doc_id < {HASHTRICK_DOCS}),
+        b AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(word), 1, 13))
+                             AS UBIGINT) % {HASHTRICK_BUCKETS} AS BIGINT)
+                       AS bucket
+            FROM tok)
+        SELECT doc_id, bucket, count(*) AS cnt
+        FROM b GROUP BY doc_id, bucket
+    """.format(toks=_SQL_TOKS),
+    tags=("text", "features", "hashing-trick"),
+)
+def text_hashing_trick_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words features (Weinberger et al. 2009 —
+    the fixed-width, vocabulary-free featurizer under spark.ml's
+    HashingTF): token → md5 mod 64 bucket, count per (doc, bucket).
+    This is the fully-ORACLED deterministic twin of the spark.ml
+    HashingTF path (text_tfidf_ml, rows-only because its murmur seed
+    is engine-private) — the similarity_ann_rp_det precedent: same
+    operator semantics, portable hash family, exact value check.
+    Capped at 50 docs for output-grain bounds; uncapped it is the
+    standard map + (doc, bucket) aggregate at any corpus size, with
+    collisions an accepted part of the estimator's contract (the
+    whole point of the trick).
+
+    One explode + one map-side-combinable aggregate; no joins, no
+    windows, no vocabulary state anywhere."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < HASHTRICK_DOCS))
+    tok = docs.select(
+        "doc_id", F.explode(tokenize_canonical("text")).alias("word"))
+    bucket = (F.conv(F.substring(F.md5("word"), 1, 13), 16, 10)
+              .cast("bigint") % HASHTRICK_BUCKETS)
+    return (tok.filter(F.length("word") > 0)
+            .select("doc_id", bucket.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("cnt")))

@@ -431,3 +431,65 @@ def window_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cum_pq").cast("double")
                 / F.nullif(F.col("cum_q"), F.lit(0)), 6)
         .alias("vwap"))
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t
+            FROM events),
+        dd AS (
+            SELECT user_id, t, event_id,
+                   max(value) OVER w - value AS drawdown,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))
+        SELECT user_id,
+               CAST(n_events AS BIGINT) AS n_events,
+               round(drawdown, 6) AS max_drawdown,
+               CAST(event_id AS BIGINT) AS at_event_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY drawdown DESC,
+                                                    t, event_id) AS rn
+              FROM dd)
+        WHERE rn = 1
+    """,
+    tags=("window", "drawdown", "running", "timeseries"),
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's value series — running peak
+    minus current value, maximized over the series: the risk metric
+    every portfolio/SLO dashboard tracks (how far below its best has
+    this series fallen, ever), and the one-sided cousin of
+    time_cusum_changepoint's two-sided level-shift evidence. Emits
+    per user the worst drawdown and the event where it bottomed
+    (earliest on ties).
+
+    Determinism: running max is a SELECTION (no float arithmetic, the
+    time_downsample_m4 rule); the drawdown is one exact double
+    subtraction of engine-identical operands; the arg-max rank breaks
+    ties on (t, event_id). Plan: ONE user-keyed exchange shared by
+    the running-max window, the count and the arg-max rank — O(1)
+    per-row frame state at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.unix_micros("ts").alias("t"))
+    w_run = (Window.partitionBy("user_id").orderBy("t", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("user_id")
+    dd = ev.select(
+        "user_id", "t", "event_id",
+        (F.max("value").over(w_run) - F.col("value")).alias("drawdown"),
+        F.count("*").over(w_all).alias("n_events"))
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.desc("drawdown"), F.asc("t"), F.asc("event_id"))
+    return (dd.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("user_id",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    F.round("drawdown", 6).alias("max_drawdown"),
+                    F.col("event_id").cast("bigint").alias("at_event_id")))

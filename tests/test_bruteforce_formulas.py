@@ -1554,3 +1554,82 @@ def test_ks_two_sample_matches_python(spark, sf_dir):
         [(e[0], e[1], e[2], e[5]) for e in expected]
     for g, e in zip(got, expected):
         assert abs(g[3] - e[3]) < TOL and abs(g[4] - e[4]) < TOL
+
+
+def test_max_drawdown_matches_python(spark, sf_dir):
+    """window_max_drawdown: pure-Python running-peak walk."""
+    from mapreducewordcounting_spark.operators.windows import (
+        window_max_drawdown,
+    )
+
+    by_user: dict[int, list] = defaultdict(list)
+    for e in load_table_rows(sf_dir, "events"):
+        by_user[e["user_id"]].append(e)
+    expected = []
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        peak, best = None, None
+        for e in evs:
+            peak = e["value"] if peak is None else max(peak, e["value"])
+            d = peak - e["value"]
+            if best is None or d > best[0] + 1e-12:
+                best = (d, e["event_id"])
+        expected.append((uid, len(evs), best[0], best[1]))
+    expected.sort()
+    got = rows_as_tuples(window_max_drawdown(spark, sf_dir),
+                         ["user_id", "n_events", "max_drawdown",
+                          "at_event_id"])
+    assert [(g[0], g[1], g[3]) for g in got] == \
+        [(e[0], e[1], e[3]) for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < TOL
+
+
+def test_hashing_trick_matches_python(spark, sf_dir):
+    """text_hashing_trick_det: hashlib recompute of the md5 mod-64
+    bucket counts."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_hashing_trick_det,
+    )
+
+    agg: Counter = Counter()
+    for d in load_documents(sf_dir):
+        if d["doc_id"] >= 50:
+            continue
+        for w in canon_tokens(d["text"]):
+            agg[(d["doc_id"], int(_md5(w)[:13], 16) % 64)] += 1
+    expected = sorted((did, b, n) for (did, b), n in agg.items())
+    got = rows_as_tuples(text_hashing_trick_det(spark, sf_dir),
+                         ["doc_id", "bucket", "cnt"])
+    assert got == expected
+
+
+def test_lang_id_eval_matches_python(spark, sf_dir):
+    """text_lang_id_eval: recompute the marker-score classifier and
+    the confusion cells in plain Python."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        LANG_PROFILES,
+        text_lang_id_eval,
+    )
+
+    cells: Counter = Counter()
+    totals: Counter = Counter()
+    order = ["en", "es", "de", "fr"]
+    for d in load_documents(sf_dir):
+        padded = f" {d['text']} "
+        s = {lang: sum(m in padded for m in marks)
+             for lang, marks in LANG_PROFILES.items()}
+        guess = "fr"
+        for i, lang in enumerate(order):
+            if all(s[lang] >= s[o] for o in order[i + 1:]):
+                guess = lang
+                break
+        cells[(d["lang"], guess)] += 1
+        totals[d["lang"]] += 1
+    expected = sorted(
+        (lang, g, n, n / totals[lang]) for (lang, g), n in cells.items())
+    got = rows_as_tuples(text_lang_id_eval(spark, sf_dir),
+                         ["lang", "lang_guess", "n", "row_share"])
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[3] - e[3]) < TOL

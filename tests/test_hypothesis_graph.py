@@ -260,3 +260,58 @@ def test_degree_assortativity_matches_bruteforce(spark_h, edges):
     if den:
         want = (mm * sxy - sx * sy) / den
         assert abs(want) <= 1 + 1e-9
+
+
+# --- label propagation -------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                min_size=0, max_size=16))
+def test_label_propagation_matches_bruteforce(spark_h, edges):
+    """Drive the synchronous min-tie LPA update on arbitrary graphs
+    against a plain-Python sweep (the oracle mirrors the Spark
+    construction, so this is the structure-free third opinion)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from mapreducewordcounting_spark.checkpoints import CheckpointRotator
+
+    df = (spark_h.createDataFrame(edges, "src INT, dst INT") if edges
+          else spark_h.createDataFrame([], "src INT, dst INT"))
+    und = (df.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("u"),
+                   F.greatest("src", "dst").alias("v")).distinct())
+    adj = und.union(und.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+    labels = adj.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label"))
+    rot = CheckpointRotator(spark_h)
+    for _ in range(5):
+        counted = (adj.join(labels, adj.v == labels.node)
+                   .groupBy(F.col("u").alias("n2"), "label")
+                   .agg(F.count("*").alias("n")))
+        labels = rot.rotate(
+            counted.groupBy(F.col("n2").alias("node"))
+            .agg(F.max(F.struct(F.col("n"),
+                                (-F.col("label")).alias("neg")))
+                 .alias("m"))
+            .select("node", (-F.col("m.neg")).alias("label")))
+    got = {r.node: r.label for r in labels.collect()}
+    rot.release()
+
+    nbrs: dict[int, set] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    lab = {n: n for n in nbrs}
+    for _ in range(5):
+        new = {}
+        for n in nbrs:
+            cnt = Counter(lab[m] for m in nbrs[n])
+            best = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == best)
+        lab = new
+    assert got == lab

@@ -362,6 +362,21 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "shared time-midpoint split + ECDF-step construction and the "
         "1.358 critical constant on both sides",
         "test_bruteforce_formulas.py::test_ks_two_sample_matches_python"),
+    "graph_label_propagation": (
+        "oracle unrolled from the same synchronous mode-update rule "
+        "(generated CTE chain, the pagerank precedent)",
+        "test_hypothesis_graph.py::"
+        "test_label_propagation_matches_bruteforce"),
+    "text_lang_id_eval": (
+        "embeds text_lang_id's marker-score construction verbatim "
+        "(the quality_lm_buckets composition rule)",
+        "test_bruteforce_dedup_text.py::test_lang_id_matches_python "
+        "(the classifier) + "
+        "test_bruteforce_formulas.py::test_lang_id_eval_matches_python",),
+    "text_hashing_trick_det": (
+        "shared md5-mod-bucket construction on both sides",
+        "test_bruteforce_formulas.py::"
+        "test_hashing_trick_matches_python"),
 }
 
 #: notable independent-formulation rationales (everything oracled and
@@ -432,6 +447,10 @@ INDEPENDENT_NOTES: dict[str, str] = {
                           "declarative on both sides (plus a "
                           "pure-Python walk in "
                           "test_bruteforce_formulas.py)",
+    "window_max_drawdown": "running max is a selection window, "
+                           "declarative on both sides (plus a "
+                           "pure-Python walk in "
+                           "test_bruteforce_formulas.py)",
 }
 
 DEFAULT_INDEPENDENT = ("declarative ANSI twin; engines plan and "
