@@ -954,3 +954,109 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("node").cast("bigint").alias("min_member"))
             .select(F.col("label").cast("bigint").alias("community"),
                     "n_members", "min_member"))
+
+
+@register(
+    "graph_modularity_score",
+    oracle=_lpa_oracle_sql().replace(
+        """
+        SELECT CAST(label AS BIGINT) AS community,
+               count(*) AS n_members,
+               CAST(min(node) AS BIGINT) AS min_member
+        FROM l5
+        GROUP BY label""",
+        f"""
+        , deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+        m2 AS (SELECT count(*) AS two_m FROM adj),
+        intra AS (
+            SELECT count(*) AS e_in
+            FROM adj a
+            JOIN l{LPA_ITERS} la ON a.u = la.node
+            JOIN l{LPA_ITERS} lb ON a.v = lb.node
+            WHERE la.label = lb.label),
+        dsum AS (
+            SELECT sum(CAST(cd AS DOUBLE) * cd) AS sum_d2
+            FROM (SELECT l.label, sum(d.deg) AS cd
+                  FROM l{LPA_ITERS} l JOIN deg d ON l.node = d.u
+                  GROUP BY l.label))
+        SELECT (SELECT count(DISTINCT label) FROM l{LPA_ITERS})
+                   AS n_communities,
+               CAST((SELECT two_m FROM m2) // 2 AS BIGINT) AS n_edges,
+               round(CAST((SELECT e_in FROM intra) AS DOUBLE)
+                         / nullif((SELECT two_m FROM m2), 0)
+                     - (SELECT sum_d2 FROM dsum)
+                         / nullif((SELECT two_m FROM m2)
+                            * CAST((SELECT two_m FROM m2) AS DOUBLE),
+                            0.0),
+                     6) AS modularity
+        """),
+    tags=("iterative", "graph", "community", "modularity"),
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation partition —
+    Q = e_in/m − Σ_c (d_c/2m)², the number that says whether
+    graph_label_propagation's communities are denser than chance
+    (Q > 0.3 is the usual 'real structure' bar). The evaluation op
+    beside the clustering op, same composition rule as
+    text_lang_id_eval: the oracle re-derives the IDENTICAL partition
+    (the generated LPA CTE chain verbatim) and scores it, so
+    clustering and scoreboard cannot drift.
+
+    Exactness: intra-community edge count and per-community degree
+    sums are exact BIGINTs (counting both orientations: e_in/2m with
+    both halves doubled is the standard identity); the two final
+    divisions are the only doubles, rounded at 6. Spark side re-runs
+    the LPA loop (dimension-sized) and adds two joins + one fold —
+    all on the |nodes| grain."""
+    edges = trade_edges(spark, sf_dir)
+    w_all = Window.partitionBy()
+    e = (edges
+         .withColumn("thr", F.avg("weight").over(w_all) * BFS_EDGE_MULT)
+         .filter(F.col("weight") >= F.col("thr"))
+         .select("src", "dst"))
+    und = (e.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("u"),
+                   F.greatest("src", "dst").alias("v"))
+           .distinct())
+    adj = (und.union(und.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+           .localCheckpoint())
+    labels = adj.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label"))
+    rot = CheckpointRotator(spark)
+    for _ in range(LPA_ITERS):
+        counted = (adj.join(labels, adj.v == labels.node)
+                   .groupBy(F.col("u").alias("n2"), "label")
+                   .agg(F.count("*").alias("n")))
+        labels = rot.rotate(
+            counted.groupBy(F.col("n2").alias("node"))
+            .agg(F.max(F.struct(F.col("n"),
+                                (-F.col("label")).alias("neg")))
+                 .alias("m"))
+            .select("node", (-F.col("m.neg")).alias("label")))
+    rot.keep()
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    la = labels.select(F.col("node").alias("u"),
+                       F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("node").alias("v"),
+                       F.col("label").alias("lab_b"))
+    intra = (adj.join(F.broadcast(la), "u").join(F.broadcast(lb), "v")
+             .filter(F.col("lab_a") == F.col("lab_b"))
+             .agg(F.count("*").alias("e_in")))
+    two_m = adj.agg(F.count("*").alias("two_m"))
+    dsum = (labels.join(F.broadcast(
+                deg.select(F.col("u").alias("node"), "deg")), "node")
+            .groupBy("label").agg(F.sum("deg").alias("cd"))
+            .agg(F.sum(F.col("cd").cast("double") * F.col("cd"))
+                 .alias("sum_d2")))
+    ncom = labels.agg(F.countDistinct("label").alias("n_communities"))
+    # nullif: a zero-edge graph has no modularity (not a div error)
+    q = (F.col("e_in").cast("double") / F.nullif(F.col("two_m"), F.lit(0))
+         - F.col("sum_d2") / F.nullif(
+             F.col("two_m") * F.col("two_m").cast("double"), F.lit(0.0)))
+    return (ncom.crossJoin(F.broadcast(intra))
+            .crossJoin(F.broadcast(two_m))
+            .crossJoin(F.broadcast(dsum))
+            .select("n_communities",
+                    F.expr("two_m div 2").cast("bigint").alias("n_edges"),
+                    F.round(q, 6).alias("modularity")))

@@ -443,3 +443,137 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_pos"),
         F.round(F.max("mu") / 100, 6).alias("mean_balance"),
         F.round(F.sum(term) / F.max("n"), 6).alias("theil_t"))
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region,
+                   s.s_suppkey,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       AS cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2),
+        tot AS (
+            SELECT region, cents,
+                   sum(cents) OVER (PARTITION BY region) AS rtot,
+                   count(*) OVER (PARTITION BY region) AS n_sup
+            FROM rev)
+        SELECT region,
+               CAST(max(n_sup) AS BIGINT) AS n_suppliers,
+               round(10000 * sum((CAST(cents AS DOUBLE) / rtot)
+                                 * (CAST(cents AS DOUBLE) / rtot)), 6)
+                   AS hhi
+        FROM tot
+        GROUP BY region
+    """,
+    tags=("aggregation", "stats", "concentration", "hhi"),
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    per region — 10000·Σ share² (the antitrust scale: < 1500
+    unconcentrated, > 2500 highly concentrated): completes the
+    market-structure trio next to agg_gini_lorenz (dispersion) and
+    agg_theil_index (decomposable inequality) with the
+    merger-review number regulators actually quote.
+
+    Exactness: revenue enters as exact integer cents (the Gini rule)
+    summed per (region, supplier); each share is one division of
+    exact BIGINTs so every squared term is bit-identical on both
+    engines; only the final Σ over ≤|suppliers-per-region| terms is
+    an unordered double sum, rounded at 6 after the 10000 scale.
+    Plan: the fact-scale star join (dims broadcast) aggregates
+    straight to (region, supplier) grain — map-side combined — then
+    shares and the fold ride one region-keyed window/aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    rev = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+           .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+           .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+           .groupBy(F.col("r_name").alias("region"), "s_suppkey")
+           .agg(F.sum(cents).alias("cents")))
+    w = Window.partitionBy("region")
+    tot = rev.select(
+        "region", "cents",
+        F.sum("cents").over(w).alias("rtot"),
+        F.count("*").over(w).alias("n_sup"))
+    share = F.col("cents").cast("double") / F.col("rtot")
+    return tot.groupBy("region").agg(
+        F.max("n_sup").cast("bigint").alias("n_suppliers"),
+        F.round(F.lit(10000) * F.sum(share * share), 6).alias("hhi"))
+
+
+@register(
+    "time_autocorr_lag",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1),
+        ks AS (SELECT unnest([1, 7]) AS k),
+        pairs AS (
+            SELECT ks.k, a.n AS x, b.n AS y
+            FROM daily a
+            JOIN ks ON true
+            JOIN daily b ON b.day = a.day + CAST(ks.k AS INTEGER)),
+        sums AS (
+            SELECT k, count(*) AS m,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pairs GROUP BY k)
+        SELECT CAST(k AS BIGINT) AS lag_days,
+               CAST(m AS BIGINT) AS n_pairs,
+               round((m * sxy - sx * sy)
+                     / nullif(sqrt((m * sxx - sx * sx)
+                                   * (m * syy - sy * sy)), 0.0), 6)
+                   AS autocorr
+        FROM sums
+    """,
+    tags=("temporal", "stats", "autocorrelation", "timeseries"),
+)
+def time_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily event-count series
+    — the two numbers that justify (or refute) time_seasonal_decompose's
+    weekly model: strong lag-7 with weak lag-1 is weekly seasonality,
+    strong lag-1 is trend/momentum, both near zero says the series is
+    noise and the seasonal fit is overreach. Calendar-true lags (a
+    day pairs with day+k BY DATE, gap days produce no pair — never a
+    row-offset masquerading as a time lag).
+
+    Exactness: the assortativity pattern — every sufficient statistic
+    is an exact BIGINT sum of integer counts, the closed form is one
+    sqrt/divide on bit-identical operands (nullif for the
+    zero-variance degenerate), rounded at 6. Plan: one fact-scale
+    aggregate to the day grid, then a |days|×2 self-join and a 2-row
+    fold — calendar-bounded everything."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n"))
+             .localCheckpoint())  # both sides of the lag join
+    ks = F.explode(F.array(F.lit(1), F.lit(7))).alias("k")
+    a = daily.select("day", F.col("n").alias("x")).select("day", "x", ks)
+    b = daily.select(F.col("day").alias("day_b"), F.col("n").alias("y"))
+    pairs = a.join(F.broadcast(b),
+                   F.col("day_b") == F.date_add(F.col("day"), F.col("k")))
+    sums = pairs.groupBy("k").agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    r = ((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / F.nullif(
+             F.sqrt((F.col("m") * F.col("sxx")
+                     - F.col("sx") * F.col("sx"))
+                    * (F.col("m") * F.col("syy")
+                       - F.col("sy") * F.col("sy"))), F.lit(0.0)))
+    return sums.select(
+        F.col("k").cast("bigint").alias("lag_days"),
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.round(r, 6).alias("autocorr"))

@@ -1633,3 +1633,122 @@ def test_lang_id_eval_matches_python(spark, sf_dir):
     assert [g[:3] for g in got] == [e[:3] for e in expected]
     for g, e in zip(got, expected):
         assert abs(g[3] - e[3]) < TOL
+
+
+def _trade_graph_python(sf_dir):
+    """Undirected 1.1x-mean trade graph rebuilt in plain Python
+    (dict joins over raw parquet — no SQL, no Spark)."""
+    o2c = {o["o_orderkey"]: o["o_custkey"]
+           for o in load_table_rows(sf_dir, "orders")}
+    c2n = {c["c_custkey"]: c["c_nationkey"]
+           for c in load_table_rows(sf_dir, "customer")}
+    s2n = {s["s_suppkey"]: s["s_nationkey"]
+           for s in load_table_rows(sf_dir, "supplier")}
+    w: Counter = Counter()
+    for li in load_table_rows(sf_dir, "lineitem"):
+        src = c2n[o2c[li["l_orderkey"]]]
+        dst = s2n[li["l_suppkey"]]
+        w[(src, dst)] += 1
+    thr = 1.1 * sum(w.values()) / len(w)
+    nbrs: dict[int, set] = {}
+    for (s, d), wt in w.items():
+        if s != d and wt >= thr:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+    return nbrs
+
+
+def test_modularity_matches_python(spark, sf_dir):
+    """graph_modularity_score: rebuild the graph, run 5 LPA sweeps and
+    score Q entirely in plain Python."""
+    from mapreducewordcounting_spark.operators.iterative import (
+        graph_modularity_score,
+    )
+
+    nbrs = _trade_graph_python(sf_dir)
+    lab = {n: n for n in nbrs}
+    for _ in range(5):
+        new = {}
+        for n in nbrs:
+            cnt = Counter(lab[m] for m in nbrs[n])
+            best = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == best)
+        lab = new
+    two_m = sum(len(v) for v in nbrs.values())
+    e_in = sum(1 for n in nbrs for m in nbrs[n] if lab[n] == lab[m])
+    d_c: Counter = Counter()
+    for n in nbrs:
+        d_c[lab[n]] += len(nbrs[n])
+    q = e_in / two_m - sum(d * d for d in d_c.values()) / (two_m * two_m)
+    got = graph_modularity_score(spark, sf_dir).collect()[0]
+    assert got.n_communities == len(set(lab.values()))
+    assert got.n_edges == two_m // 2
+    assert abs(got.modularity - q) < TOL
+
+
+def test_hhi_matches_python(spark, sf_dir):
+    """agg_hhi_concentration: recompute shares and the index from raw
+    joined rows."""
+    from mapreducewordcounting_spark.operators.stats import (
+        agg_hhi_concentration,
+    )
+
+    s2n = {s["s_suppkey"]: s["s_nationkey"]
+           for s in load_table_rows(sf_dir, "supplier")}
+    n2r = {n["n_nationkey"]: n["n_regionkey"]
+           for n in load_table_rows(sf_dir, "nation")}
+    r2name = {r["r_regionkey"]: r["r_name"]
+              for r in load_table_rows(sf_dir, "region")}
+    rev: Counter = Counter()
+    for li in load_table_rows(sf_dir, "lineitem"):
+        region = r2name[n2r[s2n[li["l_suppkey"]]]]
+        rev[(region, li["l_suppkey"])] += round(
+            li["l_extendedprice"] * 100)
+    per_region: dict[str, list] = defaultdict(list)
+    for (region, _), cents in rev.items():
+        per_region[region].append(cents)
+    expected = sorted(
+        (region, len(cs),
+         10000 * sum((c / sum(cs)) ** 2 for c in cs))
+        for region, cs in per_region.items())
+    got = rows_as_tuples(agg_hhi_concentration(spark, sf_dir),
+                         ["region", "n_suppliers", "hhi"])
+    assert [g[:2] for g in got] == [e[:2] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < 1e-4  # hhi is x1e4 scaled
+
+
+def test_autocorr_lag_matches_python(spark, sf_dir):
+    """time_autocorr_lag: calendar-true lag pairs + Pearson in plain
+    Python."""
+    from mapreducewordcounting_spark.operators.stats import (
+        time_autocorr_lag,
+    )
+    import datetime as dt
+
+    cnt: Counter = Counter()
+    for e in load_table_rows(sf_dir, "events"):
+        cnt[e["ts"].date()] += 1
+    expected = []
+    for k in (1, 7):
+        pairs = [(cnt[d], cnt[d + dt.timedelta(days=k)])
+                 for d in cnt if d + dt.timedelta(days=k) in cnt]
+        m = len(pairs)
+        if m == 0:
+            continue
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        den = math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+        expected.append((k, m,
+                         (m * sxy - sx * sy) / den if den else None))
+    expected.sort()
+    got = rows_as_tuples(time_autocorr_lag(spark, sf_dir),
+                         ["lag_days", "n_pairs", "autocorr"])
+    assert [g[:2] for g in got] == [e[:2] for e in expected]
+    for g, e in zip(got, expected):
+        if e[2] is None:
+            assert g[2] is None
+        else:
+            assert abs(g[2] - e[2]) < TOL

@@ -377,6 +377,18 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "shared md5-mod-bucket construction on both sides",
         "test_bruteforce_formulas.py::"
         "test_hashing_trick_matches_python"),
+    "graph_modularity_score": (
+        "embeds the generated LPA CTE chain verbatim + shared "
+        "modularity identity",
+        "test_bruteforce_formulas.py::test_modularity_matches_python"),
+    "agg_hhi_concentration": (
+        "shared 10000*sum(share^2) formula over the shared cents "
+        "construction",
+        "test_bruteforce_formulas.py::test_hhi_matches_python"),
+    "time_autocorr_lag": (
+        "shared Pearson sufficient-statistics closed form over the "
+        "shared lag-pair construction",
+        "test_bruteforce_formulas.py::test_autocorr_lag_matches_python"),
 }
 
 #: notable independent-formulation rationales (everything oracled and

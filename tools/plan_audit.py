@@ -86,6 +86,14 @@ BNL_ALLOWED = {
     "dq_ks_two_sample": "1-row (time-midpoint split point — the "
                         "drift_psi_value split, un-checkpointed here "
                         "so the NLJ stays visible in the plan)",
+    "graph_modularity_score": "1-row x3 (intra-edge count, 2m, "
+                              "degree-square sum — three global "
+                              "aggregates folded into the 1-row "
+                              "result)",
+    "time_autocorr_lag": "K-row (the 2-lag day-grid probe side is "
+                         "calendar-bounded; the join key is the "
+                         "date+k equi condition on a broadcast "
+                         "|days|-row side)",
     "similarity_topk_bruteforce": "K-row (query vector set)",
     "similarity_hybrid_rrf": "K-row (query vector set, semantic scan "
                              "side; the lexical side is an equi-join "
