@@ -712,3 +712,70 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("p90_us").cast("double") / 3600000000.0, 6)
                 .alias("p90_hours"))
     )
+
+
+@register(
+    "events_stickiness",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+        dau AS (
+            SELECT day, count(*) AS dau FROM du GROUP BY day),
+        m AS (
+            SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+                   count(*) AS n_days,
+                   sum(dau) AS sum_dau
+            FROM dau GROUP BY 1),
+        mau AS (
+            SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+                   count(DISTINCT user_id) AS mau
+            FROM du GROUP BY 1)
+        SELECT m.month,
+               CAST(m.n_days AS BIGINT) AS n_days,
+               CAST(mau.mau AS BIGINT) AS mau,
+               round(CAST(m.sum_dau AS DOUBLE) / m.n_days, 6) AS avg_dau,
+               round(CAST(m.sum_dau AS DOUBLE) / m.n_days / mau.mau, 6)
+                   AS stickiness
+        FROM m JOIN mau USING (month)
+    """,
+    tags=("analytics", "stickiness", "engagement"),
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio every
+    product review quotes (what fraction of the monthly audience
+    shows up on an average day; 1.0 = everyone, every day): average
+    daily active users over the month's OBSERVED days divided by
+    monthly actives. Completes the engagement ledger beside
+    growth_accounting_daily (volume) and retention_cohort_weekly
+    (longevity).
+
+    Plan: ONE distinct to the (day, user) grain feeds both counters —
+    DAU is a day-grain count, MAU a month-grain distinct — then the
+    ratio lives on the |months| grid. Exactness: both counters are
+    exact BIGINTs; avg_dau and stickiness are the same left-to-right
+    division chain on both engines, rounded at 6. At 100 TB the
+    (day, user) distinct is the one real exchange, and it is the
+    exchange growth accounting already pays; swap the month-grain
+    distinct for HLL when users stop fitting (the mau column is the
+    only holistic term)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(F.to_date("ts").alias("day"), "user_id")
+          .distinct()
+          .localCheckpoint())  # feeds both counters
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    m = (dau.groupBy(F.date_trunc("month", "day").cast("date")
+                     .alias("month"))
+         .agg(F.count("*").alias("n_days"),
+              F.sum("dau").alias("sum_dau")))
+    mau = (du.groupBy(F.date_trunc("month", "day").cast("date")
+                      .alias("month"))
+           .agg(F.countDistinct("user_id").alias("mau")))
+    avg_dau = F.col("sum_dau").cast("double") / F.col("n_days")
+    return (m.join(F.broadcast(mau), "month")
+            .select("month",
+                    F.col("n_days").cast("bigint").alias("n_days"),
+                    F.col("mau").cast("bigint").alias("mau"),
+                    F.round(avg_dau, 6).alias("avg_dau"),
+                    F.round(avg_dau / F.col("mau"), 6)
+                    .alias("stickiness")))

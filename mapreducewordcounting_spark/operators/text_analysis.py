@@ -1928,3 +1928,64 @@ def text_hashing_trick_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", bucket.alias("bucket"))
             .groupBy("doc_id", "bucket")
             .agg(F.count("*").alias("cnt")))
+
+
+#: standardized TTR chunk width (tokens); fixed-width chunks make the
+#: type-token ratio comparable across document lengths (Johnson 1944)
+STTR_CHUNK = 50
+
+
+@register(
+    "text_sttr_diversity",
+    oracle=f"""
+        WITH t AS ({{toks}}),
+        c AS (
+            SELECT doc_id,
+                   len(toks) // {STTR_CHUNK} AS n_chunks,
+                   list_transform(
+                       range(0, CAST(len(toks) // {STTR_CHUNK} AS INTEGER)),
+                       i -> CAST(len(list_distinct(
+                                toks[i * {STTR_CHUNK} + 1
+                                     : i * {STTR_CHUNK} + {STTR_CHUNK}]))
+                            AS DOUBLE) / {STTR_CHUNK}) AS ttrs
+            FROM t)
+        SELECT doc_id,
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               round(list_sum(ttrs) / n_chunks, 6) AS sttr
+        FROM c
+        WHERE n_chunks >= 1
+    """.format(toks=_SQL_TOKS),
+    tags=("text", "lexical-diversity", "sttr"),
+)
+def text_sttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized type-token ratio (STTR, Johnson 1944) — lexical
+    diversity that plain TTR gets wrong (TTR falls with length by
+    Heaps' law, so long docs look artificially repetitive): split
+    each document into fixed 50-token chunks, take the distinct-ratio
+    of each, average. Low STTR = templated/looping text — the
+    vocabulary-grain sibling of text_repetition_signals' bigram
+    duplication and quality_filter_report's distinct-ratio rule,
+    robust to document length by construction.
+
+    Zero shuffles: the whole operator is array HOFs on the document
+    row (slice → array_distinct → size, folded left-to-right
+    identically on both engines; each chunk TTR is an exact k/50
+    rational) — a pure map stage at any corpus size, the
+    text_doc_stats plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokenize_canonical("text"),
+                    lambda w: F.length(w) > 0)
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        (F.size("toks") / STTR_CHUNK).cast("bigint").alias("n_chunks"),
+        F.col("toks"))
+    ttrs = F.transform(
+        F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+        lambda i: F.size(F.array_distinct(
+            F.slice(F.col("toks"), i * STTR_CHUNK + 1, STTR_CHUNK)))
+        .cast("double") / STTR_CHUNK)
+    return (base.filter(F.col("n_chunks") >= 1)
+            .select("doc_id", "n_chunks",
+                    F.round(F.aggregate(ttrs, F.lit(0.0),
+                                        lambda a, x: a + x)
+                            / F.col("n_chunks"), 6).alias("sttr")))

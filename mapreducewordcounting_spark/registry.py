@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     'dedup_cdc_chunking', 'time_downsample_m4', 'sample_poisson_det', 'text_ngram_novelty_curve',
     'dq_ks_two_sample', 'graph_label_propagation', 'text_lang_id_eval', 'window_max_drawdown',
     'text_hashing_trick_det', 'graph_modularity_score', 'agg_hhi_concentration', 'time_autocorr_lag',
+    'events_stickiness', 'text_sttr_diversity',
     'sketch_count_min', 'sketch_hll_union', 'agg_percentile_approx', 'text_vocab_approx',
     'text_bpe_learn_merges', 'kmeans_embeddings', 'pack_sequences_greedy', 'stream_tumbling',
     'stream_dedup', 'stream_stateful_counter', 'stream_static_join', 'stream_stream_join',

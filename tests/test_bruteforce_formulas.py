@@ -1752,3 +1752,54 @@ def test_autocorr_lag_matches_python(spark, sf_dir):
             assert g[2] is None
         else:
             assert abs(g[2] - e[2]) < TOL
+
+
+def test_stickiness_matches_python(spark, sf_dir):
+    """events_stickiness: recompute DAU/MAU per month in plain Python."""
+    from mapreducewordcounting_spark.operators.product_analytics import (
+        events_stickiness,
+    )
+
+    du = {(e["ts"].date(), e["user_id"])
+          for e in load_table_rows(sf_dir, "events")}
+    dau: Counter = Counter()
+    month_users: dict = defaultdict(set)
+    for day, uid in du:
+        dau[day] += 1
+        month_users[day.replace(day=1)].add(uid)
+    expected = []
+    for month, users in month_users.items():
+        days = [d for d in dau if d.replace(day=1) == month]
+        avg = sum(dau[d] for d in days) / len(days)
+        expected.append((month, len(days), len(users), avg,
+                         avg / len(users)))
+    expected.sort()
+    got = rows_as_tuples(events_stickiness(spark, sf_dir),
+                         ["month", "n_days", "mau", "avg_dau",
+                          "stickiness"])
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[3] - e[3]) < TOL and abs(g[4] - e[4]) < TOL
+
+
+def test_sttr_matches_python(spark, sf_dir):
+    """text_sttr_diversity: recompute 50-token chunk TTRs in plain
+    Python."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_sttr_diversity,
+    )
+
+    expected = []
+    for d in load_documents(sf_dir):
+        t = canon_tokens(d["text"])
+        k = len(t) // 50
+        if k < 1:
+            continue
+        ttrs = [len(set(t[i * 50:(i + 1) * 50])) / 50 for i in range(k)]
+        expected.append((d["doc_id"], k, sum(ttrs) / k))
+    expected.sort()
+    got = rows_as_tuples(text_sttr_diversity(spark, sf_dir),
+                         ["doc_id", "n_chunks", "sttr"])
+    assert [g[:2] for g in got] == [e[:2] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[2] - e[2]) < TOL

@@ -389,6 +389,9 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "shared Pearson sufficient-statistics closed form over the "
         "shared lag-pair construction",
         "test_bruteforce_formulas.py::test_autocorr_lag_matches_python"),
+    "text_sttr_diversity": (
+        "shared 50-token chunk slicing + TTR fold on both sides",
+        "test_bruteforce_formulas.py::test_sttr_matches_python"),
 }
 
 #: notable independent-formulation rationales (everything oracled and
@@ -463,6 +466,9 @@ INDEPENDENT_NOTES: dict[str, str] = {
                            "declarative on both sides (plus a "
                            "pure-Python walk in "
                            "test_bruteforce_formulas.py)",
+    "events_stickiness": "declarative distinct/count restatement on "
+                         "both sides (plus a pure-Python walk in "
+                         "test_bruteforce_formulas.py)",
 }
 
 DEFAULT_INDEPENDENT = ("declarative ANSI twin; engines plan and "
