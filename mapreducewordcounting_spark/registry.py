@@ -59,18 +59,18 @@ def register(name: str, oracle: str | None = None,
 #       dq_benford_distribution, attribution_last_touch,
 #       privacy_l_diversity, text_tokenizer_fertility,
 #       embedding_matryoshka_error, graph_wcc_trade;
-#   (2b) positions 34-47: the 16 oracled queries from the round-9
+#   (2b) positions 34-47: the first 14 oracled queries from the round-9
 #       continuation batches (part_skyline_dominance,
 #       attribution_linear_multi_touch, time_cusum_changepoint,
 #       text_zipf_slope, privacy_dp_laplace_det,
 #       time_seasonal_decompose, dq_wilson_ci, window_ewma_smooth,
 #       graph_jaccard_link_pred, embedding_pq_codes,
 #       source_binary_files, sample_stratified_neyman,
-#       dq_late_arrival_audit — the other two batch-3 oracled ops,
-#       graph_degree_assortativity and events_time_to_convert, sit
-#       right behind the canary at positions 50-51 to head the r10
-#       rotation, since 48 coverage slots were already full) plus
-#       similarity_ann_ivf, whose
+#       dq_late_arrival_audit — the REMAINING 15 continuation-batch
+#       oracled ops, graph_degree_assortativity through
+#       text_sttr_diversity, sit right behind the canary at positions
+#       50-64 to head the r10 rotation, since 48 coverage slots were
+#       already full) plus similarity_ann_ivf, whose
 #       deterministic construction gained a full DuckDB oracle this
 #       round (it was rows-only) — windowed the round they shipped,
 #       displacing the 12 lowest-loss rows-only tails (the live
