@@ -296,10 +296,14 @@ def time_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_ks_two_sample",
     oracle="""
         WITH se AS (
+            -- value IS NOT NULL on BOTH engines: a NULL group would
+            -- sort FIRST in Spark ASC but LAST in DuckDB ASC,
+            -- shifting every ECDF step (ADVICE r9 — latent); NULLs
+            -- carry no ECDF mass anyway
             SELECT event_type, value,
                    CAST(extract(epoch FROM date_trunc('second', ts))
                         AS BIGINT) AS s
-            FROM events),
+            FROM events WHERE value IS NOT NULL),
         split AS (SELECT (min(s) + max(s)) // 2 AS mid FROM se),
         lab AS (
             SELECT event_type, value,
@@ -360,8 +364,11 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain IS the ECDF support; for continuous high-cardinality values
     swap the exact grain for the agg_quantile_hist_est binned summary
     (binned KS), same plan shape."""
+    # NULL values filtered symmetrically + asc_nulls_last ordering
+    # (ADVICE r9): Spark ASC puts NULLs first, DuckDB ASC puts them
+    # last — either fix alone pins the ECDF step order; both applied
     ev = load_table(spark, sf_dir, "events")
-    se = ev.select(
+    se = ev.filter(F.col("value").isNotNull()).select(
         "event_type", "value",
         F.unix_timestamp(F.date_trunc("second", F.col("ts")))
         .cast("bigint").alias("s"))
@@ -371,7 +378,8 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = lab.groupBy("event_type", "value").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_r"),
         F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_c"))
-    w_cum = (Window.partitionBy("event_type").orderBy("value")
+    w_cum = (Window.partitionBy("event_type")
+             .orderBy(F.asc_nulls_last("value"))
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_all = Window.partitionBy("event_type")
     cum = g.select(

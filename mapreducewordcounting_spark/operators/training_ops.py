@@ -19,6 +19,8 @@ pipeline reruns are reproducible and the op is oracle-checkable
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1481,13 +1483,16 @@ NEYMAN_BUDGET = 100
                    sum(n_chars * n_chars) AS sxx
             FROM documents GROUP BY source),
         w AS (
+            -- greatest(var, 0): cancellation on an all-constant
+            -- stratum can round to a tiny negative, where Spark's
+            -- sqrt returns NaN but DuckDB errors (ADVICE r9)
             SELECT source, n_docs,
-                   sqrt((CAST(sxx AS DOUBLE)
+                   sqrt(greatest((CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                           / n_docs) / n_docs) AS sd,
-                   n_docs * sqrt((CAST(sxx AS DOUBLE)
+                           / n_docs) / n_docs, 0)) AS sd,
+                   n_docs * sqrt(greatest((CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                           / n_docs) / n_docs) AS wt
+                           / n_docs) / n_docs, 0)) AS wt
             FROM s),
         t AS (
             SELECT *, max(cum) OVER () AS total
@@ -1556,9 +1561,16 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sx"),
         F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"))
-    var = ((F.col("sxx").cast("double")
-            - F.col("sx").cast("double") * F.col("sx").cast("double")
-            / F.col("n_docs")) / F.col("n_docs"))
+    # greatest(var, 0) on BOTH engines: float cancellation on an
+    # all-constant stratum can yield a tiny negative, where Spark's
+    # sqrt returns NaN but DuckDB raises — clamping keeps the
+    # degenerate case on the total=0 branch it was designed for
+    # (ADVICE r9)
+    var = F.greatest(
+        (F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx").cast("double")
+         / F.col("n_docs")) / F.col("n_docs"),
+        F.lit(0.0))
     w = s.select("source", "n_docs", F.sqrt(var).alias("sd"),
                  (F.col("n_docs") * F.sqrt(var)).alias("wt"))
     w_cum = (Window.orderBy("source")
@@ -1595,22 +1607,35 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: deterministic Poisson(1) bootstrap: inverse-CDF thresholds are the
-#: partial sums e^-1 * sum(1/j!) — built from identical literal
-#: expression trees on both engines (libm exp parity).
-_POIS_CUM = "exp(-1.0) * ({terms})"
-_POIS_TERMS = ["1.0", "1.0", "1.0/2", "1.0/6", "1.0/24", "1.0/120",
-               "1.0/720", "1.0/5040"]
+#: partial sums e^-1 * sum(1/j!), precomputed ONCE in Python and
+#: inlined as shortest-round-trip double literals. (ADVICE r9: the
+#: earlier '1.0/6'-style expression trees were NOT engine-portable —
+#: Spark parses '1.0/6' as DECIMAL(7,6) = 0.166667 while DuckDB
+#: promotes to DOUBLE, shifting cumulative thresholds by ~2.5e-7, so
+#: a u landing in the gap drew a different k per engine. A repr'd
+#: double literal parses to the bit-identical double on both.)
+_POIS_K_MAX = 8
+_POIS_THRESHOLDS: list[float] = []
+_acc, _fact = 0.0, 1.0
+for _j in range(_POIS_K_MAX):
+    _fact *= max(_j, 1)
+    _acc += 1.0 / _fact
+    _POIS_THRESHOLDS.append(math.exp(-1.0) * _acc)
+
+
+def _double_lit(v: float) -> str:
+    """Shortest round-trip double literal, forced to DOUBLE type in
+    both Spark and DuckDB via an exponent suffix."""
+    r = repr(v)
+    return r if ("e" in r or "E" in r) else r + "e0"
 
 
 def _pois_case(u_expr: str) -> str:
     """CASE ladder mapping a uniform u to Poisson(1) k by inverse CDF
-    (identical SQL text on both engines)."""
-    branches, acc = [], []
-    for k, t in enumerate(_POIS_TERMS):
-        acc.append(t)
-        cum = _POIS_CUM.format(terms=" + ".join(acc))
-        branches.append(f"WHEN {u_expr} < {cum} THEN {k}")
-    return "CASE " + " ".join(branches) + f" ELSE {len(_POIS_TERMS)} END"
+    (identical SQL text — identical doubles — on both engines)."""
+    branches = [f"WHEN {u_expr} < {_double_lit(t)} THEN {k}"
+                for k, t in enumerate(_POIS_THRESHOLDS)]
+    return "CASE " + " ".join(branches) + f" ELSE {_POIS_K_MAX} END"
 
 
 @register(
@@ -1643,10 +1668,12 @@ def sample_poisson_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed learners use it for bagging and uncertainty bands).
     Deterministic md5 draw (the privacy_dp_laplace_det seed rule:
     production swaps the seed, the structure is the deliverable);
-    k comes from the inverse CDF as a CASE ladder over the exact
-    partial sums e⁻¹·Σ1/j! — both engines build each threshold from
-    the IDENTICAL literal expression tree, so every comparison sees
-    bit-equal doubles. Emits the per-source resample accounting:
+    k comes from the inverse CDF as a CASE ladder over the partial
+    sums e⁻¹·Σ1/j!, precomputed in Python and inlined as round-trip
+    double LITERALS in the shared SQL text (ADVICE r9: expression
+    trees like '1.0/6' type differently per engine — DECIMAL in
+    Spark, DOUBLE in DuckDB), so every comparison sees bit-equal
+    doubles. Emits the per-source resample accounting:
     total draws (≈ n), dropped rows (k=0, ≈ 36.8%), max multiplicity.
 
     Plan: pure map (hash + CASE) over the scan, one |sources|-grain

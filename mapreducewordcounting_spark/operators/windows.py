@@ -316,12 +316,16 @@ EWMA_DECAY = 0.7
     "window_ewma_smooth",
     oracle=f"""
         WITH framed AS (
+            -- value IS NOT NULL on BOTH engines: Spark's
+            -- collect_list silently drops NULLs while DuckDB's
+            -- list() keeps them, so frames would diverge on NULL
+            -- values (ADVICE r9 — latent, fixtures have none)
             SELECT event_id, user_id,
                    list(value) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id
                                      ROWS BETWEEN 9 PRECEDING
                                               AND CURRENT ROW) AS vs
-            FROM events)
+            FROM events WHERE value IS NOT NULL)
         SELECT event_id, user_id,
                round(
                    list_sum(list_transform(range(1, len(vs) + 1),
@@ -351,8 +355,12 @@ def window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one (user_id) exchange, O(k) per-row frame buffer — the
     window_rolling_median trade, with the same sketch swap available
-    for large k."""
-    ev = load_table(spark, sf_dir, "events")
+    for large k. NULL values are filtered SYMMETRICALLY up front
+    (ADVICE r9): Spark's collect_list drops NULLs while DuckDB's
+    list() keeps them, so an explicit shared predicate is the only
+    way the two frames agree by construction."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-9, Window.currentRow))
     vs = F.collect_list("value").over(w)
