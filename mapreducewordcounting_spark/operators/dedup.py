@@ -1160,6 +1160,148 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom gate for the standing-corpus side of incremental dedup:
+#: k=4 deterministic md5 positions over m=65536 bits — sized so the
+#: gate actually FILTERS at every test SF (load ~0.37 at sf0.1,
+#: fp ~1%) instead of saturating, unlike sketch_bloom_det's
+#: deliberately-undersized m=2048.
+_IBLOOM_K = 4
+_IBLOOM_M = 65536
+
+
+def _ibloom_pos_sql(key_expr: str, i_expr: str) -> str:
+    return (f"CAST(CAST(('0x' || substr(md5(CAST({i_expr} AS VARCHAR) "
+            f"|| '|' || {key_expr}), 1, 8)) AS UBIGINT) "
+            f"% {_IBLOOM_M} AS BIGINT)")
+
+
+def _ibloom_positions(key_col: "F.Column") -> "F.Column":
+    return F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}|"), key_col)), 1, 8),
+            16, 10).cast("long") % _IBLOOM_M)
+        for i in range(_IBLOOM_K)
+    ])
+
+
+@register(
+    "dedup_incremental_bloom",
+    oracle=f"""
+        WITH t AS ({{_SQL_TOKS}}),
+        hashed AS (
+            SELECT t.doc_id, d.source,
+                   sha256(array_to_string(t.toks, ' ')) AS h
+            FROM t JOIN documents d USING (doc_id)),
+        corpus AS (SELECT DISTINCT h FROM hashed WHERE source = 'src0'),
+        bits AS (
+            SELECT DISTINCT {_ibloom_pos_sql('h', 'r.i')} AS pos
+            FROM corpus, range({_IBLOOM_K}) r(i)),
+        batch AS (
+            SELECT doc_id, source, h FROM hashed WHERE source <> 'src0'),
+        probed AS (
+            SELECT b.doc_id, b.source, b.h,
+                   count(bt.pos) AS n_hit
+            FROM batch b
+            CROSS JOIN range({_IBLOOM_K}) r(i)
+            LEFT JOIN bits bt
+              ON {_ibloom_pos_sql('b.h', 'r.i')} = bt.pos
+            GROUP BY b.doc_id, b.source, b.h),
+        flagged AS (
+            -- a bloom has NO false negatives, so a plain left join
+            -- against the corpus yields the same is_dup set as the
+            -- engine's suspects-only join
+            SELECT p.source,
+                   (p.n_hit = {_IBLOOM_K}) AS bloom_pass,
+                   (c.h IS NOT NULL) AS is_dup
+            FROM probed p LEFT JOIN corpus c ON p.h = c.h)
+        SELECT source,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pass_bloom,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_true_dup,
+               CAST(sum(CASE WHEN bloom_pass AND NOT is_dup
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos,
+               CAST(sum(CASE WHEN NOT bloom_pass THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_skip_corpus_join
+        FROM flagged GROUP BY source
+    """.format(_SQL_TOKS=_SQL_TOKS),
+    tags=("dedup", "incremental", "bloom", "sketch"),
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-GATED incremental dedup (VERDICT r9 item 8) — the
+    standing-corpus membership argument of dedup_incremental_batch
+    made measurable instead of prose: the corpus side is compressed
+    into a deterministic Bloom bit-set (k=4 md5 positions over
+    m=65536 — ≤ m distinct-position rows, broadcastable at any corpus
+    size when m is fixed per shard), every arriving batch row probes
+    the broadcast bits map-side, and ONLY the suspects (all k bits
+    set) proceed to the exact-hash join against the corpus. Rows the
+    gate clears — the overwhelming majority of genuinely-new content,
+    ~99% at these parameters — never shuffle against the standing
+    corpus at all, which at 100 TB is the difference between a batch
+    join and a corpus-scale join per ingest tick.
+
+    The result is the gate's audited economics per batch source:
+    rows, bloom suspects, confirmed duplicates, false positives
+    (suspects that survived the exact join — the price of m), and
+    rows that skipped the corpus join entirely. The hash family is
+    the portable md5 ladder (sketch_bloom_det), so both engines build
+    identical bit-sets and the fp rows are THE SAME rows; no false
+    negatives means the oracle's simpler flat left join provably
+    yields the same counts as the engine's suspects-only join.
+
+    Plan: content reduces to 32-byte hashes at the scan (text never
+    moves); bits = one distinct over ≤ k·|corpus| generated positions;
+    probe = map-side broadcast join of the k-exploded batch, regrouped
+    at hash grain (partial agg folds 4→1 before the exchange); the
+    exact join touches only suspects. Production swaps the relational
+    bit table for a scan-pushed native bloom (join_runtime_bloom_smj
+    shows Spark's own); the relational rendition is what an oracle can
+    check bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source",
+        F.sha2(F.array_join(_toks(), " "), 256).alias("h"))
+    corpus = (hashed.filter(F.col("source") == "src0")
+              .select("h").distinct())
+    bits = (corpus
+            .select(F.explode(_ibloom_positions(F.col("h"))).alias("pos"))
+            .distinct()
+            .withColumn("hit", F.lit(1)))
+    batch = hashed.filter(F.col("source") != "src0")
+    probed = (
+        batch
+        .select("doc_id", "source", "h",
+                F.explode(_ibloom_positions(F.col("h"))).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "source", "h")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit")))
+    suspects = (
+        probed.filter(F.col("n_hit") == _IBLOOM_K)
+        .join(corpus.withColumn("in_corpus", F.lit(True)), "h", "left")
+        .select("source", F.lit(True).alias("bloom_pass"),
+                F.coalesce(F.col("in_corpus"), F.lit(False))
+                .alias("is_dup")))
+    cleared = (
+        probed.filter(F.col("n_hit") < _IBLOOM_K)
+        .select("source", F.lit(False).alias("bloom_pass"),
+                F.lit(False).alias("is_dup")))
+    flagged = suspects.unionByName(cleared)
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint").alias("n_pass_bloom"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint").alias("n_true_dup"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_dup"), 1)
+              .otherwise(0)).cast("bigint").alias("n_false_pos"),
+        F.sum(F.when(~F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint").alias("n_skip_corpus_join"),
+    )
+
+
 @register(
     "dedup_minhash_estimate",
     oracle=f"""

@@ -47,6 +47,34 @@ def test_ivf_recall_positive(spark, sf_dir):
     assert recall >= 0.05, f"IVF recall {recall:.2f}"
 
 
+def test_anchor_graph_recall_and_ivf_comparison(spark, sf_dir):
+    """Graph-routed ANN: probing 1+3 graph-linked cells must (a) cover
+    every query, (b) beat-or-match the plain IVF nprobe=2 probe's
+    recall floor (it probes strictly more cells, chosen by the anchor
+    adjacency), and (c) be rerun-deterministic — no seed, no RNG."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_anchor_graph,
+    )
+
+    exact = _topk_sets(similarity_topk_bruteforce(spark, sf_dir))
+    approx = _topk_sets(similarity_ann_anchor_graph(spark, sf_dir))
+    assert len(approx) == N_QUERIES
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * K)
+    assert recall >= 0.05, f"anchor-graph recall {recall:.2f}"
+
+    ivf = _topk_sets(similarity_ann_ivf(spark, sf_dir))
+    ivf_hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    assert hits >= ivf_hits * 0.8, (
+        f"graph routing {hits} hits vs IVF {ivf_hits}")
+
+    r1 = sorted(map(tuple,
+                    similarity_ann_anchor_graph(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple,
+                    similarity_ann_anchor_graph(spark, sf_dir).collect()))
+    assert r1 == r2
+
+
 def test_rp_det_recall_and_determinism(spark, sf_dir):
     """The md5-hyperplane ANN: (a) bucket collisions give usable recall
     even on near-random vectors (25% expected pair rate at 4x4-bit
