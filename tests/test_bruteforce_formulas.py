@@ -917,6 +917,50 @@ def test_ann_ivf_matches_python(spark, sf_dir):
         assert abs(g[3] - e[3]) < TOL
 
 
+def test_ann_anchor_graph_matches_python(spark, sf_dir):
+    """similarity_ann_anchor_graph: recompute the full graph-routed
+    probe (fixed %50 anchors, degree-3 anchor adjacency, top-1
+    assignment, entry + one-hop cell expansion, exact cosine re-rank)
+    from raw parquet in numpy."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_anchor_graph,
+    )
+
+    rows = load_table_rows(sf_dir, "embeddings")
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    anchors = {i: v for i, v in vecs.items() if i % 50 == 0}
+
+    def nearest_anchors(vec, n, exclude=None):
+        scored = sorted(((cos(vec, av), aid)
+                         for aid, av in anchors.items()
+                         if aid != exclude),
+                        key=lambda t: (-t[0], t[1]))
+        return [aid for _, aid in scored[:n]]
+
+    edges = {aid: nearest_anchors(av, 3, exclude=aid)
+             for aid, av in anchors.items()}
+    cell_of = {vid: nearest_anchors(v, 1)[0] for vid, v in vecs.items()}
+    expected = []
+    for q in sorted(v for v in vecs if v < 10):
+        probe = {cell_of[q], *edges[cell_of[q]]}
+        cand = [(cos(vecs[q], vecs[c]), c) for c in vecs
+                if c != q and cell_of[c] in probe]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        expected += [(q, c, rk + 1, s)
+                     for rk, (s, c) in enumerate(cand[:5])]
+    got = rows_as_tuples(similarity_ann_anchor_graph(spark, sf_dir),
+                         ["query_id", "neighbor_id", "rank", "cosine"])
+    expected.sort()
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[3] - e[3]) < TOL
+
+
 def test_dp_laplace_matches_python(spark, sf_dir):
     """privacy_dp_laplace_det: recompute the md5-seeded uniform and
     the Laplace inverse CDF with hashlib + math on the raw tables."""

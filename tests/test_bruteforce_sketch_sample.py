@@ -63,6 +63,45 @@ def test_bloom_det_matches_python(spark, sf_dir):
     assert got == expected
 
 
+def test_incremental_bloom_matches_python(spark, sf_dir):
+    """dedup_incremental_bloom: recompute the whole gate from raw
+    parquet — sha256 over canonical tokens, 4 bits md5('<i>|<h>')
+    % 65536 from the src0 corpus, batch rows pass iff all 4 set,
+    exact membership decides dup vs false positive."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_incremental_bloom,
+    )
+
+    docs = load_documents(sf_dir)
+    hashes = {
+        d["doc_id"]: hashlib.sha256(
+            " ".join(canon_tokens(d["text"])).encode()).hexdigest()
+        for d in docs}
+    corpus = {hashes[d["doc_id"]] for d in docs if d["source"] == "src0"}
+    bits = {_h32(f"{i}|{h}") % 65536 for h in corpus for i in range(4)}
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for d in docs:
+        if d["source"] == "src0":
+            continue
+        h = hashes[d["doc_id"]]
+        row = agg[d["source"]]
+        row[0] += 1
+        if all(_h32(f"{i}|{h}") % 65536 in bits for i in range(4)):
+            row[1] += 1
+            if h in corpus:
+                row[2] += 1
+            else:
+                row[3] += 1
+        else:
+            row[4] += 1
+    expected = sorted((s, *counts) for s, counts in agg.items())
+    got = rows_as_tuples(
+        dedup_incremental_bloom(spark, sf_dir),
+        ["source", "n_rows", "n_pass_bloom", "n_true_dup",
+         "n_false_pos", "n_skip_corpus_join"])
+    assert got == expected
+
+
 def test_count_min_det_matches_python(spark, sf_dir):
     """4x8192 counter grid keyed by md5('<i>|<word>'); estimate = min
     over rows; probes = top-100 words by (count desc, word)."""

@@ -101,6 +101,16 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "md5-fold frame signatures over shot-windowed payload slices "
         "+ lag/popcount on both sides",
         "test_bruteforce_dedup_text.py::test_scene_cuts_match_python"),
+    "dedup_incremental_bloom": (
+        "md5 position math (4 x mod 65536) over sha256 content hashes "
+        "on both sides",
+        "test_bruteforce_sketch_sample.py::"
+        "test_incremental_bloom_matches_python"),
+    "similarity_ann_anchor_graph": (
+        "shared %50 anchor seeding + degree-3 adjacency + one-hop "
+        "cell-expansion construction on both sides",
+        "test_bruteforce_formulas.py::"
+        "test_ann_anchor_graph_matches_python"),
     "similarity_ann_rp_det": (
         "md5-derived hyperplanes inlined into both sides; 4-bit bands",
         "test_bruteforce_formulas.py::test_ann_rp_det_matches_python"),

@@ -76,6 +76,11 @@ BNL_ALLOWED = {
     "stream_full_outer_join_batch_twin": "1-row (joint-watermark "
                                          "cutoff)",
     "similarity_ann_ivf": "K-row (IVF centroid table)",
+    "similarity_ann_anchor_graph": "K-row (anchor table, twice: "
+                                   "anchors x anchors adjacency and "
+                                   "scan x broadcast anchors "
+                                   "assignment — the IVF centroid "
+                                   "shape)",
     "embedding_pq_codes": "K-row (PQ codebook table — pair space is "
                           "n·|codebook| with the codebook config-"
                           "sized, the IVF centroid shape)",
