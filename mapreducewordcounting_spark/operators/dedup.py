@@ -1278,6 +1278,14 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bits), "pos", "left")
         .groupBy("doc_id", "source", "h")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit")))
+    # materialize the hash-grain probe ONCE: the suspects/cleared
+    # split below consumes it twice, and without the checkpoint each
+    # branch re-runs the batch scan + probe (plan showed the subtree
+    # duplicated). Hash-grain rows are 32-byte keys + counters —
+    # exactly the scale of state a real gate materializes per tick.
+    scratch = CheckpointRotator(spark)
+    probed = scratch.rotate(probed)
+    scratch.keep()  # final plan reads both branches of it
     suspects = (
         probed.filter(F.col("n_hit") == _IBLOOM_K)
         .join(corpus.withColumn("in_corpus", F.lit(True)), "h", "left")
