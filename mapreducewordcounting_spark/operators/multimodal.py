@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.checkpoints import CheckpointRotator
 from mapreducewordcounting_spark.registry import register
 
 
@@ -617,9 +618,9 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary detection over video assets — the multimodal
     pipeline's standard frame-level dedup/segmentation primitive: a
     perceptual signature per SAMPLED frame, a cut wherever adjacent
-    signatures differ by more than {CUT_HAMMING} bits. The decode is
+    signatures differ by more than CUT_HAMMING (8) bits. The decode is
     the repo's deterministic stand-in (SURVEY env rules): frame f
-    reads the payload slice of its {SCENE_LEN}-frame shot
+    reads the payload slice of its SCENE_LEN (4)-frame shot
     (piecewise-constant, so intra-shot hamming is exactly 0 and shot
     boundaries land far above the threshold unless the payload ran
     out — both outcomes live in the fixture), signatures are
@@ -670,4 +671,146 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sigs.select("asset_id", "frame_idx", hamming.alias("hamming"))
         .filter(F.col("hamming") > CUT_HAMMING)
+    )
+
+
+#: VAD model: the audio payload decodes to VAD_WIN-char hop windows
+#: ("20 ms frames"); window energy is the md5-fold of the slice
+#: modulo 1000 (a deterministic stand-in for RMS energy — ~uniform,
+#: so the threshold splits voiced/unvoiced around the median and both
+#: classes are exercised at every SF); adjacent voiced windows merge
+#: into speech segments.
+VAD_WIN = 16
+VAD_THRESHOLD = 500
+
+
+@register(
+    "mm_audio_vad_segments",
+    # Mirrored oracle: DuckDB re-derives the per-window md5-fold
+    # energy from the same payload slices, then the same
+    # gaps-islands merge. Differential:
+    # tests/test_bruteforce_dedup_text.py::test_audio_vad_matches_python.
+    oracle=f"""
+        WITH a AS (
+            SELECT doc_id AS asset_id, text, (n_chars % 30 + 1) AS nw
+            FROM documents WHERE doc_id % 3 = 1),
+        wins AS (
+            SELECT asset_id, w.w AS win_idx,
+                   CAST(CAST(('0x' || substr(md5(substring(text,
+                                  w.w * {VAD_WIN} + 1, {VAD_WIN})),
+                              1, 8)) AS UBIGINT) % 1000 AS BIGINT)
+                       AS energy
+            FROM a, (SELECT unnest(range(0, 30)) AS w) w
+            WHERE w.w < nw),
+        voiced AS (
+            SELECT asset_id, win_idx,
+                   win_idx - row_number() OVER (PARTITION BY asset_id
+                                                ORDER BY win_idx)
+                       AS grp
+            FROM wins WHERE energy >= {VAD_THRESHOLD}),
+        segs AS (
+            SELECT asset_id, grp, count(*) AS seg_len
+            FROM voiced GROUP BY asset_id, grp),
+        seg_stats AS (
+            SELECT asset_id, count(*) AS n_segments,
+                   max(seg_len) AS longest_seg
+            FROM segs GROUP BY asset_id),
+        tot AS (
+            SELECT asset_id, count(*) AS n_windows,
+                   sum(CASE WHEN energy >= {VAD_THRESHOLD}
+                            THEN 1 ELSE 0 END) AS n_voiced
+            FROM wins GROUP BY asset_id)
+        SELECT t.asset_id,
+               CAST(t.n_windows AS BIGINT) AS n_windows,
+               CAST(t.n_voiced AS BIGINT) AS n_voiced,
+               CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(coalesce(s.longest_seg, 0) AS BIGINT) AS longest_seg,
+               round(CAST(t.n_voiced AS DOUBLE) / t.n_windows, 6)
+                   AS voiced_ratio
+        FROM tot t LEFT JOIN seg_stats s USING (asset_id)
+    """,
+    tags=("multimodal", "audio", "vad", "frames"),
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over audio assets — the audio
+    modality's dedicated operator beside the image tier (pHash
+    near-dup) and the video tier (scene cuts): hop-window energies
+    from the decode stage, a threshold gate, and adjacent voiced
+    windows merged into speech segments (the standard first step of
+    any speech-data pipeline — ASR pre-filtering, silence trimming,
+    speech/music routing — here reported as per-asset segment
+    accounting: window count, voiced count, segment count, longest
+    segment, voiced ratio).
+
+    The decode is the repo's deterministic stand-in (SURVEY env
+    rules): window w reads the payload slice [w*VAD_WIN,
+    (w+1)*VAD_WIN) and "RMS energy" is the md5-fold of the slice
+    mod 1000; a real deployment swaps the slice+fold for
+    torchaudio/ffmpeg frame RMS inside the SAME mapInPandas stage
+    and nothing else moves. The segment merge is the gaps-islands
+    pattern (fn_gaps_islands) on the voiced window index.
+
+    Scale shape: payload bytes never shuffle — only (asset_id,
+    win_idx, energy) rows (≤30 per asset) leave the decode stage;
+    the merge is one asset-keyed exchange shared by the island
+    window, both rollups, and the final join (AQE coalesces the
+    dimension-sized sides)."""
+    import hashlib
+
+    import pandas as pd
+
+    auds = (assets(spark, sf_dir)
+            .filter(F.col("meta.kind") == "audio")
+            .select("asset_id", "payload",
+                    F.col("meta.n_frames").alias("nw")))
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "win_idx": [], "energy": []}
+            for aid, payload, nw in zip(pdf["asset_id"], pdf["payload"],
+                                        pdf["nw"]):
+                text = bytes(payload).decode("utf-8")
+                for w in range(int(nw)):
+                    sl = text[w * VAD_WIN:(w + 1) * VAD_WIN]
+                    e = int(hashlib.md5(sl.encode()).hexdigest()[:8],
+                            16) % 1000
+                    out["asset_id"].append(int(aid))
+                    out["win_idx"].append(w)
+                    out["energy"].append(e)
+            yield pd.DataFrame(out)
+
+    wins = auds.mapInPandas(
+        energies, "asset_id LONG, win_idx LONG, energy LONG")
+    # materialize the decode output ONCE (the dedup_incremental_bloom
+    # rule): the segment branch and the totals branch both consume
+    # it, and without the checkpoint each re-runs the payload scan +
+    # decode stage. Energy rows are 3 longs × ≤30 per asset — exactly
+    # the state a real VAD pass materializes.
+    scratch = CheckpointRotator(spark)
+    wins = scratch.rotate(wins)
+    scratch.keep()  # final plan reads both branches of it
+    w_rn = Window.partitionBy("asset_id").orderBy("win_idx")
+    voiced = (wins.filter(F.col("energy") >= VAD_THRESHOLD)
+              .withColumn("grp", F.col("win_idx")
+                          - F.row_number().over(w_rn)))
+    segs = voiced.groupBy("asset_id", "grp").agg(
+        F.count("*").alias("seg_len"))
+    seg_stats = segs.groupBy("asset_id").agg(
+        F.count("*").alias("n_segments"),
+        F.max("seg_len").alias("longest_seg"))
+    tot = wins.groupBy("asset_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("energy") >= VAD_THRESHOLD, 1).otherwise(0))
+        .alias("n_voiced"))
+    return (
+        tot.join(seg_stats, "asset_id", "left")
+        .select("asset_id",
+                F.col("n_windows").cast("bigint").alias("n_windows"),
+                F.col("n_voiced").cast("bigint").alias("n_voiced"),
+                F.coalesce("n_segments", F.lit(0)).cast("bigint")
+                .alias("n_segments"),
+                F.coalesce("longest_seg", F.lit(0)).cast("bigint")
+                .alias("longest_seg"),
+                F.round(F.col("n_voiced").cast("double")
+                        / F.col("n_windows"), 6).alias("voiced_ratio"))
     )

@@ -300,19 +300,19 @@ def similarity_ann_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. **anchor graph**: the deterministic anchor set (every 50th
        vector, the IVF seeding rule) gets a k-NN adjacency — each
-       anchor links to its {_AG_DEGREE} nearest anchors (cosine,
+       anchor links to its _AG_DEGREE (3) nearest anchors (cosine,
        (score DESC, id) tie-break). Anchors² is dimension-sized work.
     2. **assignment**: every vector joins its nearest anchor's cell
        (broadcast anchors, one scan — shared with IVF).
     3. **graph routing**: a query enters at its own cell and expands
        ONE HOP along the anchor graph — probing the entry cell plus
-       its {_AG_DEGREE} linked cells. Where IVF's nprobe re-ranks by
+       its 3 linked cells. Where IVF's nprobe re-ranks by
        query-to-centroid distance, graph expansion follows edges the
        INDEX precomputed, which is what lets real HNSW probe far
        fewer cells at equal recall: link structure encodes boundary
        adjacency that per-query distance ranking has to rediscover.
-    4. **exact re-rank** inside the ≤ 1 + {_AG_DEGREE} probed cells,
-       top-{K} by (cosine DESC, id).
+    4. **exact re-rank** inside the ≤ 4 probed cells,
+       top-K (5) by (cosine DESC, id).
 
     Fully deterministic end to end, so it carries a row-exact DuckDB
     oracle like similarity_ann_ivf (the r9 lesson: approximate ≠

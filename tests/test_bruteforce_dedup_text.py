@@ -534,6 +534,52 @@ def test_phash_neardup_matches_python(spark, sf_dir):
     assert expected, "fixture must keep the threshold non-vacuous"
 
 
+def test_audio_vad_matches_python(spark, sf_dir):
+    """VAD segmentation recomputed structure-free: per audio asset
+    (doc_id % 3 == 1), window w's energy is the md5-fold of its
+    16-char payload slice mod 1000, voiced iff >= 500, adjacent
+    voiced windows merge into segments. Also asserts non-vacuousness:
+    both voiced and unvoiced windows exist somewhere in the fixture,
+    and some asset has >= 2 segments (the merge actually merges)."""
+    from mapreducewordcounting_spark.operators.multimodal import (
+        VAD_THRESHOLD,
+        VAD_WIN,
+        mm_audio_vad_segments,
+    )
+
+    expected = []
+    any_voiced = any_unvoiced = False
+    for d in load_documents(sf_dir):
+        if d["doc_id"] % 3 != 1:
+            continue
+        nw = d["n_chars"] % 30 + 1
+        voiced = []
+        for w in range(nw):
+            sl = d["text"][w * VAD_WIN:(w + 1) * VAD_WIN]
+            e = int(hashlib.md5(sl.encode()).hexdigest()[:8], 16) % 1000
+            voiced.append(e >= VAD_THRESHOLD)
+        any_voiced |= any(voiced)
+        any_unvoiced |= not all(voiced)
+        segs = []
+        run = 0
+        for v in voiced + [False]:
+            if v:
+                run += 1
+            elif run:
+                segs.append(run)
+                run = 0
+        expected.append((d["doc_id"], nw, sum(voiced), len(segs),
+                         max(segs) if segs else 0,
+                         round(sum(voiced) / nw, 6)))
+    got = rows_as_tuples(mm_audio_vad_segments(spark, sf_dir),
+                         ["asset_id", "n_windows", "n_voiced",
+                          "n_segments", "longest_seg", "voiced_ratio"])
+    assert got == sorted(expected)
+    assert any_voiced and any_unvoiced, "threshold must split classes"
+    assert any(n >= 2 for _, _, _, n, _, _ in got), \
+        "fixture must exercise multi-segment merge"
+
+
 def test_scene_cuts_match_python(spark, sf_dir):
     """Shot-boundary detection recomputed structure-free: per video
     asset (doc_id % 3 == 2), frame f signs the 130-char slice of its

@@ -101,6 +101,10 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "md5-fold frame signatures over shot-windowed payload slices "
         "+ lag/popcount on both sides",
         "test_bruteforce_dedup_text.py::test_scene_cuts_match_python"),
+    "mm_audio_vad_segments": (
+        "md5-fold window energies over shared payload slices + "
+        "gaps-islands merge on both sides",
+        "test_bruteforce_dedup_text.py::test_audio_vad_matches_python"),
     "dedup_incremental_bloom": (
         "md5 position math (4 x mod 65536) over sha256 content hashes "
         "on both sides",
