@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcounting_spark.catalog import load_table
+from mapreducewordcounting_spark.checkpoints import CheckpointRotator
 from mapreducewordcounting_spark.functions.vectors import (
     cosine_similarity,
     l2_norm,
@@ -328,8 +329,16 @@ def similarity_ann_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cells as partition keys the probe is a 4-cell pruned scan,
     never a corpus shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    # the INDEX — anchor table, adjacency, and cell assignment — is
+    # materialized once via local checkpoints (what a real ANN index
+    # build does); without them each downstream branch re-ran the
+    # full embeddings scan and the plan carried EIGHT table scans.
+    scratch = CheckpointRotator(spark)
+    anchors = scratch.rotate(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb")))
+    scratch.keep()
 
     # anchor k-NN adjacency (anchors x anchors — dimension-sized)
     ax = anchors
@@ -356,6 +365,9 @@ def similarity_ann_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crank") == 1)
         .select(F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("c_emb"), "a_id"))
+    index = CheckpointRotator(spark)
+    assigned = index.rotate(assigned)
+    index.keep()  # q_route and the cell probe both read it
 
     q_route = (assigned.filter(F.col("neighbor_id") < N_QUERIES)
                .select(F.col("neighbor_id").alias("query_id"),

@@ -588,3 +588,68 @@ def test_vwap_single_keyed_window(spark, sf_dir):
     plan = simple_plan(df)
     assert n_exchanges(df) == 1
     assert plan.count("Window") >= 1 and "Join" not in plan
+
+
+def test_variant_extraction_single_exchange_pruned_scan(spark, sf_dir):
+    """variant_nested_typed: parse-once VARIANT extraction must stay a
+    single partial/final aggregate over a pruned 3-column scan — no
+    join, no second pass over the JSON."""
+    from mapreducewordcounting_spark.operators.sql_surface import (
+        variant_nested_typed,
+    )
+    df = variant_nested_typed(spark, sf_dir)
+    assert n_exchanges(df) == 1
+    assert has_partial_aggregation(df)
+    assert set(read_schema_columns(df)) == {"user_id", "event_type",
+                                            "props"}
+
+
+def test_incremental_bloom_single_batch_scan(spark, sf_dir):
+    """dedup_incremental_bloom: the hash-grain probe is checkpointed,
+    so the final plan reads the materialized probe (twice — suspects
+    and cleared branches) plus ONE parquet scan (the corpus side of
+    the suspects join); the first rendition re-ran the batch
+    scan+probe per branch (11 exchanges, two scans)."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_incremental_bloom,
+    )
+    df = dedup_incremental_bloom(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Scan parquet") == 1  # corpus join side only
+    assert plan.count("Scan ExistingRDD") == 2  # both branches
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_exchanges(df) <= 3
+
+
+def test_anchor_graph_index_materialized_once(spark, sf_dir):
+    """similarity_ann_anchor_graph: anchors + assignment are the INDEX
+    and are checkpointed, so the final probe plan contains ZERO
+    parquet scans (the pre-checkpoint rendition re-scanned embeddings
+    EIGHT times across branches); the only nested-loop pair space
+    left is the dimension-sized anchors x anchors adjacency."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_anchor_graph,
+    )
+    df = similarity_ann_anchor_graph(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 3  # anchors x2 + assigned
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # anchors^2 only
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_vad_decode_materialized_once(spark, sf_dir):
+    """mm_audio_vad_segments: the decode output is checkpointed, so
+    the segment branch and the totals branch read the materialized
+    energies instead of re-running the payload scan + mapInPandas;
+    the join of the two |assets|-grain rollups broadcasts."""
+    from mapreducewordcounting_spark.operators.multimodal import (
+        mm_audio_vad_segments,
+    )
+    df = mm_audio_vad_segments(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2  # both branches
+    assert "CartesianProduct" not in plan
+    assert n_exchanges(df) <= 3
