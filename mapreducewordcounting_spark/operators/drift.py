@@ -364,9 +364,10 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain IS the ECDF support; for continuous high-cardinality values
     swap the exact grain for the agg_quantile_hist_est binned summary
     (binned KS), same plan shape."""
-    # NULL values filtered symmetrically + asc_nulls_last ordering
-    # (ADVICE r9): Spark ASC puts NULLs first, DuckDB ASC puts them
-    # last — either fix alone pins the ECDF step order; both applied
+    # NULL values filtered symmetrically (ADVICE r9); ADVICE r10:
+    # with the symmetric isNotNull upstream no NULL reaches the
+    # window, so the ordering needs no NULL placement override —
+    # plain asc() keeps the two engines' stated contracts identical
     ev = load_table(spark, sf_dir, "events")
     se = ev.filter(F.col("value").isNotNull()).select(
         "event_type", "value",
@@ -379,7 +380,7 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_r"),
         F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_c"))
     w_cum = (Window.partitionBy("event_type")
-             .orderBy(F.asc_nulls_last("value"))
+             .orderBy(F.asc("value"))
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_all = Window.partitionBy("event_type")
     cum = g.select(

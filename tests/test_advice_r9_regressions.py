@@ -13,7 +13,10 @@ require the oracle differential to STILL match:
 2. ``window_ewma_smooth`` — Spark ``collect_list`` drops NULLs,
    DuckDB ``list()`` keeps them. Fixed by a symmetric IS NOT NULL.
 3. ``dq_ks_two_sample`` — Spark ASC sorts NULLs first, DuckDB last.
-   Fixed by symmetric filter + ``asc_nulls_last``.
+   Fixed by a symmetric filter (ADVICE r10 then dropped the
+   belt-and-braces ``asc_nulls_last``: with the symmetric isNotNull
+   upstream it was dead code whose stated contract the oracle never
+   mirrored).
 4. ``sample_stratified_neyman`` — variance cancellation on an
    all-constant stratum can round to a tiny negative: Spark sqrt →
    NaN, DuckDB sqrt → error. Fixed by ``greatest(var, 0)`` both sides.

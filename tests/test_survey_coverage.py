@@ -171,6 +171,15 @@ def test_priority_window_is_broad_and_oracled():
     specs = all_queries()
     names = list(specs)
     assert [n for n in _PRIORITY if n not in specs] == []
+    # ADVICE r10: _PRIORITY is hand-rewritten each rotation;
+    # all_queries() silently dedupes and appends missing names, so a
+    # duplicate entry would silently drop another query to the tail
+    # and shift the sampled window. Require an exact permutation:
+    # no duplicates, no missing, nothing extra.
+    assert len(_PRIORITY) == len(set(_PRIORITY)) == len(specs), (
+        "_PRIORITY must be an exact permutation of the registry: "
+        f"len={len(_PRIORITY)} unique={len(set(_PRIORITY))} "
+        f"registry={len(specs)}")
     window = names[:50]
     # Rotation policy, not a frozen family set (VERDICT r4 item 4 —
     # the r4 revision hardcoded families and shipped red when the

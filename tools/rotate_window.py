@@ -39,6 +39,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Where CORRECTNESS_r*.json artifacts are read from. Overridable so
+# the regression tests can stage fabricated artifact sets (e.g. the
+# ADVICE r10 single-artifact boundary case) without touching the
+# real round history at the repo root.
+ARTIFACT_DIR = os.environ.get("ROTATE_WINDOW_ARTIFACT_DIR", REPO)
+
 WINDOW = 50          # driver samples this many entries per round
 COVERAGE_SLOTS = 48  # head slots reserved for the coverage push
 CANARY = ("probe_env_duckdb_version", "probe_type_hugeint_sum_uncast")
@@ -50,7 +56,7 @@ def load_history(skip_newest: bool = False
     plus the newest artifact's basename. ``skip_newest`` rebuilds the
     PRE-round view (everything except the newest artifact) — the
     state the committed window was planned against."""
-    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    paths = sorted(glob.glob(os.path.join(ARTIFACT_DIR, "CORRECTNESS_r*.json")))
     newest = os.path.basename(paths[-1]) if paths else None
     if skip_newest:
         paths = paths[:-1]
@@ -104,8 +110,18 @@ def main() -> int:
     # artifact that existed when it was committed), this is the
     # normal end-of-round state, not a planning defect — say so and
     # pass, instead of making each judge re-derive "bookkeeping".
+    # Caveats (ADVICE r10): (a) with only ONE artifact on disk,
+    # skip_newest would leave an EMPTY history whose audit is
+    # vacuously clean — any waste would be auto-excused — so the
+    # excuse requires >= 2 artifacts; (b) audit() evaluates the
+    # pre-round history against the CURRENT registry order/window,
+    # which can differ from the order the committed window was
+    # planned against — acceptable because the excuse only ever
+    # RELAXES --check, never tightens it, and a rotated window is
+    # re-audited against the full history on its own next round.
     boundary = False
-    if wasted and newest:
+    n_artifacts = len(glob.glob(os.path.join(ARTIFACT_DIR, "CORRECTNESS_r*.json")))
+    if wasted and newest and n_artifacts > 1:
         hist_prev, _ = load_history(skip_newest=True)
         if not audit(hist_prev):
             boundary = True
