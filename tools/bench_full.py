@@ -82,6 +82,10 @@ def main() -> int:
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
         "errors": errors,
     }
+    # Host-contention self-adjudication (VERDICT r10 item 8): same
+    # control-vs-pin rule as bench.py; the flag applies to every row.
+    import bench as _bench
+    out.update(_bench.control_adjudication(timings))
     path = os.path.join(REPO, "BENCH_FULL_sf01.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -82,6 +82,14 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH_FULL_sf01.json")) as f:
         bench = json.load(f)
     times = bench["queries"]
+    # Self-adjudicated host-contention flag (VERDICT r10 item 8): when
+    # the sweep's control query ran > slack x its pin, every row is
+    # drift-inflated — surface the signal so a flagged outlier in a
+    # contended sweep is read as "re-run idle first", not regression.
+    if bench.get("host_contended"):
+        print(f"HOST CONTENDED sweep: control = {bench.get('control')} "
+              f"— re-run on an idle box before treating any row below "
+              f"as a regression")
     try:
         with open(PINS_PATH) as f:
             pins: dict[str, float] = json.load(f)
