@@ -1091,6 +1091,16 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: number of BPE merges the learner performs (each = one pair-count
 #: aggregate over the vocab-sized word table + one map-side rewrite)
 BPE_N_MERGES = 8
+#: checkpoint the rewritten word table every Nth merge (VERDICT r10
+#: item 1): rotating EVERY iteration made the loop 2 jobs/merge — 17
+#: jobs total — each carrying fixed scheduling overhead, which is why
+#: the query was the suite's most host-contention-sensitive row. The
+#: rewrites between checkpoints stack lazily as map-side HOF
+#: expressions over the vocab-sized snapshot (never the corpus — the
+#: pre-loop checkpoint cut that lineage), so an odd-rank argmax just
+#: evaluates one extra array fold inline. 17 -> 12 jobs, asserted in
+#: tests/test_plans.py::test_bpe_loop_job_count.
+BPE_CHECKPOINT_EVERY = 2
 
 
 @register(
@@ -1119,7 +1129,10 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect (driver-bounded control state, the kmeans-centroid
     precedent), and a pure map-side HOF rewrite of the symbol arrays
     — no corpus rescan, no growing state. Snapshots rotate via
-    CheckpointRotator so the loop's lineage stays flat."""
+    CheckpointRotator every BPE_CHECKPOINT_EVERY merges so lineage
+    stays bounded (at most one stacked rewrite) without paying a
+    materialization job per merge; the final merge's rewrite (which
+    nothing consumes) is skipped outright."""
     from mapreducewordcounting_spark.checkpoints import CheckpointRotator
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1151,6 +1164,11 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         left, right, n = pairs[0]["l"], pairs[0]["r"], pairs[0]["n"]
         merges.append((rank, left, right, left + right, n))
+        if rank == BPE_N_MERGES:
+            # the last merge's rewrite has no consumer (the merge
+            # table below is driver-side) — don't build, let alone
+            # materialize, it
+            break
         a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
         # greedy left-to-right fusion: a sequential scan with a
         # one-element "consumed" lookbehind, expressed as a pure
@@ -1177,8 +1195,9 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(False).alias("consumed"))),
             lambda acc: acc.out,
         )
-        words = steps.rotate(
-            words.select(rewritten.alias("symbols"), "weight"))
+        words = words.select(rewritten.alias("symbols"), "weight")
+        if rank % BPE_CHECKPOINT_EVERY == 0:
+            words = steps.rotate(words)
     steps.release()  # merge table below is built driver-side
     return spark.createDataFrame(
         merges,

@@ -653,3 +653,28 @@ def test_audio_vad_decode_materialized_once(spark, sf_dir):
     assert plan.count("Scan ExistingRDD") == 2  # both branches
     assert "CartesianProduct" not in plan
     assert n_exchanges(df) <= 3
+
+
+def test_bpe_loop_job_count(spark, sf_dir):
+    """text_bpe_learn_merges (VERDICT r10 item 1): the merge loop's
+    Spark-job count is a committed contract — 22 jobs under the
+    batched-rotation shape (pre-loop checkpoint + 8 argmax collects +
+    rotations every BPE_CHECKPOINT_EVERY=2 merges, final rewrite
+    skipped; AQE runs each shuffle query as 2 jobs). The old
+    rotate-every-merge shape costs ~6 more materialization jobs, and
+    each job's fixed scheduling overhead is what made this query the
+    suite's most host-contention-sensitive row."""
+    from mapreducewordcounting_spark.operators.text_analysis import (
+        text_bpe_learn_merges,
+    )
+
+    sc = spark.sparkContext
+    group = "bpe-job-count-contract"
+    sc.setJobGroup(group, "plan contract")
+    try:
+        df = text_bpe_learn_merges(spark, sf_dir)
+    finally:
+        sc.setJobGroup("bpe-job-count-done", "")
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert jobs <= 22, f"BPE merge loop regressed to {jobs} jobs"
+    assert df.count() == 8  # all merges learned on the fixture
