@@ -394,6 +394,321 @@ def similarity_ann_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: multi-hop greedy routing config (VERDICT r10 item 3). Routing uses
+#: a DENSER anchor adjacency (degree 8) than the probe expansion
+#: (degree _AG_DEGREE=3) — real HNSW separates the navigation graph
+#: from the result set the same way — plus 3 deterministic entry
+#: anchors and a beam of 3 kept per hop. The probed-CELL budget stays
+#: equal to the single-hop form (final anchor + its 3 probe edges =
+#: <= 4 cells); only the routing work changes, and routing touches
+#: anchor vectors exclusively: 3 hops x beam 3 x (8+1) candidates
+#: = <= 81 anchor comparisons per query REGARDLESS of |anchors|,
+#: where the single-hop form's assignment entry costs a full
+#: |anchors| scan per query. That inversion is the whole point at
+#: 100 TB: with millions of anchors, greedy routing replaces a
+#: per-query million-comparison scan with a constant-budget walk.
+_GR_RDEG = 8
+_GR_HOPS = 3
+_GR_BEAM = 3
+_GR_ENTRIES = 3
+
+
+def _greedy_route_oracle() -> str:
+    """Unrolled-CTE oracle for the fixed-hop greedy route (the
+    LPA/pagerank precedent, iterative.py): hop k's frontier is a CTE
+    generated per k, so DuckDB replays the exact walk."""
+    hops = []
+    for k in range(1, _GR_HOPS + 1):
+        hops.append(f"""
+        c{k} AS (
+            SELECT DISTINCT query_id, anchor FROM (
+                SELECT query_id, anchor FROM f{k - 1}
+                UNION ALL
+                SELECT f.query_id, r.b_id AS anchor
+                FROM f{k - 1} f JOIN redges r ON r.a_id = f.anchor)),
+        f{k} AS (
+            SELECT query_id, anchor FROM (
+                SELECT c.query_id, c.anchor,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY {_sql_cos('q.q_emb', 'a.a_emb')}
+                                    DESC, c.anchor) AS rn
+                FROM c{k} c
+                JOIN q ON q.query_id = c.query_id
+                JOIN anchors a ON a.a_id = c.anchor)
+            WHERE rn <= {_GR_BEAM})""")
+    visited_union = "\n                UNION ALL ".join(
+        f"SELECT query_id, anchor FROM c{k}"
+        for k in range(0, _GR_HOPS + 1))
+    return f"""
+        WITH anchors AS (
+            SELECT vec_id AS a_id, embedding AS a_emb
+            FROM embeddings WHERE vec_id % 50 = 0),
+        entries AS (
+            SELECT a_id FROM (
+                SELECT a_id, row_number() OVER (ORDER BY a_id) - 1
+                           AS pos,
+                       count(*) OVER () AS n_a
+                FROM anchors)
+            WHERE pos IN (0,
+                          CAST(floor(n_a / {_GR_ENTRIES}.0) AS BIGINT),
+                          CAST(floor(2.0 * n_a / {_GR_ENTRIES}.0)
+                               AS BIGINT))),
+        redges AS (
+            SELECT a_id, b_id FROM (
+                SELECT x.a_id, y.a_id AS b_id,
+                       row_number() OVER (
+                           PARTITION BY x.a_id
+                           ORDER BY {_sql_cos('x.a_emb', 'y.a_emb')}
+                                    DESC, y.a_id) AS rnk
+                FROM anchors x JOIN anchors y ON x.a_id <> y.a_id)
+            WHERE rnk <= {_GR_RDEG}),
+        pedges AS (
+            SELECT a_id, b_id FROM (
+                SELECT x.a_id, y.a_id AS b_id,
+                       row_number() OVER (
+                           PARTITION BY x.a_id
+                           ORDER BY {_sql_cos('x.a_emb', 'y.a_emb')}
+                                    DESC, y.a_id) AS rnk
+                FROM anchors x JOIN anchors y ON x.a_id <> y.a_id)
+            WHERE rnk <= {_AG_DEGREE}),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id < {N_QUERIES}),
+        c0 AS (SELECT q.query_id, e.a_id AS anchor
+               FROM q CROSS JOIN entries e),
+        f0 AS (SELECT query_id, anchor FROM c0),{','.join(hops)},
+        visited AS (
+            SELECT DISTINCT query_id, anchor FROM (
+                {visited_union})),
+        final AS (
+            SELECT query_id, anchor FROM (
+                SELECT v.query_id, v.anchor,
+                       row_number() OVER (
+                           PARTITION BY v.query_id
+                           ORDER BY {_sql_cos('q.q_emb', 'a.a_emb')}
+                                    DESC, v.anchor) AS rn
+                FROM visited v
+                JOIN q ON q.query_id = v.query_id
+                JOIN anchors a ON a.a_id = v.anchor)
+            WHERE rn = 1),
+        assigned AS (
+            SELECT vec_id AS neighbor_id, embedding AS c_emb, a_id
+            FROM (
+                SELECT e.vec_id, e.embedding, a.a_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cos('e.embedding', 'a.a_emb')}
+                                    DESC, a.a_id) AS crank
+                FROM embeddings e CROSS JOIN anchors a)
+            WHERE crank = 1),
+        cells AS (
+            SELECT query_id, anchor AS cell FROM final
+            UNION ALL
+            SELECT f.query_id, p.b_id AS cell
+            FROM final f JOIN pedges p ON p.a_id = f.anchor),
+        cand AS (
+            SELECT cl.query_id, a.neighbor_id,
+                   {_sql_cos('q.q_emb', 'a.c_emb')} AS cos
+            FROM cells cl
+            JOIN assigned a ON a.a_id = cl.cell
+            JOIN q ON q.query_id = cl.query_id
+            WHERE cl.query_id <> a.neighbor_id)
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        FROM (SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id)
+                         AS rank
+              FROM cand)
+        WHERE rank <= {K}
+    """
+
+
+@register(
+    "similarity_ann_greedy_route",
+    oracle=_greedy_route_oracle(),
+    tags=("similarity", "ann", "graph", "approx"),
+)
+def similarity_ann_greedy_route(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Multi-hop greedy ANN routing (VERDICT r10 item 3) — the
+    iterative form similarity_ann_anchor_graph's docstring scoped as
+    future work, now a first-class query:
+
+    1. **routing graph**: each anchor links to its _GR_RDEG (8)
+       nearest anchors — denser than the probe expansion, exactly as
+       HNSW separates the navigation graph from the result set.
+    2. **entries**: _GR_ENTRIES (3) deterministic entry anchors
+       spread across the a_id order (positions 0, n/3, 2n/3) — the
+       fixed entry points a real HNSW index ships with.
+    3. **greedy walk**: _GR_HOPS (3) hops; each hop expands the
+       current beam's routing edges (plus the stay option), scores
+       every candidate against the query, and keeps the top
+       _GR_BEAM (3) by (cosine DESC, a_id) — the ef-search beam.
+       All hop state is (query_id, anchor) rows; the hop count is
+       FIXED so the unrolled-CTE oracle replays the walk exactly
+       (the LPA/pagerank precedent, iterative.py).
+    4. **probe**: the best VISITED anchor + its _AG_DEGREE (3) probe
+       edges — the SAME <= 4-cell budget as the single-hop form —
+       then exact cosine re-rank, top-K (5).
+
+    Why this beats the single-hop form at scale: single-hop finds a
+    query's entry cell by scoring it against EVERY anchor (a full
+    |anchors| scan per query); the greedy walk reaches the same cell
+    in <= 81 anchor comparisons per query regardless of |anchors|.
+    Recall parity at equal probe budget is pinned in
+    tests/test_similarity.py (greedy >= single-hop on the fixture;
+    both route every fixture query to its true nearest cell).
+
+    Scale shape: anchors, both adjacency tables and the entry set
+    are broadcast-sized dims materialized once with the index
+    (checkpointed, same discipline as the single-hop form); hop
+    state is |queries| x beam rows; the only fact-scale work is the
+    one-time assignment scan and the final cell-keyed probe join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = CheckpointRotator(spark)
+    anchors = scratch.rotate(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb")))
+    scratch.keep()
+
+    # entry set: positions 0, n/3, 2n/3 of the a_id order (global
+    # window over the dimension-sized anchor table)
+    w_pos = Window.orderBy("a_id")
+    ent = (anchors
+           .select("a_id",
+                   (F.row_number().over(w_pos) - 1).alias("pos"),
+                   F.count("*").over(
+                       Window.partitionBy(F.lit(1))).alias("n_a"))
+           .filter(F.expr(
+               f"pos IN (0, CAST(floor(n_a / {_GR_ENTRIES}.0) AS "
+               f"BIGINT), CAST(floor(2.0 * n_a / {_GR_ENTRIES}.0) "
+               f"AS BIGINT))"))
+           .select("a_id"))
+
+    def knn_edges(degree: int) -> DataFrame:
+        ay = anchors.select(F.col("a_id").alias("b_id"),
+                            F.col("a_emb").alias("b_emb"))
+        w_e = Window.partitionBy("a_id").orderBy(F.desc("a_cos"),
+                                                 F.asc("b_id"))
+        return (anchors.crossJoin(F.broadcast(ay))
+                .filter(F.col("a_id") != F.col("b_id"))
+                .select("a_id", "b_id",
+                        cosine_similarity("a_emb", "b_emb")
+                        .alias("a_cos"))
+                .withColumn("rnk", F.row_number().over(w_e))
+                .filter(F.col("rnk") <= degree)
+                .select("a_id", "b_id"))
+
+    redges = knn_edges(_GR_RDEG)
+    pedges = knn_edges(_AG_DEGREE)
+
+    # routing candidate table: stay + routing edges, target embedding
+    # attached (dimension-sized; broadcast at every hop)
+    tgt = anchors.select(F.col("a_id").alias("cand_id"),
+                         F.col("a_emb").alias("cand_emb"))
+    # the routing candidate table (stay + routing edges with target
+    # embeddings) is part of the INDEX: materialize it once — every
+    # hop broadcasts it, and without the checkpoint each hop's plan
+    # re-ran the adjacency window (the single-hop form's 8-scan
+    # lesson, applied to the loop)
+    rcand = scratch.rotate(
+        anchors.select(F.col("a_id").alias("cur"),
+                       F.col("a_id").alias("cand_id"),
+                       F.col("a_emb").alias("cand_emb"))
+        .unionByName(
+            redges.join(tgt, redges.b_id == tgt.cand_id)
+            .select(F.col("a_id").alias("cur"),
+                    "cand_id", "cand_emb")))
+    scratch.keep()
+
+    # query batch: |queries| rows, materialized once (every hop and
+    # the final re-rank read it)
+    q = scratch.rotate(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb")))
+    scratch.keep()
+    frontier = q.crossJoin(F.broadcast(ent)).select(
+        "query_id", "q_emb", F.col("a_id").alias("anchor"))
+    visited = [frontier.select("query_id", "anchor")]
+    w_beam = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("anchor"))
+    for _ in range(_GR_HOPS):
+        # hop state is |queries| x beam x (RDEG+1) rows and stays
+        # LAZY: the whole walk + probe is ONE declarative plan (one
+        # Spark job at serving time) whose hop branches re-evaluate
+        # only broadcast joins and beam windows over <= a few hundred
+        # rows — per-query-batch checkpoints would turn every serving
+        # call into a job chain (the BPE job-count lesson); only the
+        # reusable INDEX (anchors, rcand, assigned, query batch) is
+        # materialized
+        cand_hop = (
+            frontier.join(F.broadcast(rcand),
+                          frontier.anchor == rcand.cur)
+            .select("query_id", "q_emb",
+                    F.col("cand_id").alias("anchor"), "cand_emb")
+            .dropDuplicates(["query_id", "anchor"]))
+        visited.append(cand_hop.select("query_id", "anchor"))
+        frontier = (cand_hop
+                    .withColumn("cos", cosine_similarity("q_emb",
+                                                         "cand_emb"))
+                    .withColumn("rn", F.row_number().over(w_beam))
+                    .filter(F.col("rn") <= _GR_BEAM)
+                    .select("query_id", "q_emb", "anchor"))
+
+    vis = visited[0]
+    for v in visited[1:]:
+        vis = vis.unionByName(v)
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.desc("v_cos"), F.asc("anchor"))
+    final = (vis.dropDuplicates(["query_id", "anchor"])
+             .join(F.broadcast(anchors),
+                   F.col("anchor") == F.col("a_id"))
+             .join(q, "query_id")
+             .withColumn("v_cos", cosine_similarity("q_emb", "a_emb"))
+             .withColumn("rn", F.row_number().over(w_fin))
+             .filter(F.col("rn") == 1)
+             .select("query_id", "q_emb", "anchor"))
+
+    # nearest-anchor assignment — the index's one fact-scale scan,
+    # materialized once (shared discipline with the single-hop form)
+    w_a = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"),
+                                               F.asc("a_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(anchors))
+        .select("vec_id", "embedding", "a_id",
+                cosine_similarity("embedding", "a_emb")
+                .alias("cent_cos"))
+        .withColumn("crank", F.row_number().over(w_a))
+        .filter(F.col("crank") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"), "a_id"))
+    index = CheckpointRotator(spark)
+    assigned = index.rotate(assigned)
+    index.keep()
+
+    cells = (final.select("query_id", "q_emb",
+                          F.col("anchor").alias("cell"))
+             .unionByName(
+                 final.join(F.broadcast(pedges),
+                            final.anchor == pedges.a_id)
+                 .select("query_id", "q_emb",
+                         F.col("b_id").alias("cell"))))
+    cand = (cells.join(assigned, cells.cell == assigned.a_id)
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id",
+                    cosine_similarity("q_emb", "c_emb").alias("cos"))
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos", 6).alias("cosine"))
+    )
+
+
 @register(
     "embedding_quantize_int8",
     oracle="""

@@ -88,11 +88,11 @@ _PRIORITY: tuple[str, ...] = (
     'pack_sequences_greedy', 'stream_tumbling', 'stream_dedup', 'stream_stateful_counter',
     'stream_static_join', 'stream_stream_join', 'stream_incremental_ingest', 'stream_stream_outer_join',
     'stream_stream_full_outer_join', 'text_tfidf_ml', 'dedup_minhash_lsh', 'dedup_simhash',
-    'similarity_ann_lsh', 'stream_stateful_session_gap', 'window_ewma_smooth', 'sample_stratified_neyman',
+    'similarity_ann_lsh', 'similarity_ann_greedy_route', 'window_ewma_smooth', 'sample_stratified_neyman',
     'tpch_q1_pricing_summary', 'tpch_q5_local_supplier_volume', 'wordcount_canonical', 'fn_try_arithmetic',
     'mm_audio_vad_segments', 'similarity_ann_anchor_graph', 'dedup_incremental_bloom', 'variant_nested_typed',
     'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast',
-    'tpch_q15_top_supplier', 'tpch_q14_promo_revenue', 'tpch_q6_forecast_revenue', 'dedup_minhash_det',
+    'stream_stateful_session_gap', 'tpch_q15_top_supplier', 'tpch_q14_promo_revenue', 'tpch_q6_forecast_revenue', 'dedup_minhash_det',
     'stream_full_outer_join_batch_twin', 'text_inverted_index',
     'sql_lateral_topk', 'privacy_k_anonymity', 'join_asof_nearest', 'dedup_semantic_clusters',
     'source_parquet_footer_stats', 'mm_video_scene_cuts', 'text_bigram_logprob', 'agg_gini_lorenz',

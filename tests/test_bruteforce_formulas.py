@@ -1847,3 +1847,64 @@ def test_sttr_matches_python(spark, sf_dir):
     assert [g[:2] for g in got] == [e[:2] for e in expected]
     for g, e in zip(got, expected):
         assert abs(g[2] - e[2]) < TOL
+
+
+def test_ann_greedy_route_matches_python(spark, sf_dir):
+    """similarity_ann_greedy_route: replay the full multi-hop walk —
+    3 spread entries, degree-8 routing edges, 3 hops of beam-3
+    expansion, best-visited + degree-3 probe, exact re-rank — from
+    raw parquet in numpy."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_greedy_route,
+    )
+
+    rows = load_table_rows(sf_dir, "embeddings")
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    anchors = sorted(i for i in vecs if i % 50 == 0)
+    av = {a: vecs[a] for a in anchors}
+
+    def knn(aid, n):
+        scored = sorted(((cos(av[aid], av[b]), b)
+                         for b in anchors if b != aid),
+                        key=lambda t: (-t[0], t[1]))
+        return [b for _, b in scored[:n]]
+
+    redges = {a: knn(a, 8) for a in anchors}
+    pedges = {a: knn(a, 3) for a in anchors}
+    n_a = len(anchors)
+    entries = [anchors[0], anchors[n_a // 3], anchors[(2 * n_a) // 3]]
+    cell_of = {
+        v: sorted(((cos(vecs[v], av[a]), a) for a in anchors),
+                  key=lambda t: (-t[0], t[1]))[0][1]
+        for v in vecs}
+
+    expected = []
+    for q in sorted(v for v in vecs if v < 10):
+        frontier = list(entries)
+        visited = set(entries)
+        for _ in range(3):
+            cands = set(frontier)
+            for f in frontier:
+                cands.update(redges[f])
+            visited |= cands
+            frontier = sorted(
+                cands, key=lambda a: (-cos(vecs[q], av[a]), a))[:3]
+        final = sorted(
+            visited, key=lambda a: (-cos(vecs[q], av[a]), a))[0]
+        probe = {final, *pedges[final]}
+        cand = [(cos(vecs[q], vecs[c]), c) for c in vecs
+                if c != q and cell_of[c] in probe]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        expected += [(q, c, rk + 1, s)
+                     for rk, (s, c) in enumerate(cand[:5])]
+    got = rows_as_tuples(similarity_ann_greedy_route(spark, sf_dir),
+                         ["query_id", "neighbor_id", "rank", "cosine"])
+    expected.sort()
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[3] - e[3]) < TOL

@@ -678,3 +678,24 @@ def test_bpe_loop_job_count(spark, sf_dir):
     jobs = len(sc.statusTracker().getJobIdsForGroup(group))
     assert jobs <= 22, f"BPE merge loop regressed to {jobs} jobs"
     assert df.count() == 8  # all merges learned on the fixture
+
+
+def test_greedy_route_index_materialized_once(spark, sf_dir):
+    """similarity_ann_greedy_route: the index (anchors, routing
+    candidate table, query batch, per-hop frontiers, assignment) is
+    checkpoint-materialized, so the returned probe plan reads ZERO
+    parquet scans (the anchor-graph 8-scan lesson applied to the
+    loop) and its only nested-loop joins are the K-row anchor-side
+    builds."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_greedy_route,
+    )
+
+    df = similarity_ann_greedy_route(spark, sf_dir)
+    plan = simple_plan(df)
+    assert plan.count("Scan parquet") == 0
+    assert "CartesianProduct" not in plan
+    # every NL join is a 3-row side (the entry set x query batch,
+    # duplicated across the lazy hop branches) or the anchors^2 probe
+    # adjacency — all K-row; the walk itself is broadcast hash joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 9

@@ -115,6 +115,11 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "cell-expansion construction on both sides",
         "test_bruteforce_formulas.py::"
         "test_ann_anchor_graph_matches_python"),
+    "similarity_ann_greedy_route": (
+        "shared %50 anchor seeding + degree-8 routing adjacency + "
+        "unrolled 3-hop beam-3 walk CTEs on both sides",
+        "test_bruteforce_formulas.py::"
+        "test_ann_greedy_route_matches_python"),
     "similarity_ann_rp_det": (
         "md5-derived hyperplanes inlined into both sides; 4-bit bands",
         "test_bruteforce_formulas.py::test_ann_rp_det_matches_python"),

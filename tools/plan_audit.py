@@ -81,6 +81,12 @@ BNL_ALLOWED = {
                                    "scan x broadcast anchors "
                                    "assignment — the IVF centroid "
                                    "shape)",
+    "similarity_ann_greedy_route": "K-row (anchor table: anchors x "
+                                   "anchors probe adjacency + the "
+                                   "3-row entry set x query batch — "
+                                   "the routing/assignment scans are "
+                                   "checkpoint-materialized out of "
+                                   "the probe plan)",
     "embedding_pq_codes": "K-row (PQ codebook table — pair space is "
                           "n·|codebook| with the codebook config-"
                           "sized, the IVF centroid shape)",
