@@ -84,7 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     'dq_ks_two_sample', 'graph_label_propagation', 'text_lang_id_eval', 'window_max_drawdown',
     'text_hashing_trick_det', 'graph_modularity_score', 'agg_hhi_concentration', 'time_autocorr_lag',
     'events_stickiness', 'text_sttr_diversity', 'sketch_count_min', 'sketch_hll_union',
-    'agg_percentile_approx', 'text_vocab_approx', 'text_bpe_learn_merges', 'kmeans_embeddings',
+    'agg_percentile_approx', 'text_vocab_approx', 'text_bpe_learn_merges', 'kmeans_embeddings_det',
     'pack_sequences_greedy', 'stream_tumbling', 'stream_dedup', 'stream_stateful_counter',
     'stream_static_join', 'stream_stream_join', 'stream_incremental_ingest', 'stream_stream_outer_join',
     'stream_stream_full_outer_join', 'text_tfidf_ml', 'dedup_minhash_lsh', 'dedup_simhash',
@@ -92,7 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     'tpch_q1_pricing_summary', 'tpch_q5_local_supplier_volume', 'wordcount_canonical', 'fn_try_arithmetic',
     'mm_audio_vad_segments', 'similarity_ann_anchor_graph', 'dedup_incremental_bloom', 'variant_nested_typed',
     'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast',
-    'stream_stateful_session_gap', 'tpch_q15_top_supplier', 'tpch_q14_promo_revenue', 'tpch_q6_forecast_revenue', 'dedup_minhash_det',
+    'kmeans_embeddings', 'stream_stateful_session_gap', 'tpch_q15_top_supplier', 'tpch_q14_promo_revenue', 'tpch_q6_forecast_revenue', 'dedup_minhash_det',
     'stream_full_outer_join_batch_twin', 'text_inverted_index',
     'sql_lateral_topk', 'privacy_k_anonymity', 'join_asof_nearest', 'dedup_semantic_clusters',
     'source_parquet_footer_stats', 'mm_video_scene_cuts', 'text_bigram_logprob', 'agg_gini_lorenz',

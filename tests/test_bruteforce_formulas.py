@@ -1908,3 +1908,57 @@ def test_ann_greedy_route_matches_python(spark, sf_dir):
     assert [g[:3] for g in got] == [e[:3] for e in expected]
     for g, e in zip(got, expected):
         assert abs(g[3] - e[3]) < TOL
+
+
+def test_kmeans_det_matches_python(spark, sf_dir):
+    """kmeans_embeddings_det: replay the fixed-3-iteration Lloyd loop
+    — every floor(n/k)-th-vector seeding, argmin assignment with ties
+    to the smallest cluster, empty clusters keeping their centroid —
+    from raw parquet in numpy (float sums; the DECIMAL exactness is
+    the DuckDB oracle's bit-level job, this test pins the structure)."""
+    from mapreducewordcounting_spark.operators.iterative import (
+        KM_DET_ITERS,
+        KM_DET_K,
+        kmeans_embeddings_det,
+    )
+
+    rows = load_table_rows(sf_dir, "embeddings")
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+    n = len(vecs)
+    step = max(n // KM_DET_K, 1)
+    seeds = sorted(v for v in vecs if v % step == 0)[:KM_DET_K]
+    cents = {i: vecs[s].copy() for i, s in enumerate(seeds)}
+
+    def assign():
+        out = {}
+        for vid, v in vecs.items():
+            dists = sorted(((float(((v - c) ** 2).sum()), cl)
+                            for cl, c in cents.items()),
+                           key=lambda t: (t[0], t[1]))
+            out[vid] = (dists[0][1], dists[0][0])
+        return out
+
+    for _ in range(KM_DET_ITERS):
+        a = assign()
+        members: dict[int, list] = {}
+        for vid, (cl, _) in a.items():
+            members.setdefault(cl, []).append(vecs[vid])
+        for cl, ms in members.items():
+            cents[cl] = np.mean(np.stack(ms), axis=0)
+
+    final = assign()
+    expected = {}
+    for vid, (cl, d) in final.items():
+        e = expected.setdefault(cl, [0, None, 0.0])
+        e[0] += 1
+        e[1] = vid if e[1] is None else min(e[1], vid)
+        e[2] += d
+    got = rows_as_tuples(kmeans_embeddings_det(spark, sf_dir),
+                         ["cluster", "n_members", "min_vec_id",
+                          "cluster_inertia"])
+    assert sorted(g[0] for g in got) == sorted(expected)
+    for cl, n_m, mn, inertia in got:
+        assert expected[cl][0] == n_m
+        assert expected[cl][1] == mn
+        assert abs(expected[cl][2] - inertia) < 1e-4

@@ -120,6 +120,10 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "unrolled 3-hop beam-3 walk CTEs on both sides",
         "test_bruteforce_formulas.py::"
         "test_ann_greedy_route_matches_python"),
+    "kmeans_embeddings_det": (
+        "shared floor(n/k)-th seeding + unrolled 3-iteration Lloyd "
+        "CTEs + DECIMAL(38,15) exact means on both sides",
+        "test_bruteforce_formulas.py::test_kmeans_det_matches_python"),
     "similarity_ann_rp_det": (
         "md5-derived hyperplanes inlined into both sides; 4-bit bands",
         "test_bruteforce_formulas.py::test_ann_rp_det_matches_python"),
