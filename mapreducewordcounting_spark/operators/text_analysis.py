@@ -1103,12 +1103,64 @@ BPE_N_MERGES = 8
 BPE_CHECKPOINT_EVERY = 2
 
 
+def _bpe_oracle_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """DuckDB twin of the BPE merge LOOP (r11 — upgrades the query
+    from rows-only to exactly-oracled, the kmeans_det/pagerank/LPA
+    unrolled-CTE playbook): each merge is one pair-count CTE, one
+    (n DESC, l, r) argmax CTE, and one rewrite CTE whose greedy
+    left-to-right fusion is a ``list_reduce`` fold with the consumed
+    flag encoded in the accumulator's first character ('1' = the last
+    emitted token was just fused, so it cannot fuse again this round
+    — the exact lookbehind of the Spark ``F.aggregate`` fold).
+    chr(31)/chr(2) are the joiner/sentinel; tokens are [a-z']+ so
+    neither can collide."""
+    delim, sent = "chr(31)", "chr(2)"
+    fuse = (
+        "list_filter(str_split(substr("
+        f"list_reduce(list_prepend({sent}, toks), (acc, x) -> CASE "
+        f"WHEN acc = {sent} THEN '0' || {delim} || x "
+        f"WHEN left(acc, 1) = '0' "
+        f"AND list_last(str_split(substr(acc, 2), {delim})) = b.l "
+        f"AND x = b.r "
+        f"THEN '1' || left(substr(acc, 2), "
+        f"length(substr(acc, 2)) - length(b.l)) || b.l || b.r "
+        f"ELSE '0' || substr(acc, 2) || {delim} || x END), "
+        f"2), {delim}), t -> t <> '')"
+    )
+    ctes = [f"""
+        t AS ({_SQL_TOKS}),
+        words AS (
+            SELECT word, count(*) AS weight FROM (
+                SELECT unnest(toks) AS word FROM t)
+            WHERE length(word) >= 2 GROUP BY word),
+        w0 AS (
+            SELECT list_transform(range(1, length(word) + 1),
+                                  i -> substr(word, i, 1)) AS toks,
+                   weight
+            FROM words)"""]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""
+        p{i} AS (
+            SELECT pr.l AS l, pr.r AS r, sum(weight) AS n FROM (
+                SELECT weight,
+                       unnest(list_transform(range(1, len(toks)),
+                              j -> struct_pack(l := toks[j],
+                                               r := toks[j + 1]))) AS pr
+                FROM w{i - 1})
+            GROUP BY 1, 2),
+        b{i} AS (SELECT l, r, n FROM p{i}
+                 ORDER BY n DESC, l, r LIMIT 1),
+        w{i} AS (SELECT {fuse} AS toks, weight FROM w{i - 1}, b{i} b)""")
+    final = "\n        UNION ALL ".join(
+        f'SELECT {i} AS rank, l AS "left", r AS "right", '
+        f"l || r AS merged, CAST(n AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1))
+    return "WITH " + ",".join(ctes) + "\n        " + final
+
+
 @register(
     "text_bpe_learn_merges",
-    oracle=None,  # iterative argmax loop (kmeans/pagerank tier):
-    # SQL cannot express the data-dependent merge sequence; pinned
-    # instead by a structure-free Python BPE reference
-    # (tests/test_bruteforce_formulas.py::test_bpe_merges_match_python).
+    oracle=_bpe_oracle_sql(),
     tags=("text", "bpe", "tokenizer", "iterative"),
 )
 def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,8 +56,9 @@ def register(name: str, oracle: str | None = None,
 #   (2) positions 2-4: r11 code-changed re-confirms — dq_ks_two_sample
 #       (ADVICE r10 ordering cleanup), mm_audio_vad_segments
 #       (vectorized decode), text_bpe_learn_merges (restructured
-#       merge loop; rows-only by design, so the slot harvests fresh
-#       external rows evidence for the changed code path);
+#       merge loop — AND upgraded from rows-only to exactly-oracled
+#       later the same round via the list_reduce fusion fold, so the
+#       slot now harvests a full hash-checked row);
 #   (3) positions 5-47: 43 re-confirms of queries whose newest
 #       external evidence dates to r1-r3 (wordcount family, the
 #       text-dir source, filter/project, the join family, the agg

@@ -124,6 +124,11 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "shared floor(n/k)-th seeding + unrolled 3-iteration Lloyd "
         "CTEs + DECIMAL(38,15) exact means on both sides",
         "test_bruteforce_formulas.py::test_kmeans_det_matches_python"),
+    "text_bpe_learn_merges": (
+        "shared tokenize + unrolled 8-merge CTEs; greedy fusion is "
+        "F.aggregate fold vs list_reduce fold with the same "
+        "consumed-lookbehind encoding",
+        "test_bruteforce_formulas.py::test_bpe_merges_match_python"),
     "similarity_ann_rp_det": (
         "md5-derived hyperplanes inlined into both sides; 4-bit bands",
         "test_bruteforce_formulas.py::test_ann_rp_det_matches_python"),
