@@ -349,10 +349,57 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_greedy_oracle_sql(budget: int = PACK_BUDGET) -> str:
+    """DuckDB twin of the greedy packer (r11 — upgrades the query from
+    rows-only to exactly-oracled, the text_bpe_learn_merges
+    list_reduce playbook): the per-language sequential fold runs as a
+    ``list_reduce`` over the doc_id-ordered item list, with the fold
+    state ('<pack>|<used>|<doc:pack,...>' — current pack id, current
+    fill, accumulated assignments) encoded in the accumulator string.
+    ':'/','/'|' never collide: the payload is integers only."""
+    st = "CAST(split_part(acc, '|', 2) AS BIGINT)"           # used
+    tk = "CAST(split_part(x, ':', 2) AS BIGINT)"             # next size
+    pid = "CAST(split_part(acc, '|', 1) AS BIGINT)"          # pack id
+    new = f"{st} > 0 AND {st} + {tk} > {budget}"             # overflow?
+    npid = f"{pid} + CASE WHEN {new} THEN 1 ELSE 0 END"
+    lam = (
+        f"(acc, x) -> CAST({npid} AS VARCHAR) || '|' || "
+        f"CAST(CASE WHEN {new} THEN {tk} ELSE {st} + {tk} END "
+        f"AS VARCHAR) || '|' || "
+        f"CASE WHEN split_part(acc, '|', 3) = '' THEN '' "
+        f"ELSE split_part(acc, '|', 3) || ',' END "
+        f"|| split_part(x, ':', 1) || ':' || CAST({npid} AS VARCHAR)"
+    )
+    return f"""
+        WITH t AS ({_SQL_TOKS}),
+        n AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT)
+                         AS n_tokens FROM t),
+        g AS (SELECT lang,
+                     list_transform(
+                         list(struct_pack(d := doc_id, tk := n_tokens)
+                              ORDER BY doc_id),
+                         s -> CAST(s.d AS VARCHAR) || ':'
+                              || CAST(s.tk AS VARCHAR)) AS items
+              FROM n GROUP BY lang),
+        f AS (SELECT lang,
+                     list_reduce(list_prepend('0|0|', items), {lam})
+                         AS packed
+              FROM g),
+        asg AS (SELECT lang,
+                       CAST(split_part(kv, ':', 1) AS BIGINT) AS doc_id,
+                       CAST(split_part(kv, ':', 2) AS BIGINT) AS pack_id
+                FROM (SELECT lang,
+                             unnest(str_split(
+                                 split_part(packed, '|', 3), ',')) AS kv
+                      FROM f))
+        SELECT n.doc_id, n.lang, n.n_tokens, a.pack_id
+        FROM n JOIN asg a ON a.doc_id = n.doc_id AND a.lang = n.lang
+    """
+
+
 @register(
     "pack_sequences_greedy",
-    oracle=None,  # recursive fold — not expressible in ANSI SQL;
-    # invariants pinned in tests/test_training_ops.py instead
+    oracle=_pack_greedy_oracle_sql(),
     tags=("training", "packing", "stateful"),
 )
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:

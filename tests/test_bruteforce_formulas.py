@@ -1962,3 +1962,36 @@ def test_kmeans_det_matches_python(spark, sf_dir):
         assert expected[cl][0] == n_m
         assert expected[cl][1] == mn
         assert abs(expected[cl][2] - inertia) < 1e-4
+
+
+def test_pack_greedy_matches_python(spark, sf_dir):
+    """pack_sequences_greedy: replay the per-language greedy fold —
+    doc_id order, new pack when used > 0 and used + t > budget — from
+    raw parquet with plain-regex token counts (structure-free: no
+    shared fold encoding with the list_reduce oracle)."""
+    import re as _re
+
+    from mapreducewordcounting_spark.operators.training_ops import (
+        PACK_BUDGET,
+        pack_sequences_greedy,
+    )
+
+    by_lang: dict[str, list] = {}
+    for r in load_table_rows(sf_dir, "documents"):
+        n = sum(1 for t in _re.split(r"\s+", r["text"].lower())
+                if _re.sub(r"[^a-z']", "", t))
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], n))
+    expected = {}
+    for lang, items in by_lang.items():
+        pid, used = 0, 0
+        for doc_id, t in sorted(items):
+            if used > 0 and used + t > PACK_BUDGET:
+                pid, used = pid + 1, 0
+            expected[(doc_id, lang)] = (t, pid)
+            used += t
+    got = rows_as_tuples(pack_sequences_greedy(spark, sf_dir),
+                         ["doc_id", "lang", "n_tokens", "pack_id"])
+    assert len(got) == len(expected)
+    for doc_id, lang, n_tokens, pack_id in got:
+        assert expected[(doc_id, lang)] == (n_tokens, pack_id), (
+            doc_id, lang)

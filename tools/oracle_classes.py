@@ -129,6 +129,10 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "F.aggregate fold vs list_reduce fold with the same "
         "consumed-lookbehind encoding",
         "test_bruteforce_formulas.py::test_bpe_merges_match_python"),
+    "pack_sequences_greedy": (
+        "per-lang greedy fold: applyInPandas loop vs list_reduce "
+        "accumulator encoding over the same doc_id order",
+        "test_bruteforce_formulas.py::test_pack_greedy_matches_python"),
     "similarity_ann_rp_det": (
         "md5-derived hyperplanes inlined into both sides; 4-bit bands",
         "test_bruteforce_formulas.py::test_ann_rp_det_matches_python"),
