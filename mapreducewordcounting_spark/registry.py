@@ -58,7 +58,9 @@ def register(name: str, oracle: str | None = None,
 #       (vectorized decode), text_bpe_learn_merges (restructured
 #       merge loop — AND upgraded from rows-only to exactly-oracled
 #       later the same round via the list_reduce fusion fold, so the
-#       slot now harvests a full hash-checked row);
+#       slot now harvests a full hash-checked row), plus
+#       pack_sequences_greedy (upgraded to exactly-oracled late in
+#       r11 — swapped in for fn_json, which moves to position 50);
 #   (3) positions 5-47: 43 re-confirms of queries whose newest
 #       external evidence dates to r1-r3 (wordcount family, the
 #       text-dir source, filter/project, the join family, the agg
@@ -81,14 +83,14 @@ _PRIORITY: tuple[str, ...] = (
     'window_moving_frame', 'window_range_frame', 'join_semi', 'join_anti', 'join_left_outer',
     'join_full_outer', 'join_cross', 'join_theta', 'join_asof', 'join_range', 'agg_distinct',
     'agg_cube', 'agg_rollup', 'agg_grouping_sets', 'agg_pivot', 'agg_unpivot', 'agg_collect',
-    'agg_argminmax', 'agg_boolean', 'fn_string', 'fn_math', 'fn_date', 'fn_regex', 'fn_json',
-    'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast', 'graph_degree_assortativity',
+    'agg_argminmax', 'agg_boolean', 'fn_string', 'fn_math', 'fn_date', 'fn_regex', 'pack_sequences_greedy',
+    'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast', 'fn_json', 'graph_degree_assortativity',
     'events_time_to_convert', 'agg_theil_index', 'window_anchored_vwap', 'dedup_cdc_chunking',
     'time_downsample_m4', 'sample_poisson_det', 'text_ngram_novelty_curve',
     'graph_label_propagation', 'text_lang_id_eval', 'window_max_drawdown', 'text_hashing_trick_det',
     'graph_modularity_score', 'agg_hhi_concentration', 'time_autocorr_lag', 'events_stickiness',
     'text_sttr_diversity', 'sketch_count_min', 'sketch_hll_union', 'agg_percentile_approx',
-    'text_vocab_approx', 'pack_sequences_greedy', 'stream_tumbling', 'stream_dedup',
+    'text_vocab_approx', 'stream_tumbling', 'stream_dedup',
     'stream_stateful_counter', 'stream_static_join', 'stream_stream_join',
     'stream_incremental_ingest', 'stream_stream_outer_join', 'stream_stream_full_outer_join',
     'text_tfidf_ml', 'dedup_minhash_lsh', 'dedup_simhash', 'similarity_ann_lsh',
