@@ -773,6 +773,121 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: binary-quantization config (r11): 1 bit per dimension (sign),
+#: packed 32 dims per BIGINT word (positive range on both engines, no
+#: 64-bit sign pitfalls), Hamming-distance prefilter keeps the best
+#: _BQ_CANDIDATES per query before the exact cosine re-rank. The
+#: standard 32x memory/bandwidth cut modern vector stores apply ahead
+#: of exact scoring; dims fixed at 64 = 2 words (the fixture layout).
+_BQ_WORDS = 2
+_BQ_CANDIDATES = 20
+
+
+def _bq_sig_sql(word: int) -> str:
+    off = word * 32
+    return (f"list_sum(list_transform(range(0, 32), i -> CASE WHEN "
+            f"CAST(embedding[i + {off} + 1] AS DOUBLE) > 0 "
+            f"THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))")
+
+
+@register(
+    "similarity_binary_quant",
+    oracle=f"""
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   {_bq_sig_sql(0)} AS w0, {_bq_sig_sql(1)} AS w1
+            FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                     w0 AS q0, w1 AS q1
+              FROM s WHERE vec_id < {N_QUERIES}),
+        pref AS (
+            SELECT query_id, neighbor_id, q_emb, c_emb, hamming FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       q.q_emb, c.embedding AS c_emb,
+                       bit_count(xor(q.q0, c.w0))
+                       + bit_count(xor(q.q1, c.w1)) AS hamming,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY bit_count(xor(q.q0, c.w0))
+                                    + bit_count(xor(q.q1, c.w1)) ASC,
+                                    c.vec_id) AS hrk
+                FROM q CROSS JOIN s c
+                WHERE q.query_id <> c.vec_id)
+            WHERE hrk <= {_BQ_CANDIDATES})
+        SELECT query_id, neighbor_id, rank,
+               CAST(hamming AS BIGINT) AS hamming,
+               round(cos, 6) AS cosine
+        FROM (SELECT query_id, neighbor_id, hamming,
+                     {_sql_cos('q_emb', 'c_emb')} AS cos,
+                     row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY {_sql_cos('q_emb', 'c_emb')} DESC,
+                                  neighbor_id) AS rank
+              FROM pref)
+        WHERE rank <= {K}
+    """,
+    tags=("similarity", "quantization", "ann", "approx"),
+)
+def similarity_binary_quant(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Binary (1-bit) quantization ANN — the missing member of the
+    quantization tier beside int8, PQ and Matryoshka, and the standard
+    prefilter modern vector stores run BEFORE exact scoring: each
+    dimension collapses to its sign bit, vectors pack 32 dims per
+    BIGINT word (2 words at the fixture's 64 dims), candidate
+    generation is XOR + popcount (pure codegen integer ops, 32x less
+    data than the float vectors), and only the best _BQ_CANDIDATES
+    (20) Hamming rows per query pay the exact cosine re-rank.
+    Deterministic end to end (sign threshold > 0, (hamming, id) and
+    (cosine DESC, id) tie-breaks), so it is fully oracled; the
+    recall-vs-bruteforce bar lives in tests/test_similarity.py.
+
+    Scale shape: signatures are a map stage over the scan (at rest
+    they'd live as 2 BIGINT columns beside the vector — the 32x
+    bandwidth cut IS the point); the prefilter is one pass of the
+    candidate table against the broadcast query signature set (the
+    similarity_topk_bruteforce join shape, but moving 16 bytes per
+    candidate instead of 256+); the exact re-rank touches only
+    |queries| x 20 float vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sig(word: int):
+        off = word * 32
+        return F.expr(
+            f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->"
+            f" acc + CASE WHEN CAST(element_at(embedding, i + {off} + 1)"
+            f" AS DOUBLE) > 0 THEN shiftleft(CAST(1 AS BIGINT), i)"
+            f" ELSE CAST(0 AS BIGINT) END)")
+
+    s = emb.select("vec_id", "embedding",
+                   sig(0).alias("w0"), sig(1).alias("w1"))
+    q = (s.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("w0").alias("q0"), F.col("w1").alias("q1")))
+    ham = (F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
+           + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1"))))
+    w_h = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id"))
+    pref = (s.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", "q_emb",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("c_emb"),
+                    ham.alias("hamming"))
+            .withColumn("hrk", F.row_number().over(w_h))
+            .filter(F.col("hrk") <= _BQ_CANDIDATES))
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (pref
+            .withColumn("cos", cosine_similarity("q_emb", "c_emb"))
+            .withColumn("rank", F.row_number().over(w_k))
+            .filter(F.col("rank") <= K)
+            .select("query_id", "neighbor_id", "rank",
+                    F.col("hamming").cast("bigint").alias("hamming"),
+                    F.round("cos", 6).alias("cosine")))
+
+
 #: posting-list prune for the sparse cosine index: only terms appearing
 #: in at most this many documents enter the inverted index (the
 #: standard IR stop-term drop — hot terms contribute little cosine mass

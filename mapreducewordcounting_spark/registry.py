@@ -83,8 +83,8 @@ _PRIORITY: tuple[str, ...] = (
     'window_moving_frame', 'window_range_frame', 'join_semi', 'join_anti', 'join_left_outer',
     'join_full_outer', 'join_cross', 'join_theta', 'join_asof', 'join_range', 'agg_distinct',
     'agg_cube', 'agg_rollup', 'agg_grouping_sets', 'agg_pivot', 'agg_unpivot', 'agg_collect',
-    'agg_argminmax', 'agg_boolean', 'fn_string', 'fn_math', 'fn_date', 'fn_regex', 'pack_sequences_greedy',
-    'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast', 'fn_json', 'graph_degree_assortativity',
+    'agg_argminmax', 'agg_boolean', 'fn_string', 'fn_math', 'fn_date', 'similarity_binary_quant', 'pack_sequences_greedy',
+    'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast', 'fn_json', 'fn_regex', 'graph_degree_assortativity',
     'events_time_to_convert', 'agg_theil_index', 'window_anchored_vwap', 'dedup_cdc_chunking',
     'time_downsample_m4', 'sample_poisson_det', 'text_ngram_novelty_curve',
     'graph_label_propagation', 'text_lang_id_eval', 'window_max_drawdown', 'text_hashing_trick_det',

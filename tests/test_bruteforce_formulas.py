@@ -1995,3 +1995,46 @@ def test_pack_greedy_matches_python(spark, sf_dir):
     for doc_id, lang, n_tokens, pack_id in got:
         assert expected[(doc_id, lang)] == (n_tokens, pack_id), (
             doc_id, lang)
+
+
+def test_binary_quant_matches_python(spark, sf_dir):
+    """similarity_binary_quant: replay the sign-bit packing (32 dims
+    per word), XOR+popcount Hamming prefilter (top 20, (hamming, id)
+    ties) and exact cosine re-rank from raw parquet in numpy."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        _BQ_CANDIDATES,
+        similarity_binary_quant,
+    )
+
+    rows = load_table_rows(sf_dir, "embeddings")
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    def sig(v):
+        return tuple(sum(1 << i for i in range(32)
+                         if float(v[w * 32 + i]) > 0) for w in range(2))
+
+    sigs = {vid: sig(v) for vid, v in vecs.items()}
+
+    def hamming(a, b):
+        return (bin(a[0] ^ b[0]).count("1")
+                + bin(a[1] ^ b[1]).count("1"))
+
+    expected = []
+    for q in sorted(v for v in vecs if v < 10):
+        pref = sorted(((hamming(sigs[q], sigs[c]), c) for c in vecs
+                       if c != q))[:_BQ_CANDIDATES]
+        rer = sorted(((cos(vecs[q], vecs[c]), h, c) for h, c in pref),
+                     key=lambda t: (-t[0], t[2]))
+        expected += [(q, c, rk + 1, h, s)
+                     for rk, (s, h, c) in enumerate(rer[:5])]
+    got = rows_as_tuples(similarity_binary_quant(spark, sf_dir),
+                         ["query_id", "neighbor_id", "rank", "hamming",
+                          "cosine"])
+    expected.sort()
+    assert [g[:4] for g in got] == [e[:4] for e in expected]
+    for g, e in zip(got, expected):
+        assert abs(g[4] - e[4]) < TOL

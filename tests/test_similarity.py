@@ -125,3 +125,26 @@ def test_greedy_route_recall_matches_single_hop(spark, sf_dir):
     r2 = sorted(map(tuple,
                     similarity_ann_greedy_route(spark, sf_dir).collect()))
     assert r1 == r2
+
+
+def test_binary_quant_recall_and_determinism(spark, sf_dir):
+    """similarity_binary_quant: the 1-bit Hamming prefilter (20 of n
+    candidates) must surface usable overlap with the exact answer
+    even on near-random vectors, and be rerun-deterministic (sign
+    threshold + integer tie-breaks, no RNG)."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_binary_quant,
+    )
+
+    exact = _topk_sets(similarity_topk_bruteforce(spark, sf_dir))
+    approx = _topk_sets(similarity_binary_quant(spark, sf_dir))
+    assert len(approx) == N_QUERIES
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * K)
+    assert recall >= 0.1, f"binary-quant recall {recall:.2f}"
+
+    r1 = sorted(map(tuple, similarity_binary_quant(spark, sf_dir)
+                    .collect()))
+    r2 = sorted(map(tuple, similarity_binary_quant(spark, sf_dir)
+                    .collect()))
+    assert r1 == r2

@@ -129,6 +129,10 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "F.aggregate fold vs list_reduce fold with the same "
         "consumed-lookbehind encoding",
         "test_bruteforce_formulas.py::test_bpe_merges_match_python"),
+    "similarity_binary_quant": (
+        "shared sign-bit packing (32 dims/word) + XOR popcount "
+        "Hamming prefilter construction on both sides",
+        "test_bruteforce_formulas.py::test_binary_quant_matches_python"),
     "pack_sequences_greedy": (
         "per-lang greedy fold: applyInPandas loop vs list_reduce "
         "accumulator encoding over the same doc_id order",

@@ -106,6 +106,9 @@ BNL_ALLOWED = {
                          "date+k equi condition on a broadcast "
                          "|days|-row side)",
     "similarity_topk_bruteforce": "K-row (query vector set)",
+    "similarity_binary_quant": "K-row (query signature set — the "
+                               "bruteforce join shape moving 16-byte "
+                               "signatures instead of float vectors)",
     "similarity_hybrid_rrf": "K-row (query vector set, semantic scan "
                              "side; the lexical side is an equi-join "
                              "on shingle)",
