@@ -54,7 +54,14 @@ PINS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def control_adjudication(timings: dict[str, float]) -> dict:
     """Compare the control query's timed median to its accepted pin;
-    return the self-adjudication block for the bench artifact."""
+    return the self-adjudication block for the bench artifact.
+
+    Fail CLOSED, not open (ADVICE r11): a missing/corrupt pins file,
+    an absent control pin, or a missing control timing means the run
+    COULD NOT be adjudicated — that must read as
+    host_contended=null + control.status='unadjudicated', never as an
+    affirmative 'not contended' (the opposite of the flag's purpose).
+    """
     try:
         with open(PINS_PATH) as f:
             pin = json.load(f).get(CONTROL_QUERY)
@@ -64,9 +71,13 @@ def control_adjudication(timings: dict[str, float]) -> dict:
     ratio = (round(sec / pin, 3) if pin and sec is not None else None)
     return {
         "control": {"query": CONTROL_QUERY, "seconds": sec, "pin": pin,
-                    "ratio": ratio, "slack": CONTROL_SLACK},
-        "host_contended": bool(ratio is not None
-                               and ratio > CONTROL_SLACK),
+                    "ratio": ratio, "slack": CONTROL_SLACK,
+                    "status": ("adjudicated" if ratio is not None
+                               else "unadjudicated")},
+        # tri-state: true / false only when adjudicated; null when the
+        # control pin or timing was unavailable
+        "host_contended": (None if ratio is None
+                           else ratio > CONTROL_SLACK),
     }
 
 #: headline set: the flagship + one representative per operator family.

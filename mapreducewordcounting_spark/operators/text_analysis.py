@@ -1098,8 +1098,13 @@ BPE_N_MERGES = 8
 #: rewrites between checkpoints stack lazily as map-side HOF
 #: expressions over the vocab-sized snapshot (never the corpus — the
 #: pre-loop checkpoint cut that lineage), so an odd-rank argmax just
-#: evaluates one extra array fold inline. 17 -> 12 jobs, asserted in
-#: tests/test_plans.py::test_bpe_loop_job_count.
+#: evaluates one extra array fold inline. ONE accounting, stated the
+#: same way in tests/test_plans.py::test_bpe_loop_job_count (ADVICE
+#: r11): 12 logical materializations (1 pre-loop checkpoint + 8
+#: argmax collects + 3 intra-loop rotations; the old shape had 17 =
+#: 8 rotations + no skip of the dead final rewrite) == <= 22
+#: statusTracker jobs once AQE's ~2-jobs-per-shuffle-query split is
+#: counted — the number the assertion actually uses.
 BPE_CHECKPOINT_EVERY = 2
 
 

@@ -392,8 +392,11 @@ def _pack_greedy_oracle_sql(budget: int = PACK_BUDGET) -> str:
                              unnest(str_split(
                                  split_part(packed, '|', 3), ',')) AS kv
                       FROM f))
+        -- join on doc_id ALONE (unique key): adding a.lang = n.lang
+        -- would drop NULL-lang documents that the Spark side's
+        -- groupBy('lang') keeps as a NULL group (ADVICE r11)
         SELECT n.doc_id, n.lang, n.n_tokens, a.pack_id
-        FROM n JOIN asg a ON a.doc_id = n.doc_id AND a.lang = n.lang
+        FROM n JOIN asg a ON a.doc_id = n.doc_id
     """
 
 

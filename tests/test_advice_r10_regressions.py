@@ -103,6 +103,8 @@ def test_bench_control_adjudication_thresholds():
     cool = bench.control_adjudication(
         {bench.CONTROL_QUERY: pin * 1.4})
     assert cool["host_contended"] is False
+    # ADVICE r11 tightened the missing-control case from False to the
+    # tri-state null — test_advice_r11_regressions covers it in full
     absent = bench.control_adjudication({})
-    assert absent["host_contended"] is False
+    assert absent["host_contended"] is None
     assert absent["control"]["ratio"] is None

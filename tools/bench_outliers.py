@@ -90,6 +90,13 @@ def main() -> int:
         print(f"HOST CONTENDED sweep: control = {bench.get('control')} "
               f"— re-run on an idle box before treating any row below "
               f"as a regression")
+    elif bench.get("host_contended") is None:
+        # tri-state (ADVICE r11): null means the control could not be
+        # adjudicated (no pin / no control timing) — say so explicitly
+        # instead of letting the sweep read as affirmatively clean
+        print(f"UNADJUDICATED sweep: control = {bench.get('control')} "
+              f"— no control pin/timing was available, so rows below "
+              f"carry no host-drift adjudication")
     try:
         with open(PINS_PATH) as f:
             pins: dict[str, float] = json.load(f)
