@@ -35,6 +35,46 @@ from mapreducewordcounting_spark.registry import register
 K = 5
 N_QUERIES = 10  # query set = vec_id < 10
 
+#: Fixed coarse-index size for the ANN family (VERDICT r11 item 2).
+#: The r1-r11 seeding rule was ``vec_id % 50 == 0`` — |anchors| = n/50
+#: GROWS with the corpus, so nearest-anchor assignment was O(n·n/50)
+#: and the anchor k-NN adjacency O((n/50)^2): the documented 9.69x
+#: ivf sf0.1->sf1 bench row. BASELINE.md always called nlist "a config
+#: at production"; now it IS one — a fixed 40-anchor budget with
+#: deterministic floor(n/nlist)-stride seeding (the
+#: kmeans_embeddings_det rule, iterative.py): anchors are the rows
+#: with vec_id % step == 0 AND vec_id < step*nlist, step =
+#: max(n // nlist, 1). At the driver's sf0.1 (n=2000) the stride is
+#: exactly 50, so the anchor set — and every sf0.1 pin and recall
+#: bar — is IDENTICAL to the old rule; at 10x the corpus the index
+#: stays 40 anchors instead of 400. The stride is computed IN-PLAN
+#: (one global-count row, broadcast onto the seed filter), so the
+#: whole index build remains declarative.
+ANN_NLIST = 40
+
+
+def _ann_anchors(emb: DataFrame, id_out: str = "a_id",
+                 emb_out: str = "a_emb") -> DataFrame:
+    """Deterministic fixed-size anchor/centroid seed: first ANN_NLIST
+    vectors on the floor(n/ANN_NLIST) stride (1-row count broadcast —
+    an allowlisted 1-row NLJ, the 'attach global bounds' shape)."""
+    step = emb.agg(F.greatest(
+        F.floor(F.count("*") / ANN_NLIST), F.lit(1)
+    ).cast("long").alias("step"))
+    return (emb.crossJoin(F.broadcast(step))
+            .filter((F.col("vec_id") % F.col("step") == 0)
+                    & (F.col("vec_id") < F.col("step") * ANN_NLIST))
+            .select(F.col("vec_id").alias(id_out),
+                    F.col("embedding").alias(emb_out)))
+
+
+def _sql_anchors(id_out: str = "a_id", emb_out: str = "a_emb") -> str:
+    """DuckDB twin of ``_ann_anchors`` (same fixed-nlist stride)."""
+    return (f"SELECT vec_id AS {id_out}, embedding AS {emb_out} "
+            f"FROM embeddings, (SELECT greatest(count(*) // "
+            f"{ANN_NLIST}, 1) AS step FROM embeddings) st "
+            f"WHERE vec_id % step = 0 AND vec_id < step * {ANN_NLIST}")
+
 
 @register(
     "similarity_topk_bruteforce",
@@ -149,9 +189,7 @@ def _sql_cos(a: str, b: str) -> str:
 @register(
     "similarity_ann_ivf",
     oracle=f"""
-        WITH cents AS (
-            SELECT vec_id AS cent_id, embedding AS cent_emb
-            FROM embeddings WHERE vec_id % 50 = 0),
+        WITH cents AS ({_sql_anchors('cent_id', 'cent_emb')}),
         scored AS (
             SELECT e.vec_id, e.embedding, c.cent_id,
                    {_sql_cos('e.embedding', 'c.cent_emb')} AS cent_cos
@@ -184,8 +222,11 @@ def _sql_cos(a: str, b: str) -> str:
     tags=("similarity", "ann", "ivf", "approx"),
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN with deterministic coarse centroids (every 50th
-    vector): (1) broadcast the centroid table and assign each vector to
+    """IVF-style ANN with deterministic coarse centroids (fixed
+    ANN_NLIST=40 budget, floor(n/nlist)-stride seeding — VERDICT r11
+    item 2 decoupled the centroid count from n; at the driver's sf0.1
+    the set is identical to the old every-50th rule):
+    (1) broadcast the centroid table and assign each vector to
     its nearest centroid — one scan; (2) route each query to its
     nprobe=2 closest cells; (3) exact cosine re-rank within those cells
     only. At 100 TB the partition-by-cell layout makes step 3 a pruned
@@ -202,8 +243,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bruteforce bar in tests/test_similarity.py still pins the
     approximation QUALITY, which the row-equal oracle cannot see."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+    cents = _ann_anchors(emb, "cent_id", "cent_emb")
 
     def assign(df: DataFrame, id_col: str, emb_col: str, n: int) -> DataFrame:
         """Top-n nearest centroids per row (broadcast NL + window)."""
@@ -248,9 +288,7 @@ _AG_DEGREE = 3
 @register(
     "similarity_ann_anchor_graph",
     oracle=f"""
-        WITH anchors AS (
-            SELECT vec_id AS a_id, embedding AS a_emb
-            FROM embeddings WHERE vec_id % 50 = 0),
+        WITH anchors AS ({_sql_anchors()}),
         a_edges AS (
             SELECT a_id, b_id FROM (
                 SELECT x.a_id, y.a_id AS b_id,
@@ -299,8 +337,9 @@ def similarity_ann_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     world idea (Malkov & Yashunin's HNSW, layer-0 single hop) in a
     deterministic, oracle-checkable rendition beside IVF and LSH:
 
-    1. **anchor graph**: the deterministic anchor set (every 50th
-       vector, the IVF seeding rule) gets a k-NN adjacency — each
+    1. **anchor graph**: the deterministic anchor set (fixed
+       ANN_NLIST=40, the shared IVF stride seeding) gets a k-NN
+       adjacency — each
        anchor links to its _AG_DEGREE (3) nearest anchors (cosine,
        (score DESC, id) tie-break). Anchors² is dimension-sized work.
     2. **assignment**: every vector joins its nearest anchor's cell
@@ -334,10 +373,7 @@ def similarity_ann_anchor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build does); without them each downstream branch re-ran the
     # full embeddings scan and the plan carried EIGHT table scans.
     scratch = CheckpointRotator(spark)
-    anchors = scratch.rotate(
-        emb.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("a_id"),
-            F.col("embedding").alias("a_emb")))
+    anchors = scratch.rotate(_ann_anchors(emb))
     scratch.keep()
 
     # anchor k-NN adjacency (anchors x anchors — dimension-sized)
@@ -441,9 +477,7 @@ def _greedy_route_oracle() -> str:
         f"SELECT query_id, anchor FROM c{k}"
         for k in range(0, _GR_HOPS + 1))
     return f"""
-        WITH anchors AS (
-            SELECT vec_id AS a_id, embedding AS a_emb
-            FROM embeddings WHERE vec_id % 50 = 0),
+        WITH anchors AS ({_sql_anchors()}),
         entries AS (
             SELECT a_id FROM (
                 SELECT a_id, row_number() OVER (ORDER BY a_id) - 1
@@ -566,10 +600,7 @@ def similarity_ann_greedy_route(spark: SparkSession, sf_dir: str
     one-time assignment scan and the final cell-keyed probe join."""
     emb = load_table(spark, sf_dir, "embeddings")
     scratch = CheckpointRotator(spark)
-    anchors = scratch.rotate(
-        emb.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("a_id"),
-            F.col("embedding").alias("a_emb")))
+    anchors = scratch.rotate(_ann_anchors(emb))
     scratch.keep()
 
     # entry set: positions 0, n/3, 2n/3 of the a_id order (global
@@ -842,13 +873,21 @@ def similarity_binary_quant(spark: SparkSession, sf_dir: str
     (cosine DESC, id) tie-breaks), so it is fully oracled; the
     recall-vs-bruteforce bar lives in tests/test_similarity.py.
 
-    Scale shape: signatures are a map stage over the scan (at rest
-    they'd live as 2 BIGINT columns beside the vector — the 32x
-    bandwidth cut IS the point); the prefilter is one pass of the
-    candidate table against the broadcast query signature set (the
+    Scale shape (VERDICT r11 item 1 — the exchange now matches the
+    claim): signatures are a map stage over the scan (at rest they'd
+    live as 2 BIGINT columns beside the vector — the 32x bandwidth cut
+    IS the point); the prefilter is one pass of the candidate table
+    against the broadcast query signature set (the
     similarity_topk_bruteforce join shape, but moving 16 bytes per
-    candidate instead of 256+); the exact re-rank touches only
-    |queries| x 20 float vectors."""
+    candidate instead of 256+), and the exchange feeding the Hamming
+    top-20 window carries ONLY (query_id, neighbor_id, hamming) —
+    24 bytes/row, no float vectors (the r11 form shipped q_emb AND
+    c_emb through that shuffle, contradicting the bandwidth claim;
+    tests/test_plans.py::test_binary_quant_exchanges_carry_no_vectors
+    pins the slim shape). The <= |queries| x 20 survivors then join
+    BACK to the embeddings (both joins broadcast the survivor/query
+    side), so the exact cosine re-rank touches only |queries| x 20
+    float vectors and the final top-K exchange moves scalars only."""
     emb = load_table(spark, sf_dir, "embeddings")
 
     def sig(word: int):
@@ -859,28 +898,38 @@ def similarity_binary_quant(spark: SparkSession, sf_dir: str
             f" AS DOUBLE) > 0 THEN shiftleft(CAST(1 AS BIGINT), i)"
             f" ELSE CAST(0 AS BIGINT) END)")
 
-    s = emb.select("vec_id", "embedding",
-                   sig(0).alias("w0"), sig(1).alias("w1"))
-    q = (s.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb"),
-                 F.col("w0").alias("q0"), F.col("w1").alias("q1")))
+    # signatures ONLY — the vectors are projected away before anything
+    # that shuffles (the 16-byte-per-candidate contract)
+    s = emb.select("vec_id", sig(0).alias("w0"), sig(1).alias("w1"))
+    q_sig = (s.filter(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("w0").alias("q0"), F.col("w1").alias("q1")))
     ham = (F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
            + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1"))))
     w_h = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("neighbor_id"))
-    pref = (s.crossJoin(F.broadcast(q))
+    pref = (s.crossJoin(F.broadcast(q_sig))
             .filter(F.col("query_id") != F.col("vec_id"))
-            .select("query_id", "q_emb",
+            .select("query_id",
                     F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("c_emb"),
                     ham.alias("hamming"))
             .withColumn("hrk", F.row_number().over(w_h))
-            .filter(F.col("hrk") <= _BQ_CANDIDATES))
+            .filter(F.col("hrk") <= _BQ_CANDIDATES)
+            .drop("hrk"))
+    # exact re-rank: fetch vectors for the survivors only (broadcast
+    # the survivor/query sides; the corpus scan streams)
+    q_emb = (emb.filter(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("q_emb")))
+    c_emb = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("c_emb"))
     w_k = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
-    return (pref
+    return (c_emb
+            .join(F.broadcast(pref), "neighbor_id")
+            .join(F.broadcast(q_emb), "query_id")
             .withColumn("cos", cosine_similarity("q_emb", "c_emb"))
+            .select("query_id", "neighbor_id", "hamming", "cos")
             .withColumn("rank", F.row_number().over(w_k))
             .filter(F.col("rank") <= K)
             .select("query_id", "neighbor_id", "rank",

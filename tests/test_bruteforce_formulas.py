@@ -880,9 +880,11 @@ def test_benford_distribution_matches_python(spark, sf_dir):
 
 def test_ann_ivf_matches_python(spark, sf_dir):
     """similarity_ann_ivf: recompute the whole two-stage IVF probe
-    (fixed %50 centroid seeding, top-1 assignment, nprobe=2 routing,
-    exact cosine re-rank) from raw parquet in numpy."""
+    (fixed-ANN_NLIST stride centroid seeding, top-1 assignment,
+    nprobe=2 routing, exact cosine re-rank) from raw parquet in
+    numpy."""
     from mapreducewordcounting_spark.operators.similarity import (
+        ANN_NLIST,
         similarity_ann_ivf,
     )
 
@@ -893,7 +895,9 @@ def test_ann_ivf_matches_python(spark, sf_dir):
     def cos(a, b):
         return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
 
-    cents = {i: v for i, v in vecs.items() if i % 50 == 0}
+    step = max(len(vecs) // ANN_NLIST, 1)
+    cents = {i: v for i, v in vecs.items()
+             if i % step == 0 and i < step * ANN_NLIST}
 
     def probed(vid, n):
         scored = sorted(((cos(vecs[vid], cv), cid)
@@ -919,10 +923,11 @@ def test_ann_ivf_matches_python(spark, sf_dir):
 
 def test_ann_anchor_graph_matches_python(spark, sf_dir):
     """similarity_ann_anchor_graph: recompute the full graph-routed
-    probe (fixed %50 anchors, degree-3 anchor adjacency, top-1
+    probe (fixed-ANN_NLIST stride anchors, degree-3 adjacency, top-1
     assignment, entry + one-hop cell expansion, exact cosine re-rank)
     from raw parquet in numpy."""
     from mapreducewordcounting_spark.operators.similarity import (
+        ANN_NLIST,
         similarity_ann_anchor_graph,
     )
 
@@ -933,7 +938,9 @@ def test_ann_anchor_graph_matches_python(spark, sf_dir):
     def cos(a, b):
         return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
 
-    anchors = {i: v for i, v in vecs.items() if i % 50 == 0}
+    step = max(len(vecs) // ANN_NLIST, 1)
+    anchors = {i: v for i, v in vecs.items()
+               if i % step == 0 and i < step * ANN_NLIST}
 
     def nearest_anchors(vec, n, exclude=None):
         scored = sorted(((cos(vec, av), aid)
@@ -1855,6 +1862,7 @@ def test_ann_greedy_route_matches_python(spark, sf_dir):
     expansion, best-visited + degree-3 probe, exact re-rank — from
     raw parquet in numpy."""
     from mapreducewordcounting_spark.operators.similarity import (
+        ANN_NLIST,
         similarity_ann_greedy_route,
     )
 
@@ -1865,7 +1873,9 @@ def test_ann_greedy_route_matches_python(spark, sf_dir):
     def cos(a, b):
         return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
 
-    anchors = sorted(i for i in vecs if i % 50 == 0)
+    step = max(len(vecs) // ANN_NLIST, 1)
+    anchors = sorted(i for i in vecs
+                     if i % step == 0 and i < step * ANN_NLIST)
     av = {a: vecs[a] for a in anchors}
 
     def knn(aid, n):

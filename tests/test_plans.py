@@ -657,13 +657,16 @@ def test_audio_vad_decode_materialized_once(spark, sf_dir):
 
 def test_bpe_loop_job_count(spark, sf_dir):
     """text_bpe_learn_merges (VERDICT r10 item 1): the merge loop's
-    Spark-job count is a committed contract — 22 jobs under the
-    batched-rotation shape (pre-loop checkpoint + 8 argmax collects +
-    rotations every BPE_CHECKPOINT_EVERY=2 merges, final rewrite
-    skipped; AQE runs each shuffle query as 2 jobs). The old
-    rotate-every-merge shape costs ~6 more materialization jobs, and
-    each job's fixed scheduling overhead is what made this query the
-    suite's most host-contention-sensitive row."""
+    Spark-job count is a committed contract, stated with ONE
+    accounting here and at text_analysis.BPE_CHECKPOINT_EVERY (ADVICE
+    r11): 12 logical materializations (1 pre-loop checkpoint + 8
+    argmax collects + 3 intra-loop rotations at every 2nd merge, dead
+    final rewrite skipped) == <= 22 statusTracker jobs once AQE's
+    ~2-jobs-per-shuffle-query split is counted — the assertion below
+    uses the statusTracker number. The old rotate-every-merge shape
+    cost 17 materializations (~6 more jobs), and each job's fixed
+    scheduling overhead is what made this query the suite's most
+    host-contention-sensitive row."""
     from mapreducewordcounting_spark.operators.text_analysis import (
         text_bpe_learn_merges,
     )
@@ -699,3 +702,24 @@ def test_greedy_route_index_materialized_once(spark, sf_dir):
     # duplicated across the lazy hop branches) or the anchors^2 probe
     # adjacency — all K-row; the walk itself is broadcast hash joins
     assert plan.count("BroadcastNestedLoopJoin") <= 9
+
+
+def test_binary_quant_exchanges_carry_no_vectors(spark, sf_dir):
+    """similarity_binary_quant (VERDICT r11 item 1): the prefilter's
+    whole point is that candidate generation moves 16-byte signatures,
+    not 256-byte float vectors — so NO exchange in the plan may carry
+    an array column. The Hamming top-20 window shuffles
+    (query_id, neighbor_id, hamming); the exact re-rank fetches
+    vectors for the <= |queries| x 20 survivors via broadcast joins
+    (no shuffle), and the final top-K window shuffles scalars only."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_binary_quant,
+    )
+    from mapreducewordcounting_spark.plans import exchange_inputs
+
+    df = similarity_binary_quant(spark, sf_dir)
+    exchanges = exchange_inputs(df)
+    assert exchanges, "expected at least the two window exchanges"
+    for cols in exchanges:
+        assert "emb" not in cols and "embedding" not in cols, (
+            f"exchange moves a vector column: [{cols}]")

@@ -75,18 +75,23 @@ BNL_ALLOWED = {
     "stream_session_gap_batch_twin": "1-row (final-watermark cutoff)",
     "stream_full_outer_join_batch_twin": "1-row (joint-watermark "
                                          "cutoff)",
-    "similarity_ann_ivf": "K-row (IVF centroid table)",
+    "similarity_ann_ivf": "K-row (IVF centroid table, fixed "
+                          "ANN_NLIST=40 as of r12) + 1-row "
+                          "(floor(n/nlist) seed-stride count)",
     "similarity_ann_anchor_graph": "K-row (anchor table, twice: "
                                    "anchors x anchors adjacency and "
                                    "scan x broadcast anchors "
                                    "assignment — the IVF centroid "
-                                   "shape)",
+                                   "shape) + 1-row (seed-stride "
+                                   "count)",
     "similarity_ann_greedy_route": "K-row (anchor table: anchors x "
                                    "anchors probe adjacency + the "
                                    "3-row entry set x query batch — "
                                    "the routing/assignment scans are "
                                    "checkpoint-materialized out of "
-                                   "the probe plan)",
+                                   "the probe plan; 1-row seed-"
+                                   "stride count inside the index "
+                                   "build)",
     "embedding_pq_codes": "K-row (PQ codebook table — pair space is "
                           "n·|codebook| with the codebook config-"
                           "sized, the IVF centroid shape)",
@@ -108,7 +113,12 @@ BNL_ALLOWED = {
     "similarity_topk_bruteforce": "K-row (query vector set)",
     "similarity_binary_quant": "K-row (query signature set — the "
                                "bruteforce join shape moving 16-byte "
-                               "signatures instead of float vectors)",
+                               "signatures instead of float vectors; "
+                               "true of the EXCHANGES too as of r12: "
+                               "no array column below the Hamming "
+                               "window, pinned by test_plans.py::"
+                               "test_binary_quant_exchanges_carry_no_"
+                               "vectors)",
     "similarity_hybrid_rrf": "K-row (query vector set, semantic scan "
                              "side; the lexical side is an equi-join "
                              "on shingle)",
