@@ -177,36 +177,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     return ngram_jaccard_pairs(docs, threshold)
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
+                        shard_cols: tuple[str, ...] = ()) -> DataFrame:
     """Core of dedup_ngram_jaccard over any (doc_id, text) DataFrame —
     split out so property-based tests can drive it with adversarial
     random corpora (tests/test_hypothesis_dedup.py) against a
-    brute-force reference."""
+    brute-force reference.
+
+    ``shard_cols`` (r12, VERDICT r11 item 5): optional shard key
+    columns (must already be on ``docs``). When given, EVERY join in
+    the pair pipeline — shingle frequency, prefix index, candidate
+    self-join — carries the shard key, so pair generation never
+    crosses a shard boundary: per-shard pair space and candidate
+    state are bounded by shard size BY CONSTRUCTION (the
+    dedup_clusters_sharded deployment posture). Empty (the default)
+    keeps the r1-r11 global behavior bit-for-bit."""
     # Two-step projection: materialize the token array BEFORE shingling.
     # shingles() dereferences the array once per n-gram via element_at;
     # inlining the tokenizer there makes Spark re-run split+regexp per
     # access — O(tokens²) per doc, measured 47 s vs 3 s at sf0.1.
+    sc = list(shard_cols)
     sh = (
-        docs.select("doc_id", _toks().alias("toks"))
-        .select("doc_id", shingles(F.col("toks")).alias("shingles"))
+        docs.select("doc_id", *sc, _toks().alias("toks"))
+        .select("doc_id", *sc, shingles(F.col("toks")).alias("shingles"))
         .withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
         # materialized once: three plan branches (inverted index + both
         # verify sides) would otherwise re-run tokenize+shingle per use
         .localCheckpoint(eager=True)
     )
 
-    exploded = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    freq = exploded.groupBy("shingle").agg(F.count("*").alias("freq"))
+    exploded = sh.select("doc_id", *sc, "n_sh",
+                         F.explode("shingles").alias("shingle"))
+    # shingle frequency is computed PER SHARD when sharded — each
+    # shard's canonical (rarest-first) order is self-contained
+    freq = exploded.groupBy(*sc, "shingle").agg(F.count("*").alias("freq"))
 
     from pyspark.sql import Window
 
     pos_w = Window.partitionBy("doc_id").orderBy(F.asc("freq"), F.asc("shingle"))
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = (
-        exploded.join(F.broadcast(freq), "shingle")
+        exploded.join(F.broadcast(freq), [*sc, "shingle"])
         .withColumn("pos", F.row_number().over(pos_w))
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "n_sh", "shingle")
+        .select("doc_id", *sc, "n_sh", "shingle")
         # NOT checkpointed, deliberately: both self-join sides re-derive
         # this (broadcast join + window over the already-checkpointed
         # explode), but that recompute is cheaper than a materialization
@@ -222,8 +236,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
 
     a = prefix.alias("a")
     b = prefix.alias("b")
+    shard_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in sc]
     candidates = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, reduce(
+            lambda x, y: x & y, shard_eq,
+            (F.col("a.shingle") == F.col("b.shingle")))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                # size filter: Jaccard ≥ t ⟹ t·|larger| ≤ |smaller|
                & (F.least("a.n_sh", "b.n_sh")
@@ -526,6 +543,139 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_list("node")), "|")
         .alias("members"),
     )
+
+
+#: Fixed ingest-batch span for the sharded clustering posture
+#: (VERDICT r11 item 5): documents carry no event-time column, but
+#: doc_id is INGEST-ORDERED, so a fixed id span is the batch/"day"
+#: analog — a production corpus would shard on (source, date). 5000 =
+#: the driver's full sf0.1 doc span, so at sf0.1 the sharded form has
+#: one batch per source (pure source sharding) and the DERIVED sf1
+#: corpus (10 shifted replicas, tools/make_sf1.py) lands each replica
+#: in its own batch: the corpus grows by ADDING shards, never by
+#: fattening one — which is what bounds per-shard pair space and
+#: component diameter as the corpus scales.
+DEDUP_SHARD_SPAN = 5000
+
+_SQL_JACCARD_SHARDED_CTES = f"""
+        t AS (
+            SELECT doc_id, source, doc_id // {DEDUP_SHARD_SPAN} AS shard,
+                   list_filter(
+                       list_transform(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           t -> regexp_replace(t, '[^a-z'']', '', 'g')),
+                       w -> length(w) > 0) AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, source, shard,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS shingles
+            FROM t
+        ),
+        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        inv AS (SELECT doc_id, source, shard,
+                       unnest(shingles) AS shingle FROM sh),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.source = b.source
+                 AND a.shard = b.shard AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        jacc AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON i.id_a = sa.doc_id
+            JOIN sizes sb ON i.id_b = sb.doc_id
+            WHERE CAST(i.n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
+        )
+"""
+
+
+@register(
+    "dedup_clusters_sharded",
+    # sharded twin of dedup_clusters' reachability oracle: the pair
+    # CTEs carry (source, shard) in every join, so reachability can
+    # never cross a shard boundary by construction
+    oracle=f"""
+        WITH RECURSIVE {_SQL_JACCARD_SHARDED_CTES},
+        edges AS (
+            SELECT id_a, id_b FROM jacc
+            UNION ALL
+            SELECT id_b, id_a FROM jacc
+        ),
+        reach(node, label) AS (
+            SELECT DISTINCT id_a, id_a FROM edges
+            UNION
+            SELECT e.id_a, r.label
+            FROM edges e JOIN reach r ON e.id_b = r.node
+        ),
+        labels AS (
+            SELECT node, min(label) AS label FROM reach GROUP BY node
+        )
+        SELECT d.source, d.shard,
+               l.label AS cluster_survivor,
+               count(*) AS n_members,
+               array_to_string(list_sort(list(l.node)), '|') AS members
+        FROM labels l
+        JOIN (SELECT doc_id, source,
+                     doc_id // {DEDUP_SHARD_SPAN} AS shard
+              FROM documents) d ON d.doc_id = l.node
+        GROUP BY d.source, d.shard, l.label
+    """,
+    tags=("dedup", "neardup", "clusters", "iterative", "sharded"),
+)
+def dedup_clusters_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED near-dup clustering (VERDICT r11 item 5) — the
+    deployment posture dedup_clusters' docstring and BASELINE.md
+    prose claimed, now a checked query instead of prose: pair
+    generation AND component labeling run per (source, ingest-batch)
+    shard, with the shard key in EVERY join (shingle frequency,
+    prefix index, candidate self-join — see ngram_jaccard_pairs'
+    shard_cols), so per-shard pair space and component diameter are
+    bounded by shard size BY CONSTRUCTION. The accepted tradeoff is
+    explicit: near-dup pairs that straddle a shard boundary are NOT
+    merged (a production pipeline chains an incremental cross-batch
+    pass — dedup_incremental_neardup — behind this when that matters).
+
+    Shard key: (source, doc_id // DEDUP_SHARD_SPAN). Documents carry
+    no event time; doc_id is ingest-ordered, so the fixed id span is
+    the "day" analog — at the driver's sf0.1 every source is one
+    batch, and the derived sf1 corpus grows by ADDING batches (10
+    replicas -> 10 batches/source), which is exactly how an organic
+    corpus grows. 100 TB posture: total work is (number of shards) x
+    (bounded per-shard cost) — linear in corpus size with constant
+    per-shard state, where the unsharded form's pair graph and
+    min-label diameters grow with the corpus (the documented 5.29x
+    sf1 row this query answers).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source",
+        (F.col("doc_id") / DEDUP_SHARD_SPAN).cast("bigint")
+        .alias("shard"))
+    before_ids = pinned_ids(spark)
+    pairs = ngram_jaccard_pairs(
+        docs, 0.8, shard_cols=("source", "shard")
+    ).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b")))
+    scratch = CheckpointRotator(spark)
+    edges = scratch.rotate(edges)
+    release_created_since(spark, before_ids, keep=scratch.live_ids)
+    labels = component_labels(edges)
+    scratch.release()
+    shard_of = docs.select(F.col("doc_id").alias("node"),
+                           "source", "shard")
+    return (labels.join(shard_of, "node")
+            .groupBy("source", "shard",
+                     F.col("label").alias("cluster_survivor"))
+            .agg(F.count("*").alias("n_members"),
+                 F.array_join(F.sort_array(F.collect_list("node")), "|")
+                 .alias("members")))
 
 
 @register(
@@ -1054,9 +1204,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str,
     exact via array_intersect on the checkpointed shingle table. The
     inverted-index self-join (the oracle) is the semantic spec."""
     docs = load_table(spark, sf_dir, "documents")
+    sc = list(shard_cols)
     sh = (
-        docs.select("doc_id", _toks().alias("toks"))
-        .select("doc_id", shingles(F.col("toks")).alias("shingles"))
+        docs.select("doc_id", *sc, _toks().alias("toks"))
+        .select("doc_id", *sc, shingles(F.col("toks")).alias("shingles"))
         .withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
         .localCheckpoint(eager=True)
     )
