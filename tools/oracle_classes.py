@@ -436,6 +436,10 @@ MIRRORED: dict[str, tuple[str, str]] = {
 INDEPENDENT_NOTES: dict[str, str] = {
     "dedup_clusters": "min-label propagation loop vs recursive-CTE "
                       "reachability — different algorithms",
+    "dedup_clusters_sharded": "min-label propagation loop vs "
+                              "recursive-CTE reachability (different "
+                              "algorithms), per (source, ingest-"
+                              "batch) shard",
     "sql_recursive_hierarchy": "native recursion on both engines",
     "stream_tumbling_batch_twin": "Spark window() vs DuckDB "
                                   "time_bucket() — native on each side",
