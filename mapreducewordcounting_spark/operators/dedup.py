@@ -1204,10 +1204,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str,
     exact via array_intersect on the checkpointed shingle table. The
     inverted-index self-join (the oracle) is the semantic spec."""
     docs = load_table(spark, sf_dir, "documents")
-    sc = list(shard_cols)
     sh = (
-        docs.select("doc_id", *sc, _toks().alias("toks"))
-        .select("doc_id", *sc, shingles(F.col("toks")).alias("shingles"))
+        docs.select("doc_id", _toks().alias("toks"))
+        .select("doc_id", shingles(F.col("toks")).alias("shingles"))
         .withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
         .localCheckpoint(eager=True)
     )
