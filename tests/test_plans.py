@@ -723,3 +723,29 @@ def test_binary_quant_exchanges_carry_no_vectors(spark, sf_dir):
     for cols in exchanges:
         assert "emb" not in cols and "embedding" not in cols, (
             f"exchange moves a vector column: [{cols}]")
+
+
+def test_ann_family_exchanges_carry_no_vectors(spark, sf_dir):
+    """r12 — VERDICT r11 item 1's lesson applied family-wide: in
+    similarity_ann_ivf / _anchor_graph / _greedy_route, NO shuffle
+    exchange carries a float-vector column. Assignment is the
+    map-side HOF argmax (_anchor_argmax_assign — zero exchanges, the
+    embedding never leaves its scan); routing/probe tables broadcast;
+    every window input is projected to scalars first. The only array
+    movement anywhere is the single-row ANN_NLIST-sized anchor fold
+    that builds the broadcast struct list (config-sized by the item-2
+    fix) — a BroadcastExchange/aggregation buffer, not a data-scale
+    shuffle."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_anchor_graph,
+        similarity_ann_greedy_route,
+        similarity_ann_ivf,
+    )
+    from mapreducewordcounting_spark.plans import exchange_inputs
+
+    for fn in (similarity_ann_ivf, similarity_ann_anchor_graph,
+               similarity_ann_greedy_route):
+        for cols in exchange_inputs(fn(spark, sf_dir)):
+            assert "emb" not in cols and "embedding" not in cols, (
+                f"{fn.__name__}: exchange moves a vector column: "
+                f"[{cols}]")
