@@ -29,7 +29,10 @@ growth instead of degenerate 10x exact copies:
   (exact-dup behavior within each replica is already the sf0.1 mix).
 * embeddings: vec_id shift; replica > 0 vectors perturb ONE dimension
   by replica x 1e-3 — distinct vectors, same geometry. The ANN query
-  set (vec_id < 10) and anchor rule (% 50) then cover 10x anchors.
+  set (vec_id < 10) is unchanged; as of r12 the anchor budget is a
+  FIXED ANN_NLIST=40 (floor(n/nlist) stride), so 10x vectors means a
+  10x-coarser stride, not 10x anchors — the VERDICT r11 item 2 fix
+  this dataset's ivf curve measures.
 """
 
 from __future__ import annotations
