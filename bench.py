@@ -166,6 +166,8 @@ EXTENDED = [
     "dedup_minhash_lsh",        # spark.ml MinHashLSH fit + self-join
     "similarity_ann_lsh",       # spark.ml BRP-LSH fit + approx top-k
     "similarity_ann_ivf",       # IVF coarse-quantizer ANN
+    "similarity_ann_ivf_pruned",  # same probe over the partitioned
+                                  # at-rest index (DPP-pruned scan, r12)
     "dedup_semantic_clusters",  # components over the cosine pair graph (r8)
     "text_bpe_learn_merges",    # iterative BPE merge learning (r8)
 ]

@@ -232,9 +232,29 @@ def _sql_cos(a: str, b: str) -> str:
             f"/ ({sq(a)} * {sq(b)})")
 
 
-@register(
-    "similarity_ann_ivf",
-    oracle=f"""
+def _ivf_routing(emb: DataFrame, cents: DataFrame
+                 ) -> tuple[DataFrame, DataFrame]:
+    """The IVF probe's query side, shared by the in-memory and
+    partition-pruned forms: (q, q_cells) where q = (query_id, q_emb)
+    and q_cells = the nprobe=2 routing table. Skinny discipline: the
+    routing window shuffles (query_id, cent_id, cent_cos) only;
+    q_emb re-attaches later via the broadcast q table."""
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"),
+                                                 F.asc("cent_id"))
+    q_cells = (q.crossJoin(F.broadcast(cents))
+               .select("query_id", F.col("a_id").alias("cent_id"),
+                       cosine_similarity("q_emb", "a_emb")
+                       .alias("cent_cos"))
+               .withColumn("crank", F.row_number().over(w_q))
+               .filter(F.col("crank") <= 2)  # nprobe=2
+               .select("query_id", "cent_id"))
+    return q, q_cells
+
+
+_IVF_ORACLE = f"""
         WITH cents AS ({_sql_anchors('cent_id', 'cent_emb')}),
         scored AS (
             SELECT e.vec_id, e.embedding, c.cent_id,
@@ -264,7 +284,12 @@ def _sql_cos(a: str, b: str) -> str:
                          AS rank
               FROM cand)
         WHERE rank <= {K}
-    """,
+    """
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=_IVF_ORACLE,
     tags=("similarity", "ann", "ivf", "approx"),
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,25 +331,75 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("a_id").alias("cent_id"))
 
-    # (2) nprobe=2 query routing: skinny scored rows through the
-    # window; q_emb re-attaches afterwards via the broadcast q table
-    q = (emb.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")))
-    w_q = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"),
-                                                 F.asc("cent_id"))
-    q_cells = (q.crossJoin(F.broadcast(cents))
-               .select("query_id", F.col("a_id").alias("cent_id"),
-                       cosine_similarity("q_emb", "a_emb")
-                       .alias("cent_cos"))
-               .withColumn("crank", F.row_number().over(w_q))
-               .filter(F.col("crank") <= 2)  # nprobe=2
-               .select("query_id", "cent_id"))
+    # (2) nprobe=2 query routing (shared with the pruned at-rest form)
+    q, q_cells = _ivf_routing(emb, cents)
 
     # (3) exact re-rank inside the probed cells: broadcast the K-row
     # routing and query tables; cosine computed map-side so the final
     # window exchange moves scalars only
     cand = (cells.join(F.broadcast(q_cells), "cent_id")
+            .join(F.broadcast(q), "query_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    cosine_similarity("q_emb", "c_emb").alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "similarity_ann_ivf_pruned",
+    oracle=_IVF_ORACLE,  # identical output contract to similarity_ann_ivf
+    tags=("similarity", "ann", "ivf", "sink", "partition-pruning"),
+)
+def similarity_ann_ivf_pruned(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """similarity_ann_ivf's central 100 TB claim — "the
+    partition-by-cell layout makes the probe a PRUNED SCAN, not a
+    shuffle" — as a checked query instead of docstring prose (r12,
+    the VERDICT r11 item-5 pattern applied to the ANN tier):
+
+    1. **index at rest**: the cell assignment (map-side HOF argmax,
+       shared with the in-memory form) is WRITTEN partitioned by
+       cent_id — one directory per IVF cell, exactly how a vector
+       store lays out an IVF index on object storage.
+    2. **probe**: the nprobe=2 routing table joins the index on the
+       partition column; Spark's dynamic partition pruning injects
+       the broadcast join keys into the scan's ``PartitionFilters``
+       (``dynamicpruning`` subquery — asserted in
+       tests/test_plans.py), so only the probed cells' files are
+       read. At 100 TB that is the difference between touching
+       ~nprobe/nlist of the corpus and scanning all of it.
+    3. same exact cosine re-rank and top-K as similarity_ann_ivf —
+       the output contract (and therefore the oracle) is IDENTICAL,
+       which is itself the check that the at-rest layout loses
+       nothing.
+
+    The index write happens at DataFrame-construction time (the
+    sink-query convention, join_dpp_partitioned precedent); the
+    returned probe plan reads only the store."""
+    from mapreducewordcounting_spark.operators.io_roundtrip import (
+        _io_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ann_anchors(emb)
+    cells = _anchor_argmax_assign(emb, cents).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("a_id").alias("cent_id"))
+    store = _io_path(sf_dir, "ivf_index")
+    cells.write.mode("overwrite").partitionBy("cent_id").parquet(store)
+    # explicit schema: skips inference and survives an empty store
+    idx = spark.read.schema(cells.schema).parquet(store)
+
+    q, q_cells = _ivf_routing(emb, cents)
+    cand = (idx.join(q_cells, "cent_id")  # DPP prunes to probed cells
             .join(F.broadcast(q), "query_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id",

@@ -49,27 +49,30 @@ def register(name: str, oracle: str | None = None,
 # Round-12 order — STALEST-STRATUM RE-CONFIRMATION (VERDICT r11
 # item 3): after r11 harvested the r1-r3-era core, the oldest
 # external proof sits on the r2-r4-era evidence strata. Layout:
-#   (1) positions 0-5: the r12-new fully-oracled query
-#       (dedup_clusters_sharded — windowed the round it ships, per
-#       the growth cap) plus the five r12 code/oracle-changed
+#   (1) positions 0-6: the two r12-new fully-oracled queries
+#       (dedup_clusters_sharded, similarity_ann_ivf_pruned — windowed
+#       the round they ship; 2 of the 3-query growth cap used) plus
+#       the five r12 code/oracle-changed
 #       re-confirms: similarity_binary_quant (slim prefilter
 #       exchange, VERDICT r11 item 1), the three ANN forms on the
 #       fixed-ANN_NLIST seeding (VERDICT r11 item 2:
 #       similarity_ann_ivf / _anchor_graph / _greedy_route), and
 #       pack_sequences_greedy (doc_id-only oracle join, ADVICE r11);
-#   (2) positions 6-11: the COMPLETE r2-evidence stratum (6 scalar-fn
+#   (2) positions 7-12: the COMPLETE r2-evidence stratum (6 scalar-fn
 #       families — fn_regex/conditional/map/time_events/array_ops/
 #       date_arith);
-#   (3) positions 12-31: the COMPLETE r3-evidence stratum (20
+#   (3) positions 13-32: the COMPLETE r3-evidence stratum (20
 #       queries: fn_json/fn_array, the text-analysis base, the dedup
 #       pair tier, bruteforce similarity, int8 quantization,
 #       tpch_q21, contamination_5gram, pack_sequences_offset);
-#   (4) positions 32-47: 16 of the 32 r4-evidence queries (sketches,
+#   (4) positions 33-47: 15 of the 32 r4-evidence queries (sketches,
 #       CDC merge, tpch_q3, PyDS sink, tombstone purge, z-order,
 #       salted join, percent_rank/cume_dist windows, det simhash,
-#       fuzzy dedup, RP-LSH, percentiles, UDAF median, recursive
-#       hierarchy) — 42 of the 48 coverage slots carry pre-r7-newest
-#       evidence, beyond the ">= 30" bar VERDICT r11 item 3 set;
+#       fuzzy dedup, RP-LSH, percentiles, UDAF median;
+#       sql_recursive_hierarchy yielded its slot to the second new
+#       query and heads the 50+ tail) — 41 of the 48 coverage slots
+#       carry pre-r7-newest evidence, beyond the ">= 30" bar VERDICT
+#       r11 item 3 set;
 #   (5) positions 48-49: the 2-entry probe canary kept every round
 #       (env version readout + the deliberate uncast-HUGEINT sentinel
 #       whose hash-fail IS the measurement — it guards against a
@@ -77,7 +80,8 @@ def register(name: str, oracle: str | None = None,
 #   (6) positions 50+: everything else in its prior order (all
 #       externally green through r11).
 _PRIORITY: tuple[str, ...] = (
-    'dedup_clusters_sharded', 'similarity_binary_quant', 'similarity_ann_ivf', 'similarity_ann_anchor_graph',
+    'dedup_clusters_sharded', 'similarity_ann_ivf_pruned', 'similarity_binary_quant', 'similarity_ann_ivf',
+    'similarity_ann_anchor_graph',
     'similarity_ann_greedy_route', 'pack_sequences_greedy', 'fn_regex', 'fn_conditional',
     'fn_map', 'fn_time_events', 'fn_array_ops', 'fn_date_arith',
     'fn_json', 'dedup_minhash_det', 'similarity_tfidf_pairs', 'subquery_correlated',
@@ -88,8 +92,8 @@ _PRIORITY: tuple[str, ...] = (
     'sketch_bloom_semijoin', 'sketch_count_min_det', 'merge_upsert_customers', 'tpch_q3_shipping_priority',
     'pyds_sink_roundtrip', 'sink_tombstone_purge', 'layout_zorder', 'join_salted',
     'window_percent_rank', 'window_cume_dist', 'dedup_simhash_det', 'dedup_fuzzy_edit_distance',
-    'similarity_ann_rp_det', 'agg_percentiles', 'udaf_median_per_brand', 'sql_recursive_hierarchy',
-    'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast', 'kmeans_embeddings_det', 'dq_ks_two_sample',
+    'similarity_ann_rp_det', 'agg_percentiles', 'udaf_median_per_brand',
+    'probe_env_duckdb_version', 'probe_type_hugeint_sum_uncast', 'sql_recursive_hierarchy', 'kmeans_embeddings_det', 'dq_ks_two_sample',
     'mm_audio_vad_segments', 'text_bpe_learn_merges', 'wordcount_canonical', 'wordcount_rdd',
     'wordcount_fidelity', 'source_text_dir_wordcount', 'filter_project', 'join_broadcast_dim',
     'join_fact_fact', 'join_star_schema', 'agg_suite', 'setop_union',

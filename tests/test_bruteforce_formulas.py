@@ -886,6 +886,7 @@ def test_ann_ivf_matches_python(spark, sf_dir):
     from mapreducewordcounting_spark.operators.similarity import (
         ANN_NLIST,
         similarity_ann_ivf,
+        similarity_ann_ivf_pruned,
     )
 
     rows = load_table_rows(sf_dir, "embeddings")
@@ -913,12 +914,16 @@ def test_ann_ivf_matches_python(spark, sf_dir):
         cand.sort(key=lambda t: (-t[0], t[1]))
         expected += [(q, c, rk + 1, s)
                      for rk, (s, c) in enumerate(cand[:5])]
-    got = rows_as_tuples(similarity_ann_ivf(spark, sf_dir),
-                         ["query_id", "neighbor_id", "rank", "cosine"])
     expected.sort()
-    assert [g[:3] for g in got] == [e[:3] for e in expected]
-    for g, e in zip(got, expected):
-        assert abs(g[3] - e[3]) < TOL
+    # the pruned at-rest form shares the output contract exactly, so
+    # the same structure-free replay covers both (r12)
+    for fn in (similarity_ann_ivf, similarity_ann_ivf_pruned):
+        got = rows_as_tuples(fn(spark, sf_dir),
+                             ["query_id", "neighbor_id", "rank",
+                              "cosine"])
+        assert [g[:3] for g in got] == [e[:3] for e in expected]
+        for g, e in zip(got, expected):
+            assert abs(g[3] - e[3]) < TOL
 
 
 def test_ann_anchor_graph_matches_python(spark, sf_dir):

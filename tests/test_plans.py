@@ -749,3 +749,26 @@ def test_ann_family_exchanges_carry_no_vectors(spark, sf_dir):
             assert "emb" not in cols and "embedding" not in cols, (
                 f"{fn.__name__}: exchange moves a vector column: "
                 f"[{cols}]")
+
+
+def test_ivf_pruned_probe_is_partition_pruned(spark, sf_dir):
+    """similarity_ann_ivf_pruned (r12): the at-rest IVF index is
+    partitioned by cell and the probe's scan must carry a
+    dynamic-partition-pruning subquery on cent_id — only the nprobe
+    cells' files are read (the docstring claim of similarity_ann_ivf,
+    checked). Exchange discipline holds here too: no shuffle moves a
+    vector column."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        similarity_ann_ivf_pruned,
+    )
+    from mapreducewordcounting_spark.plans import (
+        exchange_inputs,
+        formatted_plan,
+    )
+
+    df = similarity_ann_ivf_pruned(spark, sf_dir)
+    plan = formatted_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("dynamicpruning" in ln for ln in pf), pf
+    for cols in exchange_inputs(df):
+        assert "emb" not in cols and "embedding" not in cols, cols

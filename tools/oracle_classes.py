@@ -111,12 +111,12 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "test_bruteforce_sketch_sample.py::"
         "test_incremental_bloom_matches_python"),
     "similarity_ann_anchor_graph": (
-        "shared %50 anchor seeding + degree-3 adjacency + one-hop "
+        "shared fixed-nlist anchor seeding + degree-3 adjacency + one-hop "
         "cell-expansion construction on both sides",
         "test_bruteforce_formulas.py::"
         "test_ann_anchor_graph_matches_python"),
     "similarity_ann_greedy_route": (
-        "shared %50 anchor seeding + degree-8 routing adjacency + "
+        "shared fixed-nlist anchor seeding + degree-8 routing adjacency + "
         "unrolled 3-hop beam-3 walk CTEs on both sides",
         "test_bruteforce_formulas.py::"
         "test_ann_greedy_route_matches_python"),
@@ -332,8 +332,12 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "test_shard_assign_balanced_matches_python"),
     # --- round-9 continuation batch
     "similarity_ann_ivf": (
-        "shared %50 centroid seeding + two-stage probe construction "
-        "on both sides",
+        "shared fixed-nlist stride centroid seeding + two-stage probe "
+        "construction on both sides",
+        "test_bruteforce_formulas.py::test_ann_ivf_matches_python"),
+    "similarity_ann_ivf_pruned": (
+        "same shared IVF construction, index materialized partitioned "
+        "by cell (identical output contract to similarity_ann_ivf)",
         "test_bruteforce_formulas.py::test_ann_ivf_matches_python"),
     "privacy_dp_laplace_det": (
         "shared md5-uniform seed + Laplace inverse-CDF formula on "

@@ -78,6 +78,9 @@ BNL_ALLOWED = {
     "similarity_ann_ivf": "K-row (IVF centroid table, fixed "
                           "ANN_NLIST=40 as of r12) + 1-row "
                           "(floor(n/nlist) seed-stride count)",
+    "similarity_ann_ivf_pruned": "K-row + 1-row (same centroid/stride "
+                                 "shapes over the partitioned at-rest "
+                                 "index; probe scan is DPP-pruned)",
     "similarity_ann_anchor_graph": "K-row (anchor table, twice: "
                                    "anchors x anchors adjacency and "
                                    "scan x broadcast anchors "
