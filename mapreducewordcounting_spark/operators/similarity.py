@@ -98,7 +98,12 @@ def _anchor_argmax_assign(emb: DataFrame, anchors: DataFrame) -> DataFrame:
     the smallest a_id; the cosine is the same zip_with+aggregate
     left-to-right fold as :func:`cosine_similarity` with the norm
     product in the same (vector, anchor) order, so both engines see
-    identical doubles and therefore an identical argmax.
+    identical doubles and therefore an identical argmax. Zero-norm
+    vectors are outside the contract on BOTH sides (the fold's nullif
+    yields a NULL cosine that never wins; the oracles' bare division
+    would error in DuckDB) — the fixture generator emits none, and
+    the similarity family has documented that precondition since the
+    bruteforce form.
 
     Returns the ``emb`` rows (vec_id, embedding) plus their ``a_id``.
     """
