@@ -743,9 +743,20 @@ def test_ann_family_exchanges_carry_no_vectors(spark, sf_dir):
     )
     from mapreducewordcounting_spark.plans import exchange_inputs
 
-    for fn in (similarity_ann_ivf, similarity_ann_anchor_graph,
-               similarity_ann_greedy_route):
-        for cols in exchange_inputs(fn(spark, sf_dir)):
+    # exchange-count bounds double as regression guards against the
+    # crossJoin+window assignment sneaking back (it added n x nlist
+    # shuffled rows AND extra exchanges): ivf = 2 skinny windows + the
+    # anchor fold's 3 agg/broadcast-feed exchanges; anchor_graph = the
+    # adjacency window + the top-K window (index checkpointed);
+    # greedy = hop dedups + beam windows across the lazy branches.
+    bounds = {similarity_ann_ivf: 6,
+              similarity_ann_anchor_graph: 3,
+              similarity_ann_greedy_route: 26}
+    for fn, cap in bounds.items():
+        exchanges = exchange_inputs(fn(spark, sf_dir))
+        assert len(exchanges) <= cap, (
+            f"{fn.__name__}: {len(exchanges)} exchanges > {cap}")
+        for cols in exchanges:
             assert "emb" not in cols and "embedding" not in cols, (
                 f"{fn.__name__}: exchange moves a vector column: "
                 f"[{cols}]")
