@@ -137,3 +137,30 @@ def test_control_adjudication_bad_pins_is_unadjudicated(
     assert out["host_contended"] is None, (
         f"fail-open with pins={pins_content!r}: {out}")
     assert out["control"]["status"] == "unadjudicated"
+
+
+# ---------------------------------------------------------------- #
+# r12 follow-on: --accept-pins single-sample drift guard            #
+# ---------------------------------------------------------------- #
+
+def test_accept_pins_holds_unprovenanced_drift():
+    """r12 lesson: a clean-control sweep still inflated ~20 untouched
+    single-sample rows 1.3-1.7x, and wholesale acceptance baked that
+    drift into the pins. accept_pins must HOLD a >ACCEPT_DRIFT move
+    without median-of-3 provenance, accept the same move WITH it,
+    accept small moves, and accept brand-new rows."""
+    from tools.bench_outliers import ACCEPT_DRIFT, accept_pins
+
+    pins = {"a": 1.0, "b": 1.0, "c": 1.0, "shrunk": 1.0}
+    times = {"a": 1.1,                      # small move: accept
+             "b": ACCEPT_DRIFT * 1.2,       # big move, no provenance
+             "c": ACCEPT_DRIFT * 1.2,       # big move, repinned
+             "shrunk": 1.0 / (ACCEPT_DRIFT * 1.2),  # big DROP, no prov
+             "new": 9.9}                    # no pin yet: accept
+    accepted, held = accept_pins(times, pins, repinned={"c"})
+    assert accepted["a"] == 1.1
+    assert accepted["b"] == 1.0 and "b" in held
+    assert accepted["c"] == times["c"]
+    assert accepted["shrunk"] == 1.0 and "shrunk" in held
+    assert accepted["new"] == 9.9
+    assert sorted(held) == ["b", "shrunk"]

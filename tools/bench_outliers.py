@@ -75,6 +75,31 @@ ACKNOWLEDGED: dict[str, str] = {
 
 PIN_SLACK = 1.3
 PINS_PATH = os.path.join(REPO, "tools", "bench_pins.json")
+#: --accept-pins drift band: a pin may move this factor from its
+#: predecessor only with median-of-3 provenance (see the r12 lesson
+#: in the accept branch below).
+ACCEPT_DRIFT = 1.25
+
+
+def accept_pins(times: dict[str, float], pins: dict[str, float],
+                repinned: set[str]) -> tuple[dict[str, float], list[str]]:
+    """The --accept-pins drift guard (r12), pure so the regression
+    test can drive it: a row whose single-sample time moved more than
+    ACCEPT_DRIFT from its existing pin is accepted only when the
+    sweep's median-of-3 provenance map (``repinned``) backs it;
+    otherwise the old pin is held and the name returned for
+    tools/bench_repin.py. New rows (no pin) are always accepted."""
+    held: list[str] = []
+    accepted: dict[str, float] = {}
+    for name, t in times.items():
+        old = pins.get(name)
+        if (old and old > 0 and name not in repinned
+                and max(t / old, old / t) > ACCEPT_DRIFT):
+            accepted[name] = old
+            held.append(name)
+        else:
+            accepted[name] = t
+    return accepted, held
 
 
 def main() -> int:
@@ -103,9 +128,26 @@ def main() -> int:
     except FileNotFoundError:
         pins = {}
     if "--accept-pins" in sys.argv:
+        # Single-sample drift guard (r12 lesson): the r12 sweep ran
+        # under a CLEAN control (0.994x) yet its single samples still
+        # inflated ~20 untouched rows 1.3-1.7x — and accepting them
+        # wholesale baked the drift into the pins, moving the headline
+        # pin-sum 50.6 -> 55.3 s with zero plan changes. A pin only
+        # moves more than ACCEPT_DRIFT from its predecessor if the
+        # row is backed by a recorded median-of-3 (the sweep's
+        # "repinned" provenance map); otherwise the old pin is HELD
+        # and the row is listed for tools/bench_repin.py.
+        accepted, held = accept_pins(
+            times, pins, set(bench.get("repinned", {})))
         with open(PINS_PATH, "w") as f:
-            json.dump(dict(sorted(times.items())), f, indent=1)
-        print(f"accepted {len(times)} pins into {PINS_PATH}")
+            json.dump(dict(sorted(accepted.items())), f, indent=1)
+        print(f"accepted {len(accepted) - len(held)} pins into "
+              f"{PINS_PATH}")
+        if held:
+            print(f"HELD {len(held)} single-sample rows that moved "
+                  f"> {ACCEPT_DRIFT}x from their pins without "
+                  f"median-of-3 provenance — re-pin them: "
+                  f"python tools/bench_repin.py " + " ".join(sorted(held)))
         return 0
 
     from mapreducewordcounting_spark import registry
