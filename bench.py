@@ -47,13 +47,23 @@ WARM_SF_DIR = os.environ.get("SPARK_GRAFT_WARM_SF_DIR",
 #: uniform-drift band both adjudications measured (r10: control 0.855s
 #: vs 0.306s pin while per-query medians drifted 1.3-1.5x).
 CONTROL_QUERY = "wordcount_canonical"
+#: Second control (VERDICT r12 item 4): a multi-exchange throughput
+#: shape. wordcount_canonical is a 2-job query whose median moves with
+#: PER-JOB scheduling overhead (the documented contended-host
+#: signature inflates sub-second many-job rows most); join_star_schema
+#: is a 5-way star with several exchanges whose runtime tracks actual
+#: shuffle/CPU THROUGHPUT. The pair separates the two drift modes:
+#: control hot + control2 at pin -> per-job scheduling drift (plans
+#: unchanged, sub-second rows inflated, long rows trustworthy);
+#: both hot -> genuine throughput contention (every row suspect).
+CONTROL2_QUERY = "join_star_schema"
 CONTROL_SLACK = 1.5
 PINS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", "bench_pins.json")
 
 
 def control_adjudication(timings: dict[str, float]) -> dict:
-    """Compare the control query's timed median to its accepted pin;
+    """Compare each control query's timed median to its accepted pin;
     return the self-adjudication block for the bench artifact.
 
     Fail CLOSED, not open (ADVICE r11): a missing/corrupt pins file,
@@ -61,23 +71,51 @@ def control_adjudication(timings: dict[str, float]) -> dict:
     COULD NOT be adjudicated — that must read as
     host_contended=null + control.status='unadjudicated', never as an
     affirmative 'not contended' (the opposite of the flag's purpose).
+
+    ``host_contended`` stays driven by the PRIMARY control alone
+    (unchanged semantics since r11, regression-tested); the secondary
+    control only classifies the drift into ``drift_kind``.
     """
     try:
         with open(PINS_PATH) as f:
-            pin = json.load(f).get(CONTROL_QUERY)
+            pins = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
-        pin = None
-    sec = timings.get(CONTROL_QUERY)
-    ratio = (round(sec / pin, 3) if pin and sec is not None else None)
+        pins = {}
+
+    def _block(query: str) -> dict:
+        pin = pins.get(query)
+        sec = timings.get(query)
+        ratio = (round(sec / pin, 3) if pin and sec is not None else None)
+        return {"query": query, "seconds": sec, "pin": pin,
+                "ratio": ratio, "slack": CONTROL_SLACK,
+                "status": ("adjudicated" if ratio is not None
+                           else "unadjudicated")}
+
+    control = _block(CONTROL_QUERY)
+    control2 = _block(CONTROL2_QUERY)
+    # tri-state: true / false only when adjudicated; null when the
+    # control pin or timing was unavailable
+    contended = (None if control["ratio"] is None
+                 else control["ratio"] > CONTROL_SLACK)
+    if contended:
+        if control2["ratio"] is None:
+            drift_kind = "unclassified"
+        elif control2["ratio"] > CONTROL_SLACK:
+            drift_kind = "throughput"
+        else:
+            drift_kind = "per_job_scheduling"
+    elif contended is False and control2["ratio"] is not None \
+            and control2["ratio"] > CONTROL_SLACK:
+        # per-job control clean but throughput control hot: rare, but
+        # it means long multi-exchange rows are the suspect ones.
+        drift_kind = "throughput_only"
+    else:
+        drift_kind = None
     return {
-        "control": {"query": CONTROL_QUERY, "seconds": sec, "pin": pin,
-                    "ratio": ratio, "slack": CONTROL_SLACK,
-                    "status": ("adjudicated" if ratio is not None
-                               else "unadjudicated")},
-        # tri-state: true / false only when adjudicated; null when the
-        # control pin or timing was unavailable
-        "host_contended": (None if ratio is None
-                           else ratio > CONTROL_SLACK),
+        "control": control,
+        "control2": control2,
+        "drift_kind": drift_kind,
+        "host_contended": contended,
     }
 
 #: headline set: the flagship + one representative per operator family.
@@ -297,6 +335,8 @@ def main() -> None:
         "ext_sum": round(sum(extended.values()), 2),
         "ext_n": len(extended),
         "control": full["control"],
+        "control2": full["control2"],
+        "drift_kind": full["drift_kind"],
         "host_contended": full["host_contended"],
     }, separators=(",", ":")))
     spark.stop()
