@@ -208,21 +208,31 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
 
     exploded = sh.select("doc_id", *sc, "n_sh",
                          F.explode("shingles").alias("shingle"))
-    # shingle frequency is computed PER SHARD when sharded — each
-    # shard's canonical (rarest-first) order is self-contained
-    freq = exploded.groupBy(*sc, "shingle").agg(F.count("*").alias("freq"))
 
     from pyspark.sql import Window
 
+    # Shingle frequency = count() OVER (PARTITION BY [shard,] shingle)
+    # on the exploded stream itself (VERDICT r12 item 1) — per shard
+    # when sharded, so each shard's canonical (rarest-first) order is
+    # self-contained. The r1-r12 form materialized a separate
+    # distinct-shingle freq relation and FORCE-BROADCAST it back onto
+    # the stream; shingle cardinality grows ~linearly with corpus
+    # tokens, so that broadcast was a driver-side collect of a
+    # corpus-grain relation — harmless at sf0.1, dead at 100 TB
+    # (Spark's 8 GB broadcast cap falls long before). The window form
+    # needs NO second relation and no broadcast: one shingle-keyed
+    # exchange computes freq in place (and it even drops a scan — the
+    # old form read the exploded stream twice per self-join side).
+    freq_w = Window.partitionBy(*sc, "shingle")
     pos_w = Window.partitionBy("doc_id").orderBy(F.asc("freq"), F.asc("shingle"))
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = (
-        exploded.join(F.broadcast(freq), [*sc, "shingle"])
+        exploded.withColumn("freq", F.count("*").over(freq_w))
         .withColumn("pos", F.row_number().over(pos_w))
         .filter(F.col("pos") <= prefix_len)
         .select("doc_id", *sc, "n_sh", "shingle")
         # NOT checkpointed, deliberately: both self-join sides re-derive
-        # this (broadcast join + window over the already-checkpointed
+        # this (two chained windows over the already-checkpointed
         # explode), but that recompute is cheaper than a materialization
         # barrier — measured 2.8-3.6 s without vs 3.6-4.9 s with at
         # sf0.1. The expensive upstream (tokenize→shingle) is what the
@@ -1212,16 +1222,19 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str,
     )
     exploded = sh.select("doc_id", "n_sh",
                          F.explode("shingles").alias("shingle"))
-    freq = exploded.groupBy("shingle").agg(F.count("*").alias("freq"))
 
     from pyspark.sql import Window
 
+    # freq via count() OVER (PARTITION BY shingle) — same VERDICT r12
+    # item 1 rewrite as ngram_jaccard_pairs: no corpus-grain freq
+    # relation, no forced broadcast, one shingle-keyed exchange.
+    freq_w = Window.partitionBy("shingle")
     pos_w = Window.partitionBy("doc_id").orderBy(F.asc("freq"),
                                                  F.asc("shingle"))
     prefix_len = (F.col("n_sh")
                   - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
     prefix = (
-        exploded.join(F.broadcast(freq), "shingle")
+        exploded.withColumn("freq", F.count("*").over(freq_w))
         .withColumn("pos", F.row_number().over(pos_w))
         .filter(F.col("pos") <= prefix_len)
         .select(F.col("doc_id").alias("id_a"),

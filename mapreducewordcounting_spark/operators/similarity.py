@@ -103,7 +103,12 @@ def _anchor_argmax_assign(emb: DataFrame, anchors: DataFrame) -> DataFrame:
     yields a NULL cosine that never wins; the oracles' bare division
     would error in DuckDB) — the fixture generator emits none, and
     the similarity family has documented that precondition since the
-    bruteforce form.
+    bruteforce form. That precondition is ENFORCED here, not assumed
+    (ADVICE r12): a vector the fold cannot assign — the seed sentinel
+    a_id=-1 surviving the fold, i.e. a zero-norm or all-NULL-cosine
+    row — makes the query RAISE at execution time instead of silently
+    creating a phantom -1 cell that would drift from the DuckDB
+    oracle if a future fixture change ever emitted a zero vector.
 
     Returns the ``emb`` rows (vec_id, embedding) plus their ``a_id``.
     """
@@ -122,9 +127,15 @@ def _anchor_argmax_assign(emb: DataFrame, anchors: DataFrame) -> DataFrame:
     best = F.aggregate(scored, seed,
                        lambda st, x: F.when(x["c"] > st["c"], x)
                        .otherwise(st))
+    # fail-fast guard lives INSIDE the a_id expression (a detached
+    # assert_true column would be pruned away by Catalyst)
+    assigned = F.when(best["i"] >= 0, best["i"]).otherwise(F.raise_error(
+        F.concat(F.lit("_anchor_argmax_assign: unassignable (zero-norm?) "
+                       "embedding at vec_id="),
+                 F.col("vec_id").cast("string"))))
     return (emb.crossJoin(F.broadcast(acc))
             .withColumn("_enorm", l2_norm("embedding"))
-            .select("vec_id", "embedding", best["i"].alias("a_id")))
+            .select("vec_id", "embedding", assigned.alias("a_id")))
 
 
 @register(
@@ -387,7 +398,12 @@ def similarity_ann_ivf_pruned(spark: SparkSession, sf_dir: str
 
     The index write happens at DataFrame-construction time (the
     sink-query convention, join_dpp_partitioned precedent); the
-    returned probe plan reads only the store."""
+    returned probe plan reads only the store. The store path carries
+    the session's applicationId (ADVICE r12): two concurrent sessions
+    on the same sf dir (parallel test workers, bench beside verify)
+    each get their own index directory instead of racing
+    overwrite-against-read on a shared one; within one session the
+    path is stable, so repeated constructions reuse the directory."""
     from mapreducewordcounting_spark.operators.io_roundtrip import (
         _io_path,
     )
@@ -398,7 +414,8 @@ def similarity_ann_ivf_pruned(spark: SparkSession, sf_dir: str
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("a_id").alias("cent_id"))
-    store = _io_path(sf_dir, "ivf_index")
+    store = _io_path(
+        sf_dir, f"ivf_index_{spark.sparkContext.applicationId}")
     cells.write.mode("overwrite").partitionBy("cent_id").parquet(store)
     # explicit schema: skips inference and survives an empty store
     idx = spark.read.schema(cells.schema).parquet(store)

@@ -715,14 +715,23 @@ def test_binary_quant_exchanges_carry_no_vectors(spark, sf_dir):
     from mapreducewordcounting_spark.operators.similarity import (
         similarity_binary_quant,
     )
-    from mapreducewordcounting_spark.plans import exchange_inputs
+    from mapreducewordcounting_spark.plans import (
+        exchange_array_columns,
+        exchange_input_names,
+        is_vector_named,
+    )
 
     df = similarity_binary_quant(spark, sf_dir)
-    exchanges = exchange_inputs(df)
+    exchanges = exchange_input_names(df)
     assert exchanges, "expected at least the two window exchanges"
-    for cols in exchanges:
-        assert "emb" not in cols and "embedding" not in cols, (
-            f"exchange moves a vector column: [{cols}]")
+    # name check on PARSED names (ADVICE r12: no raw-substring match
+    # that would false-positive on e.g. 'members')
+    for names in exchanges:
+        assert not [n for n in names if is_vector_named(n)], (
+            f"exchange moves a vector column: {names}")
+    # and the typed check, which catches a RENAMED vector column too
+    for fat in exchange_array_columns(df):
+        assert fat == [], f"exchange moves an array column: {fat}"
 
 
 def test_ann_family_exchanges_carry_no_vectors(spark, sf_dir):
@@ -741,7 +750,11 @@ def test_ann_family_exchanges_carry_no_vectors(spark, sf_dir):
         similarity_ann_greedy_route,
         similarity_ann_ivf,
     )
-    from mapreducewordcounting_spark.plans import exchange_inputs
+    from mapreducewordcounting_spark.plans import (
+        exchange_array_columns,
+        exchange_input_names,
+        is_vector_named,
+    )
 
     # exchange-count bounds double as regression guards against the
     # crossJoin+window assignment sneaking back (it added n x nlist
@@ -753,13 +766,17 @@ def test_ann_family_exchanges_carry_no_vectors(spark, sf_dir):
               similarity_ann_anchor_graph: 3,
               similarity_ann_greedy_route: 26}
     for fn, cap in bounds.items():
-        exchanges = exchange_inputs(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        exchanges = exchange_input_names(df)
         assert len(exchanges) <= cap, (
             f"{fn.__name__}: {len(exchanges)} exchanges > {cap}")
-        for cols in exchanges:
-            assert "emb" not in cols and "embedding" not in cols, (
+        for names in exchanges:
+            assert not [n for n in names if is_vector_named(n)], (
                 f"{fn.__name__}: exchange moves a vector column: "
-                f"[{cols}]")
+                f"{names}")
+        for fat in exchange_array_columns(df):
+            assert fat == [], (
+                f"{fn.__name__}: exchange moves an array column: {fat}")
 
 
 def test_ivf_pruned_probe_is_partition_pruned(spark, sf_dir):
@@ -773,13 +790,64 @@ def test_ivf_pruned_probe_is_partition_pruned(spark, sf_dir):
         similarity_ann_ivf_pruned,
     )
     from mapreducewordcounting_spark.plans import (
-        exchange_inputs,
+        exchange_array_columns,
+        exchange_input_names,
         formatted_plan,
+        is_vector_named,
     )
 
     df = similarity_ann_ivf_pruned(spark, sf_dir)
     plan = formatted_plan(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("dynamicpruning" in ln for ln in pf), pf
-    for cols in exchange_inputs(df):
-        assert "emb" not in cols and "embedding" not in cols, cols
+    for names in exchange_input_names(df):
+        assert not [n for n in names if is_vector_named(n)], names
+    for fat in exchange_array_columns(df):
+        assert fat == [], fat
+
+
+def test_neardup_pair_core_has_no_forced_broadcast(spark, sf_dir):
+    """VERDICT r12 item 1: the shared near-dup pair core used to
+    FORCE-broadcast the distinct-shingle frequency relation — a
+    corpus-grain table (8-gram/3-gram shingle cardinality grows
+    ~linearly with corpus tokens) that dies at Spark's 8 GB broadcast
+    cap long before 100 TB. The frequency is now a
+    ``count() OVER (PARTITION BY [shard,] shingle)`` window on the
+    exploded stream. Contract: with auto-broadcast disabled, the
+    plans of every query riding the core contain ZERO broadcast
+    joins — i.e. every broadcast seen in the default plan is a
+    size-based optimizer choice (legitimate: it only fires when the
+    relation measures small), never a hint that would force a
+    corpus-grain collect at scale."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_containment_pairs,
+        dedup_ngram_jaccard,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in (dedup_ngram_jaccard, dedup_containment_pairs):
+            plan = simple_plan(fn(spark, sf_dir))
+            assert "BroadcastHashJoin" not in plan, fn.__name__
+            assert "BroadcastExchange" not in plan, fn.__name__
+            assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_neardup_pair_core_exchanges_are_thin(spark, sf_dir):
+    """Companion to the no-forced-broadcast contract: in the default
+    config, no shuffle Exchange in the near-dup pair core carries an
+    array column — the shingle-frequency window shuffles
+    (doc_id, n_sh, shingle[, shard]) scalars and the verify arrays
+    ride size-chosen broadcasts, not the network shuffle."""
+    from mapreducewordcounting_spark.operators.dedup import (
+        dedup_containment_pairs,
+        dedup_ngram_jaccard,
+    )
+    from mapreducewordcounting_spark.plans import exchange_array_columns
+
+    for fn in (dedup_ngram_jaccard, dedup_containment_pairs):
+        for fat in exchange_array_columns(fn(spark, sf_dir)):
+            assert fat == [], (fn.__name__, fat)

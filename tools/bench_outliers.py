@@ -88,13 +88,20 @@ def accept_pins(times: dict[str, float], pins: dict[str, float],
     ACCEPT_DRIFT from its existing pin is accepted only when the
     sweep's median-of-3 provenance map (``repinned``) backs it;
     otherwise the old pin is held and the name returned for
-    tools/bench_repin.py. New rows (no pin) are always accepted."""
+    tools/bench_repin.py. New rows (no pin) are always accepted.
+
+    A non-positive sweep time (ADVICE r12: a row rounded to 0.0)
+    can never replace an existing pin — not even with median-of-3
+    provenance — since a 0.0 pin would poison every later ratio
+    (ZeroDivisionError here, meaningless drift bands downstream).
+    Such a row is held/unprovenanced like any other suspect sample."""
     held: list[str] = []
     accepted: dict[str, float] = {}
     for name, t in times.items():
         old = pins.get(name)
-        if (old and old > 0 and name not in repinned
-                and max(t / old, old / t) > ACCEPT_DRIFT):
+        if old and old > 0 and (
+                t <= 0 or (name not in repinned
+                           and max(t / old, old / t) > ACCEPT_DRIFT)):
             accepted[name] = old
             held.append(name)
         else:

@@ -23,6 +23,14 @@ Global invariants enforced here (exit code gates CI):
   item 9), where each site is bounded BY CONSTRUCTION and documented
   in PLANS.md: a scalar-threshold join or a B×(B+1)/2 block-pair key
   table — never a data×data pair space.
+- Exchange THINNESS (VERDICT r12 item 2, mechanizing the r11→r12
+  ANN-family lesson): no shuffle Exchange's input may carry an
+  array/map-typed column unless the query is in FAT_EXCHANGE_ALLOWED
+  with the reason the array through the shuffle is the point (a
+  collect_list AGGREGATION BUFFER above the exchange is fine — the
+  audit reads the exchange's INPUT, i.e. what actually crosses the
+  network). Typed (`plans.exchange_array_columns` walks attribute
+  dataTypes), so a renamed vector column cannot dodge the audit.
 
 Usage: python tools/plan_audit.py  (writes PLANS_audit.json at repo root)
 """
@@ -140,6 +148,14 @@ BNL_ALLOWED = {
     "tpch_q22_dormant_customers": "1-row (avg balance subquery)",
 }
 
+#: queries allowed a shuffle Exchange whose INPUT carries an
+#: array/map column, each with the reason the fat shuffle is bounded
+#: or the point (VERDICT r12 item 2). Populated from the first
+#: registry-wide typed sweep; anything NOT here that shuffles an
+#: array is a scale bug by policy — project to scalars before the
+#: exchange, re-attach arrays after (the r12 ANN-family rewrite).
+FAT_EXCHANGE_ALLOWED: dict[str, str] = {}
+
 #: plan node substrings → audit fields
 _MARKS = {
     "exchanges": "Exchange",
@@ -179,6 +195,19 @@ def audit(spark, names=None) -> dict[str, dict]:
             out[name] = {"error": str(exc)[:300]}
             continue
         rec = {field: plan.count(mark) for field, mark in _MARKS.items()}
+        # exchange thinness (VERDICT r12 item 2): which shuffle inputs
+        # carry array/map columns — typed, from the plan tree itself
+        try:
+            from mapreducewordcounting_spark.plans import (
+                exchange_array_columns,
+            )
+            per_exchange = exchange_array_columns(df)
+            rec["fat_exchanges"] = sum(1 for c in per_exchange if c)
+            rec["fat_exchange_columns"] = sorted(
+                {c for cols in per_exchange for c in cols})
+        except Exception as exc:  # noqa: BLE001 — record, keep auditing
+            rec["fat_exchanges"] = -1
+            rec["fat_exchange_columns"] = [f"audit-error: {exc!r}"[:200]]
         out[name] = rec
     return out
 
