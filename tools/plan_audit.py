@@ -154,7 +154,23 @@ BNL_ALLOWED = {
 #: registry-wide typed sweep; anything NOT here that shuffles an
 #: array is a scale bug by policy — project to scalars before the
 #: exchange, re-attach arrays after (the r12 ANN-family rewrite).
-FAT_EXCHANGE_ALLOWED: dict[str, str] = {}
+FAT_EXCHANGE_ALLOWED: dict[str, str] = {
+    "dedup_embedding_cosine": "block-matrix form: the embedding arrays "
+    "ARE the matrix being multiplied — the block shuffle replicates "
+    "each row into <= B blocks (bounded, by the block-pair key "
+    "table), which is the bandwidth contract of any distributed "
+    "matmul; projecting vectors out of this exchange would leave "
+    "nothing to multiply.",
+    "dedup_minhash_lsh": "spark.ml MinHashLSH approxSimilarityJoin "
+    "internals (datasetA/B structs incl. hash arrays through the "
+    "explode-join) — library-owned plan kept as the spark.ml "
+    "conformance twin beside the engine-native dedup_minhash_det, "
+    "whose band exchange moves md5 scalars only.",
+    "similarity_ann_lsh": "spark.ml BucketedRandomProjectionLSH "
+    "approxSimilarityJoin internals — same library-owned shape; the "
+    "engine-native ANN family (ivf/anchor/greedy/rp_det) shuffles no "
+    "vector bytes (test_ann_family_exchanges_carry_no_vectors).",
+}
 
 #: plan node substrings → audit fields
 _MARKS = {
@@ -229,6 +245,9 @@ def main() -> int:
                    if r.get("row_python_udf", 0) > 0]
     bad_bnl = [n for n, r in recs.items()
                if r.get("bnl_joins", 0) > 0 and n not in BNL_ALLOWED]
+    bad_fat = [n for n, r in recs.items()
+               if r.get("fat_exchanges", 0) != 0
+               and n not in FAT_EXCHANGE_ALLOWED]
     errors = [n for n, r in recs.items() if "error" in r]
     summary = {
         "sf_dir": SF_DIR,
@@ -237,12 +256,18 @@ def main() -> int:
         "cartesian_outside_allowlist": bad_cartesian,
         "row_python_udf_anywhere": bad_row_udf,
         "bnl_outside_allowlist": bad_bnl,
+        "fat_exchange_outside_allowlist": bad_fat,
+        "fat_exchange_allowlisted": sorted(
+            n for n, r in recs.items()
+            if r.get("fat_exchanges", 0) != 0
+            and n in FAT_EXCHANGE_ALLOWED),
     }
     with open(os.path.join(REPO, "PLANS_audit.json"), "w") as f:
         json.dump({"summary": summary, "queries": recs}, f, indent=1)
     print(json.dumps(summary))
     spark.stop()
-    return 1 if (bad_cartesian or bad_row_udf or bad_bnl or errors) else 0
+    return 1 if (bad_cartesian or bad_row_udf or bad_bnl or bad_fat
+                 or errors) else 0
 
 
 if __name__ == "__main__":
