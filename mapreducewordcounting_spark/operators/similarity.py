@@ -436,6 +436,94 @@ def similarity_ann_ivf_pruned(spark: SparkSession, sf_dir: str
     )
 
 
+@register(
+    "similarity_ann_recall_report",
+    # composed oracle: the exact brute-force top-K CTEs and the IVF
+    # probe CTEs side by side, recall = |ivf ∩ exact| / K per query
+    oracle=f"""
+        WITH cents AS ({_sql_anchors('cent_id', 'cent_emb')}),
+        scored AS (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   {_sql_cos('e.embedding', 'c.cent_emb')} AS cent_cos
+            FROM embeddings e CROSS JOIN cents c),
+        ranked AS (
+            SELECT vec_id, embedding, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cent_cos DESC, cent_id)
+                       AS crank
+            FROM scored),
+        cells AS (
+            SELECT vec_id AS neighbor_id, embedding AS c_emb, cent_id
+            FROM ranked WHERE crank = 1),
+        q_cells AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+            FROM ranked WHERE vec_id < {N_QUERIES} AND crank <= 2),
+        cand AS (
+            SELECT q.query_id, c.neighbor_id,
+                   {_sql_cos('q.q_emb', 'c.c_emb')} AS cos
+            FROM q_cells q JOIN cells c USING (cent_id)
+            WHERE q.query_id <> c.neighbor_id),
+        ivf AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC,
+                                                     neighbor_id) AS rank
+                  FROM cand)
+            WHERE rank <= {K}),
+        bfq AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < {N_QUERIES}),
+        bfpairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_sql_cos('q.embedding', 'c.embedding')} AS cos
+            FROM bfq q JOIN embeddings c ON q.vec_id <> c.vec_id),
+        bf AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC,
+                                                     neighbor_id) AS rank
+                  FROM bfpairs)
+            WHERE rank <= {K})
+        SELECT b.query_id,
+               count(i.neighbor_id) AS n_hits,
+               CAST(count(i.neighbor_id) AS DOUBLE) / {K} AS recall
+        FROM bf b
+        LEFT JOIN ivf i ON b.query_id = i.query_id
+                       AND b.neighbor_id = i.neighbor_id
+        GROUP BY b.query_id
+    """,
+    tags=("similarity", "ann", "eval"),
+)
+def similarity_ann_recall_report(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """recall@K of the IVF probe vs the exact brute-force top-K, per
+    query — ANN quality EVALUATION as a first-class checked query
+    (r13, VERDICT r12 item 3's measurement made durable: the numbers
+    BASELINE.md's "ANN recall at scale" table reports come from this
+    join shape, and a recall regression now fails an oracle instead
+    of hiding in prose). A training-data pipeline runs exactly this
+    report when tuning nprobe/nlist against a labeled slice.
+
+    Plan posture: both inputs are the already-audited K-row-bounded
+    forms (the capped brute-force oracle-spec and the map-side-argmax
+    IVF probe); their outputs are |queries| x K rows, so the hit join
+    and rollup are control-sized — nothing here scales with the
+    corpus beyond the inputs' own audited scans.
+    """
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    ivf = similarity_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"),
+             (F.count("hit").cast("double") / F.lit(float(K)))
+             .alias("recall"))
+    )
+
+
 #: anchor-graph ANN: out-degree of the anchor adjacency (each anchor
 #: links to its 3 nearest anchors; a query probes its entry anchor's
 #: cell plus the 3 linked cells = 4 cells).

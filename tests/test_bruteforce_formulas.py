@@ -2053,3 +2053,51 @@ def test_binary_quant_matches_python(spark, sf_dir):
     assert [g[:4] for g in got] == [e[:4] for e in expected]
     for g, e in zip(got, expected):
         assert abs(g[4] - e[4]) < TOL
+
+
+def test_ann_recall_report_matches_python(spark, sf_dir):
+    """similarity_ann_recall_report (r13): recompute BOTH sides — the
+    exact brute-force top-K and the two-stage IVF probe — from raw
+    parquet in numpy, intersect per query, and compare hit counts and
+    recall fractions."""
+    from mapreducewordcounting_spark.operators.similarity import (
+        ANN_NLIST,
+        K,
+        N_QUERIES,
+        similarity_ann_recall_report,
+    )
+
+    rows = load_table_rows(sf_dir, "embeddings")
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    step = max(len(vecs) // ANN_NLIST, 1)
+    cents = {i: v for i, v in vecs.items()
+             if i % step == 0 and i < step * ANN_NLIST}
+
+    def probed(vid, n):
+        scored = sorted(((cos(vecs[vid], cv), cid)
+                         for cid, cv in cents.items()),
+                        key=lambda t: (-t[0], t[1]))
+        return [cid for _, cid in scored[:n]]
+
+    cell_of = {vid: probed(vid, 1)[0] for vid in vecs}
+    expected = {}
+    for q in sorted(v for v in vecs if v < N_QUERIES):
+        ivf_cand = [(cos(vecs[q], vecs[c]), c) for c in vecs
+                    if c != q and cell_of[c] in probed(q, 2)]
+        ivf_cand.sort(key=lambda t: (-t[0], t[1]))
+        ivf_top = {c for _, c in ivf_cand[:K]}
+        bf_cand = [(cos(vecs[q], vecs[c]), c) for c in vecs if c != q]
+        bf_cand.sort(key=lambda t: (-t[0], t[1]))
+        bf_top = {c for _, c in bf_cand[:K]}
+        expected[q] = len(ivf_top & bf_top)
+
+    got = rows_as_tuples(similarity_ann_recall_report(spark, sf_dir),
+                         ["query_id", "n_hits", "recall"])
+    assert {g[0]: g[1] for g in got} == expected
+    for _, n_hits, recall in got:
+        assert abs(recall - n_hits / K) < TOL

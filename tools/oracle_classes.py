@@ -339,6 +339,12 @@ MIRRORED: dict[str, tuple[str, str]] = {
         "same shared IVF construction, index materialized partitioned "
         "by cell (identical output contract to similarity_ann_ivf)",
         "test_bruteforce_formulas.py::test_ann_ivf_matches_python"),
+    "similarity_ann_recall_report": (
+        "composes the shared IVF probe construction with the "
+        "brute-force top-K; the recall intersection join is stated "
+        "identically on both sides",
+        "test_bruteforce_formulas.py::"
+        "test_ann_recall_report_matches_python"),
     "privacy_dp_laplace_det": (
         "shared md5-uniform seed + Laplace inverse-CDF formula on "
         "both sides",

@@ -122,6 +122,11 @@ BNL_ALLOWED = {
                          "date+k equi condition on a broadcast "
                          "|days|-row side)",
     "similarity_topk_bruteforce": "K-row (query vector set)",
+    "similarity_ann_recall_report": "K-row (composes the two audited "
+                                    "forms above: brute-force query-"
+                                    "vector NL + IVF centroid/stride "
+                                    "shapes; both sub-outputs are "
+                                    "|queries| x K rows, r13)",
     "similarity_binary_quant": "K-row (query signature set — the "
                                "bruteforce join shape moving 16-byte "
                                "signatures instead of float vectors; "
