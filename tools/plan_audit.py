@@ -262,10 +262,14 @@ def main() -> int:
         "row_python_udf_anywhere": bad_row_udf,
         "bnl_outside_allowlist": bad_bnl,
         "fat_exchange_outside_allowlist": bad_fat,
-        "fat_exchange_allowlisted": sorted(
-            n for n, r in recs.items()
+        # dict, not list: sync_check treats every non-empty summary
+        # LIST as a violation; this field is informational (the
+        # allowlist hits, with reasons), so it must not be a list
+        "fat_exchange_allowlisted": {
+            n: FAT_EXCHANGE_ALLOWED[n]
+            for n, r in sorted(recs.items())
             if r.get("fat_exchanges", 0) != 0
-            and n in FAT_EXCHANGE_ALLOWED),
+            and n in FAT_EXCHANGE_ALLOWED},
     }
     with open(os.path.join(REPO, "PLANS_audit.json"), "w") as f:
         json.dump({"summary": summary, "queries": recs}, f, indent=1)
