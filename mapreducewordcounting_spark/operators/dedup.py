@@ -222,8 +222,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     # shingle) window was A/B'd as the no-second-relation form: the
     # window buffers every row of a hot shingle in ONE group — no
     # partial-agg stage to absorb the skew — and GC-thrashed at
-    # derived sf1 while this form holds 2.3 s / 9 s / 90 s across
-    # sf0.1/sf1/sf10.)
+    # derived sf1 while this form held sf0.1/sf1.
+    # Derived-sf10 caveat (r13, OPTIMIZATION_r13.md): the REPLICAS=100
+    # corpus makes every replica group a mutual near-dup CLIQUE, so
+    # candidates and the true result are quadratic in REPLICAS by
+    # construction — this exact-verify oracle-spec form is
+    # output-bound there (OOMs an 8g local heap in the array-attach
+    # verify; SPARK_GRAFT_DRIVER_MEM is the local knob). Bounded
+    # dup-group corpora — and the sharded/banded forms, whose shard
+    # key splits replica batches — stay near-linear; see
+    # dedup_clusters_sharded's sf10 row in BASELINE.md.)
     freq = exploded.groupBy(*sc, "shingle").agg(F.count("*").alias("freq"))
 
     from pyspark.sql import Window
