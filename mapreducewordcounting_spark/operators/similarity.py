@@ -808,8 +808,8 @@ def _greedy_route_oracle() -> str:
     oracle=_greedy_route_oracle(),
     tags=("similarity", "ann", "graph", "approx"),
 )
-def similarity_ann_greedy_route(spark: SparkSession, sf_dir: str
-                                ) -> DataFrame:
+def similarity_ann_greedy_route(spark: SparkSession, sf_dir: str,
+                                _eager_hops: bool = True) -> DataFrame:
     """Multi-hop greedy ANN routing (VERDICT r10 item 3) — the
     iterative form similarity_ann_anchor_graph's docstring scoped as
     future work, now a first-class query:
@@ -908,13 +908,21 @@ def similarity_ann_greedy_route(spark: SparkSession, sf_dir: str
         F.desc("cos"), F.asc("anchor"))
     for _ in range(_GR_HOPS):
         # hop state is |queries| x beam x (RDEG+1) SKINNY
-        # (query_id, anchor) rows and stays LAZY: the whole walk +
-        # probe is ONE declarative plan (one Spark job at serving
-        # time) whose hop branches re-evaluate only broadcast joins
-        # and beam windows over <= a few hundred rows — per-query-
-        # batch checkpoints would turn every serving call into a job
-        # chain (the BPE job-count lesson); only the reusable INDEX
-        # (anchors, rcand, assigned, query batch) is materialized.
+        # (query_id, anchor) rows. r14 A/B (VERDICT r13 item 3,
+        # tools/ab_greedy_route.py, plans/r14/): each hop's candidate
+        # set feeds BOTH the visited union and the next frontier, so
+        # the fully-LAZY walk duplicates every hop subtree ~2x per
+        # hop — a 64-Exchange plan tree (24 shuffle + 40 broadcast;
+        # the registry's largest) that re-evaluates early hops
+        # ~2^hops times and pays planner time on the whole tree.
+        # localCheckpoint per hop (guide §3.3 lineage truncation)
+        # collapses it to 18 Exchange nodes (8 + 10) for
+        # identical rows, at the cost of _GR_HOPS tiny jobs per
+        # serving call; interleaved A/B medians 7.82->5.83 s (sf0.1),
+        # 5.15->4.74 s (derived sf1). The BPE job-count concern that
+        # had kept the walk lazy is outweighed: 3 extra jobs vs
+        # exponential subtree re-evaluation wins at every SF measured,
+        # and the gap widens with hop count by construction.
         # Exchange discipline (r12): the hop dedup and beam windows
         # shuffle (query_id, anchor[, cos]) only — both embeddings
         # attach via broadcast sides right before the map-side cosine
@@ -923,6 +931,15 @@ def similarity_ann_greedy_route(spark: SparkSession, sf_dir: str
                           frontier.anchor == rcand.cur)
             .select("query_id", F.col("cand_id").alias("anchor"))
             .dropDuplicates(["query_id", "anchor"]))
+        if _eager_hops:
+            # A/B variant (VERDICT r13 item 3): localCheckpoint each
+            # hop's candidate set — it feeds BOTH the visited union
+            # and the next frontier, so materializing it collapses
+            # the duplicated-subtree plan (guide §3.3 lineage
+            # truncation) at the cost of one tiny job per hop. All
+            # hop checkpoints stay pinned until the harness sweep
+            # (result-referenced class, checkpoints.py).
+            cand_hop = cand_hop.localCheckpoint(eager=True)
         visited.append(cand_hop)
         frontier = (cand_hop
                     .join(F.broadcast(anchors),

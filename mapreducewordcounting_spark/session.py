@@ -38,6 +38,17 @@ def get_spark(app_name: str = "mapreducewordcounting-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
+        # Scan split sizing (guide §6, VERDICT r13 item 6):
+        # parameterized, never hardcoded — local default stays Spark's
+        # 128m (bench comparability; at bench SFs the minPartitionNum
+        # floor = defaultParallelism governs split count anyway, so
+        # the knob is inert below ~GB inputs — measured, see
+        # OPTIMIZATION_r14.md). A 100 TB deployment raises this to
+        # 512m-1g: fewer, larger map tasks cut scheduling overhead
+        # and the M×R shuffle-block count (guide §2.2).
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               "128m"))
         # Parquet scans: vectorized reader + predicate pushdown are on by
         # default; keep session tz fixed so timestamp semantics match the
         # DuckDB oracle regardless of host tz.

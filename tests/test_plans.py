@@ -761,10 +761,13 @@ def test_ann_family_exchanges_carry_no_vectors(spark, sf_dir):
     # shuffled rows AND extra exchanges): ivf = 2 skinny windows + the
     # anchor fold's 3 agg/broadcast-feed exchanges; anchor_graph = the
     # adjacency window + the top-K window (index checkpointed);
-    # greedy = hop dedups + beam windows across the lazy branches.
+    # greedy = hop dedups + beam windows, per-hop checkpointed as of
+    # r14 (the lazy walk's duplicated branches put 24 shuffle
+    # exchanges in the plan; the eager-hop form has 8 — the cap
+    # guards against the duplication sneaking back).
     bounds = {similarity_ann_ivf: 6,
               similarity_ann_anchor_graph: 3,
-              similarity_ann_greedy_route: 26}
+              similarity_ann_greedy_route: 10}
     for fn, cap in bounds.items():
         df = fn(spark, sf_dir)
         exchanges = exchange_input_names(df)
@@ -811,9 +814,13 @@ def test_neardup_pair_core_has_no_forced_broadcast(spark, sf_dir):
     FORCE-broadcast the distinct-shingle frequency relation — a
     corpus-grain table (8-gram/3-gram shingle cardinality grows
     ~linearly with corpus tokens) that dies at Spark's 8 GB broadcast
-    cap long before 100 TB. The frequency is now a
-    ``count() OVER (PARTITION BY [shard,] shingle)`` window on the
-    exploded stream. Contract: with auto-broadcast disabled, the
+    cap long before 100 TB. The frequency is now a plain
+    ``groupBy([shard,] shingle).count()`` joined back UN-hinted (the
+    window form — ``count() OVER (PARTITION BY shingle)`` — was A/B'd
+    and REJECTED: it buffers every row of a hot shingle in one group
+    with no map-side partial aggregation and GC-thrashed at derived
+    sf1; commit eac01d1's "windowed count" title is superseded by the
+    groupBy form). Contract: with auto-broadcast disabled, the
     plans of every query riding the core contain ZERO broadcast
     joins — i.e. every broadcast seen in the default plan is a
     size-based optimizer choice (legitimate: it only fires when the
@@ -839,7 +846,7 @@ def test_neardup_pair_core_has_no_forced_broadcast(spark, sf_dir):
 def test_neardup_pair_core_exchanges_are_thin(spark, sf_dir):
     """Companion to the no-forced-broadcast contract: in the default
     config, no shuffle Exchange in the near-dup pair core carries an
-    array column — the shingle-frequency window shuffles
+    array column — the shingle-frequency groupBy shuffles
     (doc_id, n_sh, shingle[, shard]) scalars and the verify arrays
     ride size-chosen broadcasts, not the network shuffle."""
     from mapreducewordcounting_spark.operators.dedup import (

@@ -58,10 +58,18 @@ def materialize(df) -> None:
 
 def main() -> int:
     names = sys.argv[1:] or DEFAULT
+    if not DIRS:
+        # ADVICE r13: a tier filter matching nothing used to fall
+        # through to DIRS[0] and crash with IndexError.
+        print(f"no scale dirs selected by "
+              f"SPARK_GRAFT_SCALE_DIRS={_TIERS!r}", file=sys.stderr)
+        return 2
     spark = get_spark(app_name="mrwc-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
-    materialize(qs["wordcount_canonical"](spark, DIRS[0]))
+    # ADVICE r13: warm against WARM_SF_DIR (always present, matches
+    # the protocol) — DIRS[0] may be an absent scale_scratch tier.
+    materialize(qs["wordcount_canonical"](spark, WARM_SF_DIR))
 
     results: dict[str, dict[str, float]] = {}
     for sf_dir in DIRS:
@@ -92,13 +100,12 @@ def main() -> int:
     ratios = {}
     for name in names:
         row = {sf: t.get(name) for sf, t in keyed.items()}
-        base = row.get("sf0.1")
-        if base:
-            row["ratio_sf1"] = (round(row["sf1"] / base, 2)
-                                if row.get("sf1") else None)
-            row["ratio_sf10_vs_sf1"] = (
-                round(row["sf10"] / row["sf1"], 2)
-                if row.get("sf10") and row.get("sf1") else None)
+        # ADVICE r13: each ratio depends only on its own two adjacent
+        # tiers — a run without sf0.1 still reports sf10/sf1.
+        if row.get("sf0.1") and row.get("sf1"):
+            row["ratio_sf1"] = round(row["sf1"] / row["sf0.1"], 2)
+        if row.get("sf1") and row.get("sf10"):
+            row["ratio_sf10_vs_sf1"] = round(row["sf10"] / row["sf1"], 2)
         ratios[name] = row
     print(json.dumps({"scaling": ratios}))
     spark.stop()
