@@ -172,8 +172,16 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # r14 (guide §2.4): `items` feeds THREE consumers (baskets, the
+    # order count, brand rates) and the uncut plan re-ran the
+    # join+distinct per consumer — 8 parquet scans / 15 exchanges in
+    # PLANS_audit (AQE alias canonicalization defeats ReusedExchange
+    # across the branches, the similarity_tfidf_pairs lesson).
+    # Checkpointing the (order, brand) distinct grain pays the
+    # join+distinct ONCE; scans drop 8 → 2, exchanges 15 → 5.
     items = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-             .select("l_orderkey", "p_brand").distinct())
+             .select("l_orderkey", "p_brand").distinct()
+             .localCheckpoint(eager=True))
     baskets = items.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("p_brand")).alias("brands"))
     pair = F.explode(F.flatten(F.transform(
@@ -188,7 +196,10 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count("*").alias("n_pair")))
     n_orders = items.select(
         F.count_distinct("l_orderkey").alias("n_orders"))
-    rates = items.groupBy("p_brand").agg(F.count("*").alias("n_br"))
+    # |brands| rows, two consumers (ra, rb): checkpoint so the brand
+    # aggregate runs once instead of once per join side.
+    rates = (items.groupBy("p_brand").agg(F.count("*").alias("n_br"))
+             .localCheckpoint(eager=True))
     ra = rates.select(F.col("p_brand").alias("brand_a"),
                       F.col("n_br").alias("n_a"))
     rb = rates.select(F.col("p_brand").alias("brand_b"),

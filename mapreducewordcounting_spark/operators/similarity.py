@@ -1274,7 +1274,15 @@ def similarity_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", _toks().alias("toks"))
     words = toks.select(
         "doc_id", F.explode(ngrams(F.col("toks"), 3)).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # r14 (guide §2.4): tf feeds three consumers (dfreq, the doc
+    # count, the weight projection) and the uncut plan re-ran the
+    # scan→tokenize→shingle→explode→tf pipeline once per consumer
+    # INSIDE the w-checkpoint job (the cut below only protects w's
+    # own consumers). Checkpointing the (doc, term) grain pays
+    # tokenize+shuffle once; the A/B at sf0.1 is in
+    # OPTIMIZATION_r14.md.
+    tf = (words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = tf.select(F.count_distinct("doc_id").alias("n_docs"))
     w = (

@@ -835,6 +835,11 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         docs.select("source", F.explode(toks).alias("word"))
         .groupBy("source", "word").agg(F.count("*").alias("cnt"))
+        # r14: two consumers (per-source totals + the entropy join) —
+        # checkpointing the |sources|·|vocab| count grid halves the
+        # corpus scans (2 → 1 in PLANS_audit), same discipline as
+        # text_unigram_logprob's model table.
+        .localCheckpoint(eager=True)
     )
     tot = counts.groupBy("source").agg(F.sum("cnt").alias("n_tokens"))
     p = F.col("cnt").cast("double") / F.col("n_tokens")
@@ -884,8 +889,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(tokenize_canonical("text")).alias("word")
     ).filter(F.length("word") > 0)
-    uni = words.groupBy("word").agg(F.count("*").alias("c"))
-    tot = words.select(F.count("*").alias("n_total"))
+    # r14 (guide §2.4 "don't compute things you throw away"): the
+    # plan used to run the scan→tokenize→explode pipeline THREE times
+    # (model counts, corpus total, probe side — 3 parquet scans in
+    # PLANS_audit). The corpus total is sum(c) over the unigram
+    # relation — an exact integer identity with count(*) over words —
+    # so it derives from the vocabulary-sized model table instead of
+    # its own corpus pass, and the model table is checkpointed
+    # (|vocab| rows) so both its consumers read blocks, not lineage.
+    # Scans 3 → 2; the remaining two passes (fit the model, score
+    # against it) are the operator's irreducible shape.
+    uni = words.groupBy("word").agg(F.count("*").alias("c")) \
+        .localCheckpoint(eager=True)
+    tot = uni.select(F.sum("c").alias("n_total"))
     return (
         words.join(F.broadcast(uni), "word")
         .crossJoin(F.broadcast(tot))

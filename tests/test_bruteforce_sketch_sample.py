@@ -20,6 +20,12 @@ from tests.bruteforce_util import (
     load_table_rows,
     rows_as_tuples,
 )
+import pytest
+
+# Deep hardening tier (VERDICT r13 item 2): deselected by default
+# so the driver's pytest run finishes in budget; `make test-deep`
+# runs it. See pytest.ini.
+pytestmark = pytest.mark.deep
 
 
 def _md5(s: str) -> str:

@@ -23,6 +23,11 @@ from mapreducewordcounting_spark.registry import all_queries
 
 from tests.conftest import SF_DIR
 
+# Deep hardening tier (VERDICT r13 item 2): deselected by default
+# so the driver's pytest run finishes in budget; `make test-deep`
+# runs it. See pytest.ini.
+pytestmark = pytest.mark.deep
+
 _SPECS = all_queries()
 
 

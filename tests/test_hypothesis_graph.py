@@ -22,6 +22,12 @@ from mapreducewordcounting_spark.operators.iterative import triangle_counts
 from mapreducewordcounting_spark.operators.relational import (
     spatial_neighbor_pairs,
 )
+import pytest
+
+# Deep hardening tier (VERDICT r13 item 2): deselected by default
+# so the driver's pytest run finishes in budget; `make test-deep`
+# runs it. See pytest.ini.
+pytestmark = pytest.mark.deep
 
 
 # --- spatial ---------------------------------------------------------------

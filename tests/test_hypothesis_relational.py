@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 
 from tests.oracle_util import assert_matches_oracle
 
+# Deep hardening tier (VERDICT r13 item 2): deselected by default
+# so the driver's pytest run finishes in budget; `make test-deep`
+# runs it. See pytest.ini.
+pytestmark = pytest.mark.deep
+
 _key = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
 _val = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
 

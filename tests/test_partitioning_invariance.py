@@ -19,6 +19,11 @@ import pytest
 from mapreducewordcounting_spark.registry import all_queries
 from tests.oracle_util import canonical_rows
 
+# Deep hardening tier (VERDICT r13 item 2): deselected by default
+# so the driver's pytest run finishes in budget; `make test-deep`
+# runs it. See pytest.ini.
+pytestmark = pytest.mark.deep
+
 #: queries whose outputs are float aggregates over many rows — the
 #: ones a summation-order change would flip first.
 FLOAT_AGG_QUERIES = (

@@ -20,6 +20,11 @@ import pytest
 
 from mapreducewordcounting_spark.registry import all_queries
 
+# Deep hardening tier (VERDICT r13 item 2): deselected by default
+# so the driver's pytest run finishes in budget; `make test-deep`
+# runs it. See pytest.ini.
+pytestmark = pytest.mark.deep
+
 _SPECS = all_queries()
 _ROWS_ONLY_BATCH = [
     n for n, s in _SPECS.items()

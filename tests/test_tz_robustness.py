@@ -16,6 +16,12 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import pytest
+
+# Deep hardening tier (VERDICT r13 item 2): deselected by default
+# so the driver's pytest run finishes in budget; `make test-deep`
+# runs it. See pytest.ini.
+pytestmark = pytest.mark.deep
 
 # every registry query whose Spark side or oracle touches a timestamp
 # or date column (events.ts, o_orderdate, l_shipdate aggregations)
