@@ -102,6 +102,24 @@ ACKNOWLEDGED: dict[str, str] = {
 
 
 PIN_SLACK = 1.3
+
+
+def ack_disposition(ack: str | None, host_contended: bool | None) -> str:
+    """How an ACKNOWLEDGED entry reads for a still-flagging row, pure
+    so the regression test can drive it (ADVICE r13, mechanized as the
+    expiry alternative): a host-drift acknowledgement is a deferral,
+    not an explanation — it asserts the row will stop flagging once
+    the host is clean. On a sweep whose own control adjudicated the
+    host CLEAN (``host_contended is False``), a still-flagging
+    host-drift ack is therefore the real regression it deferred:
+    report it EXPIRED and fail ``--check``. On a contended (True) or
+    unadjudicated (None) sweep the ack keeps silencing, because the
+    drift it cites is still plausible."""
+    if ack is None:
+        return "none"
+    if "host-drift" in ack and host_contended is False:
+        return "expired"
+    return "acknowledged"
 PINS_PATH = os.path.join(REPO, "tools", "bench_pins.json")
 #: --accept-pins drift band: a pin may move this factor from its
 #: predecessor only with median-of-3 provenance (see the r12 lesson
@@ -218,11 +236,16 @@ def main() -> int:
     unresolved = []
     for n, fam, t, med, ratio, is_exempt, ack in sorted(
             rows, key=lambda r: -r[4]):
+        disp = ack_disposition(ack, bench.get("host_contended"))
         status = ("iterative/ml tier" if is_exempt
-                  else f"acknowledged: {ack}" if ack else "UNRESOLVED")
+                  else "EXPIRED host-drift ack (sweep adjudicated the "
+                       f"host clean, row still flags): {ack}"
+                  if disp == "expired"
+                  else f"acknowledged: {ack}" if disp == "acknowledged"
+                  else "UNRESOLVED")
         print(f"{n}: {t:.2f}s vs family '{fam}' median {med:.2f}s "
               f"({ratio:.1f}x) — {status}")
-        if not is_exempt and not ack:
+        if not is_exempt and disp in ("none", "expired"):
             unresolved.append(n)
 
     stale = [n for n in ACKNOWLEDGED
