@@ -35,7 +35,23 @@ def get_spark(app_name: str = "mapreducewordcounting-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Broadcast threshold sized to the DRIVER HEAP, not the data
+        # (guide §3.1; VERDICT r13 item 5's root cause): a relation's
+        # compressed shuffle stats understate its in-memory hash-
+        # relation size ~5-20x, and several AQE broadcast builds run
+        # CONCURRENTLY in the driver JVM — the old 64MB threshold let
+        # AQE convert corpus-grain joins (shingle frequency / prefix
+        # index at derived sf10) into ~1 GB broadcast builds that GC-
+        # thrashed and then OOM'd the 8g local driver
+        # ("Not enough memory to build and broadcast"). 16m on an 8g
+        # heap mirrors the ratio of Spark's 10m default to its 1-4g
+        # default heaps; sf0.1 plans are unchanged (audited: the
+        # registry-wide plan audit is field-identical under 64m vs
+        # 16m at bench SFs) while sf10 survives and scales near-
+        # linearly. Parameterized for cluster deployments where
+        # executors have more headroom.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_AUTOBROADCAST", "16m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
         # Scan split sizing (guide §6, VERDICT r13 item 6):
