@@ -124,18 +124,30 @@ def _anchor_argmax_assign(emb: DataFrame, anchors: DataFrame) -> DataFrame:
              / F.nullif(F.col("_enorm") * x["a_norm"], F.lit(0.0))
              ).alias("c"),
             x["a_id"].alias("i")))
-    best = F.aggregate(scored, seed,
-                       lambda st, x: F.when(x["c"] > st["c"], x)
-                       .otherwise(st))
-    # fail-fast guard lives INSIDE the a_id expression (a detached
-    # assert_true column would be pruned away by Catalyst)
-    assigned = F.when(best["i"] >= 0, best["i"]).otherwise(F.raise_error(
-        F.concat(F.lit("_anchor_argmax_assign: unassignable (zero-norm?) "
-                       "embedding at vec_id="),
-                 F.col("vec_id").cast("string"))))
+    # fail-fast guard lives in the fold's FINISH lambda, so the whole
+    # guarded argmax is ONE aggregate expression referenced once. The
+    # r13 form wrote F.when(best["i"] >= 0, best["i"]).otherwise(
+    # raise_error(...)) OUTSIDE the fold: each of those two best[...]
+    # references inlines the ENTIRE 40-anchor fold (the module's
+    # minhash CollapseProject lesson — and an intermediate
+    # best.alias() projection does NOT block the re-inlining here),
+    # doubling the family's dominant compute: measured 2.88 s -> 5.8 s
+    # on similarity_ann_ivf across r12 -> r13, and an interleaved
+    # guard-vs-no-guard A/B reproduced the gap (5.4-5.9 s vs
+    # 3.5-4.4 s in one window). The finish form keeps the r13
+    # fail-fast semantics at zero extra fold evaluations (a detached
+    # assert_true column would be pruned away by Catalyst).
+    best = F.aggregate(
+        scored, seed,
+        lambda st, x: F.when(x["c"] > st["c"], x).otherwise(st),
+        lambda st: F.when(st["i"] >= 0, st["i"]).otherwise(
+            F.raise_error(
+                F.concat(F.lit("_anchor_argmax_assign: unassignable "
+                               "(zero-norm?) embedding at vec_id="),
+                         F.col("vec_id").cast("string")))))
     return (emb.crossJoin(F.broadcast(acc))
             .withColumn("_enorm", l2_norm("embedding"))
-            .select("vec_id", "embedding", assigned.alias("a_id")))
+            .select("vec_id", "embedding", best.alias("a_id")))
 
 
 @register(
