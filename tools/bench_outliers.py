@@ -71,33 +71,20 @@ ACKNOWLEDGED: dict[str, str] = {
     # that exceeds BOTH thresholds and stays slow for a documented
     # reason.
     #
-    # r13 close, HOST-DRIFT block (OPTIMIZATION_r13.md "Host
-    # degradation"): the round closed on a container with 12% CPU
-    # steal under load and per-job scheduling inflated 2-10x
-    # (control pin-ratio fluctuating 1.2-10x over 5 h of probes; no
-    # clean window observed). These rows' sweep medians-of-3
-    # (provenance in BENCH_FULL's "repinned" map) exceed 1.3x their
-    # CLEAN-host pins because their job-count-heavy shapes absorb
-    # per-job overhead multiplicatively — streaming multi-batch
-    # replays and multi-join compositions. Evidence they are NOT
-    # regressions: plan shape (exchanges/joins/scans audit record) is
-    # IDENTICAL to the r12 PLANS_audit for every row (checked field
-    # by field; similarity_ann_recall_report is new this round and
-    # flags only against its family median, having no pin yet), and
-    # no r13 code change touches any of them. The stale-ack aging
-    # below purges each entry on the first clean-host sweeps in which
-    # it stops flagging — these are records of a bad close window,
-    # not standing debt.
-    "stream_stateful_session_gap": "r13 host-drift block (see above)",
-    "stream_incremental_ingest": "r13 host-drift block (see above)",
-    "basket_pair_affinity": "r13 host-drift block (see above)",
-    "text_ngram_novelty_curve": "r13 host-drift block (see above)",
-    "contamination_span_coverage": "r13 host-drift block (see above)",
-    "similarity_ann_ivf": "r13 host-drift block (see above)",
-    "similarity_ann_recall_report": "r13 host-drift block (see above;"
-    " new query, no pin yet — pin it on the first clean sweep)",
-    "stream_stream_join": "r13 host-drift block (see above)",
-    "stream_stream_full_outer_join": "r13 host-drift block (see above)",
+    # The r13 9-entry HOST-DRIFT block was RESOLVED in r14 against the
+    # first clean-adjudicated sweep since r12 (controls 1.06x/1.08x):
+    # every row was re-timed median-of-3 (provenance in BENCH_FULL's
+    # "repinned" map). Seven landed at/under 1.3x their clean pins —
+    # drift, as the acks claimed. One (similarity_ann_ivf) stayed 2x
+    # over IN the clean window, which the r14 expiry rule correctly
+    # refused to silence: it was a real r13 regression (the fail-fast
+    # guard double-evaluating the argmax fold, fixed in r14 — see
+    # OPTIMIZATION_r14.md §9; post-fix median 2.93 s vs 2.879 pin).
+    # similarity_ann_recall_report received its first pin.
+    # basket_pair_affinity's pin moved 1.676 -> 2.24 with recorded
+    # provenance (the r14 multi-consumer checkpoint trades ~15% at
+    # sf0.1 for 16-corpus-scans -> 0 at scale; OPTIMIZATION_r14.md
+    # §5). The block is EMPTY again, as from r9 through r12.
 }
 
 
